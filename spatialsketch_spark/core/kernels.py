@@ -1,0 +1,430 @@
+"""Mergeable synopsis kernels, numpy-vectorized over *groups of cells*.
+
+Each kernel turns a batch of events that share a grid — arrays
+``(cell_keys, items, values, ts)`` — into per-cell sketch states, merges
+states (commutative, associative — the property that makes the
+map-side-combined Spark build exact), serializes states for the sketch
+table's BinaryType payload column, and answers the reference's query
+kinds.
+
+Reference kernels being re-expressed:
+- CountMin insert/query/merge/L2: CountMin.cpp:122-158, 184-194, 196-215
+- FM insert/estimate/merge:       FM.cpp:102-148, 154-172
+- Bloom insert/query:             BloomFilter.cpp:80-125
+- ECM insert/HistSum/merge:       ECM.cpp:89-137, 254-282, 316-348
+- dyadic CM over item domain:     DyadCountMin.cpp:37-104
+
+``exact`` is the collision-free oracle-mode backend (identity-hash CM /
+1-bit-per-item FM / BF degenerate cases are all equivalent to keeping the
+exact per-cell event multiset): it answers every query kind exactly and
+is what the driver's DuckDB correctness gate runs against.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from .hashing import coefficients, hash_items, trailing_zeros, MERSENNE_P
+
+FM_PHI = 0.77351  # FM.cpp:135-148 estimator constant (x1.2928 = 1/phi)
+
+
+def _group_slices(cell_keys: np.ndarray):
+    """Sort events by cell; return (order, unique_cells, start_offsets)."""
+    order = np.argsort(cell_keys, kind="stable")
+    sorted_keys = cell_keys[order]
+    uc, starts = np.unique(sorted_keys, return_index=True)
+    return order, uc, starts
+
+
+class BaseKernel:
+    kind = "base"
+
+    def serialize(self, state) -> bytes:
+        return pickle.dumps(state, protocol=4)
+
+    def deserialize(self, blob: bytes):
+        return pickle.loads(blob)
+
+    # --- interface ---
+    def build_grouped(self, cell_keys, items, values, ts):
+        """-> (unique_cell_keys: int64[], states: list)"""
+        raise NotImplementedError
+
+    def merge(self, states: list):
+        raise NotImplementedError
+
+    def size_bytes(self, state) -> int:
+        return len(self.serialize(state))
+
+
+class ExactKernel(BaseKernel):
+    """Collision-free synopsis: the exact per-cell event arrays.
+
+    State: dict(items=int64[], values=int64[], ts=int64[]) sorted by
+    (ts, item). Equivalent to exact-mode CM/FM/BF/ECM simultaneously.
+    """
+
+    kind = "exact"
+
+    def build_grouped(self, cell_keys, items, values, ts):
+        order, uc, starts = _group_slices(cell_keys)
+        items = items[order]
+        values = values[order]
+        ts = ts[order]
+        states = []
+        bounds = np.append(starts, len(cell_keys))
+        for i in range(len(uc)):
+            s, e = bounds[i], bounds[i + 1]
+            it, va, t = items[s:e], values[s:e], ts[s:e]
+            o = np.lexsort((it, t))
+            states.append({"items": it[o], "values": va[o], "ts": t[o]})
+        return uc, states
+
+    def merge(self, states):
+        it = np.concatenate([s["items"] for s in states])
+        va = np.concatenate([s["values"] for s in states])
+        t = np.concatenate([s["ts"] for s in states])
+        o = np.lexsort((it, t))
+        return {"items": it[o], "values": va[o], "ts": t[o]}
+
+    # exact answers to every reference query kind
+    def query_item(self, st, item, item_end=None, t0=None) -> int:
+        m = (st["items"] >= item) & (st["items"] <= (item_end if item_end is not None else item))
+        if t0 is not None:
+            m &= st["ts"] >= t0
+        return int(st["values"][m].sum())
+
+    def query_l2_counts(self, st) -> dict:
+        """item -> count map contribution (merged across cells, then L2)."""
+        uc, inv = np.unique(st["items"], return_inverse=True)
+        cnt = np.bincount(inv, weights=st["values"].astype(np.float64))
+        return {"items": uc, "counts": cnt.astype(np.int64)}
+
+    def distinct_items(self, st) -> np.ndarray:
+        return np.unique(st["items"])
+
+    def member(self, st, item) -> bool:
+        return bool(np.any(st["items"] == item))
+
+
+class CMKernel(BaseKernel):
+    """Count-Min: int64 counters (d, w); shared seeded coefficients
+    (the reference shares hashab_ across cells, SpatialSketch.cpp:365-373)."""
+
+    kind = "cm"
+
+    def __init__(self, width: int, depth: int, seed: int = 7):
+        self.w = int(width)
+        self.d = int(depth)
+        self.coeffs = coefficients(seed, self.d)
+
+    def hash(self, items):
+        return hash_items(items, self.coeffs, self.w)
+
+    def build_grouped(self, cell_keys, items, values, ts):
+        order, uc, starts = _group_slices(cell_keys)
+        inv = np.searchsorted(uc, cell_keys[order])
+        h = self.hash(items[order])                          # (d, n)
+        vals = values[order].astype(np.int64)
+        n_cells = len(uc)
+        rows = np.arange(self.d, dtype=np.int64)[:, None]
+        flat = (inv[None, :] * self.d + rows) * self.w + h   # (d, n)
+        counters = np.bincount(
+            flat.ravel(),
+            weights=np.broadcast_to(vals, (self.d, len(vals))).ravel(),
+            minlength=n_cells * self.d * self.w,
+        ).astype(np.int64).reshape(n_cells, self.d, self.w)
+        return uc, [counters[i] for i in range(n_cells)]
+
+    def merge(self, states):
+        out = states[0].copy()
+        for s in states[1:]:
+            out += s                                  # CountMin.cpp:196-202
+        return out
+
+    def query_item(self, st, item, item_end=None, t0=None) -> int:
+        h = self.hash(np.array([item]))[:, 0]
+        return int(st[np.arange(self.d), h].min())    # CountMin.cpp:184-194
+
+    def l2_estimate(self, st) -> int:
+        return int((st.astype(np.float64) ** 2).sum(axis=1).min())  # :205-215
+
+
+class FMKernel(BaseKernel):
+    """Flajolet-Martin: d 64-bit bitmaps (reference uses 32,
+    FM.h:14-16); bit tz(h_i(x)) set per row. Merge = OR (FM.cpp:154-172),
+    estimate = 2^(mean lowest-unset-bit) / phi (FM.cpp:135-148)."""
+
+    kind = "fm"
+
+    def __init__(self, eps: float, delta: float, seed: int = 7):
+        import math
+        self.d = max(1, int(math.ceil((1.0 / eps ** 2) * math.log(1.0 / delta))))
+        self.coeffs = coefficients(seed + 101, self.d)
+
+    def build_grouped(self, cell_keys, items, values, ts):
+        order, uc, starts = _group_slices(cell_keys)
+        inv = np.searchsorted(uc, cell_keys[order])
+        h = hash_items(items[order], self.coeffs, MERSENNE_P)   # raw hash
+        tz = trailing_zeros(h)                                   # (d, n)
+        bits = (np.int64(1) << np.minimum(tz, 62)).astype(np.int64)
+        words = np.zeros((len(uc), self.d), dtype=np.int64)
+        rows = np.broadcast_to(np.arange(self.d)[:, None], h.shape)
+        cols = np.broadcast_to(inv[None, :], h.shape)
+        np.bitwise_or.at(words, (cols.ravel(), rows.ravel()), bits.ravel())
+        return uc, [words[i] for i in range(len(uc))]
+
+    def merge(self, states):
+        out = states[0].copy()
+        for s in states[1:]:
+            out |= s
+        return out
+
+    def estimate(self, st) -> float:
+        # per row: position of lowest unset bit (FM "R"), then 2^mean / phi
+        rs = np.zeros(self.d, dtype=np.float64)
+        for i in range(self.d):
+            w = int(st[i])
+            r = 0
+            while w & (1 << r):
+                r += 1
+            rs[i] = r
+        return float(2.0 ** rs.mean() / FM_PHI)
+
+
+class BFKernel(BaseKernel):
+    """Bloom filter: m bits packed into uint64 words, d hash rows
+    (BloomFilter.cpp:28-37 sizing, :80-125 insert/query)."""
+
+    kind = "bf"
+
+    def __init__(self, expected_n: int, delta: float, seed: int = 7):
+        import math
+        self.m = max(64, int(math.ceil(-expected_n * math.log(delta) / (math.log(2) ** 2))))
+        self.d = max(1, int(round((self.m / expected_n) * math.log(2))))
+        self.n_words = (self.m + 63) // 64
+        self.coeffs = coefficients(seed + 202, self.d)
+
+    def build_grouped(self, cell_keys, items, values, ts):
+        order, uc, starts = _group_slices(cell_keys)
+        inv = np.searchsorted(uc, cell_keys[order])
+        h = hash_items(items[order], self.coeffs, self.m)        # (d, n)
+        words = np.zeros((len(uc), self.n_words), dtype=np.uint64)
+        widx = (h >> 6).astype(np.int64)
+        bits = (np.uint64(1) << (h.astype(np.uint64) & np.uint64(63)))
+        cols = np.broadcast_to(inv[None, :], h.shape)
+        np.bitwise_or.at(words, (cols.ravel(), widx.ravel()), bits.ravel())
+        return uc, [words[i] for i in range(len(uc))]
+
+    def merge(self, states):
+        out = states[0].copy()
+        for s in states[1:]:
+            out |= s
+        return out
+
+    def member(self, st, item) -> bool:
+        h = hash_items(np.array([item]), self.coeffs, self.m)[:, 0]
+        w = (h >> 6).astype(np.int64)
+        b = (np.uint64(1) << (h.astype(np.uint64) & np.uint64(63)))
+        return bool(np.all((st[w] & b) != 0))
+
+
+class ECMKernel(BaseKernel):
+    """Exponential-histogram Count-Min (sliding-window counts).
+
+    State: (d, w) object array of exponential histograms; each EH is a
+    list of buckets [size, start_ts, end_ts], newest first, sizes
+    non-decreasing toward the tail, at most k+1 buckets per size
+    (ECM.cpp:89-137). HistSum(t) counts full buckets with start >= t plus
+    HALF the straddling bucket (ECM.cpp:254-282).
+
+    Merge follows the reference's ECM_merge mode: flatten buckets into
+    (time, weight) arrivals — half the bucket at its start, half at its
+    end — sort by time, re-insert (MergeECM, ECM.cpp:316-348). Order
+    sensitivity therefore resolves deterministically after merge.
+    """
+
+    kind = "ecm"
+
+    def __init__(self, width: int, depth: int, k: int, seed: int = 7):
+        self.w = int(width)
+        self.d = int(depth)
+        self.k = int(k)
+        self.coeffs = coefficients(seed + 303, self.d)
+
+    def _eh_insert(self, eh: list, t: int, weight: float = 1.0):
+        eh.insert(0, [weight, t, t])
+        # cascade-merge oldest two buckets of any size exceeding k+1
+        size = weight
+        while True:
+            idxs = [i for i, b in enumerate(eh) if b[0] == size]
+            if len(idxs) <= self.k + 1:
+                break
+            i2, i1 = idxs[-1], idxs[-2]      # two oldest of this size
+            old, newer = eh[i2], eh[i1]
+            merged = [old[0] + newer[0], min(old[1], newer[1]), max(old[2], newer[2])]
+            eh[i1] = merged
+            del eh[i2]
+            size = merged[0]
+
+    def build_grouped(self, cell_keys, items, values, ts):
+        order, uc, starts = _group_slices(cell_keys)
+        bounds = np.append(starts, len(cell_keys))
+        items_s, values_s, ts_s = items[order], values[order], ts[order]
+        states = []
+        for ci in range(len(uc)):
+            s, e = bounds[ci], bounds[ci + 1]
+            it, va, t = items_s[s:e], values_s[s:e], ts_s[s:e]
+            o = np.argsort(t, kind="stable")       # timestamp-ordered insert
+            it, va, t = it[o], va[o], t[o]
+            h = hash_items(it, self.coeffs, self.w)   # (d, n)
+            ehs = [[[] for _ in range(self.w)] for _ in range(self.d)]
+            for j in range(len(it)):
+                tv = int(t[j])
+                vv = float(va[j])
+                for r in range(self.d):
+                    self._eh_insert(ehs[r][h[r, j]], tv, vv)
+            states.append(ehs)
+        return uc, states
+
+    def _flatten(self, eh: list) -> list:
+        """EH -> (time, weight) arrivals, half at start / half at end
+        (MergeECM reconstruction, ECM.cpp:316-348)."""
+        arr = []
+        for sz, st, en in eh:
+            if st == en:
+                arr.append((st, float(sz)))
+            else:
+                arr.append((st, sz / 2.0))
+                arr.append((en, sz / 2.0))
+        return arr
+
+    def merge(self, states):
+        out = [[[] for _ in range(self.w)] for _ in range(self.d)]
+        for r in range(self.d):
+            for c in range(self.w):
+                arrivals = []
+                for s in states:
+                    arrivals.extend(self._flatten(s[r][c]))
+                arrivals.sort(key=lambda a: a[0])
+                for t, wgt in arrivals:
+                    if wgt:
+                        self._eh_insert(out[r][c], t, wgt)
+        return out
+
+    def hist_sum(self, eh: list, t0: int) -> float:
+        """ECM.cpp:254-282: full buckets with start >= t0; half the
+        straddling bucket."""
+        total = 0.0
+        for sz, st, en in eh:
+            if st >= t0:
+                total += sz
+            elif en >= t0:
+                total += sz / 2.0
+        return total
+
+    def query_item(self, st, item, item_end=None, t0=0) -> int:
+        h = hash_items(np.array([item]), self.coeffs, self.w)[:, 0]
+        ests = [self.hist_sum(st[r][int(h[r])], t0) for r in range(self.d)]
+        return int(min(ests))
+
+
+class DCMKernel(BaseKernel):
+    """Per-cell dyadic Count-Min over the item domain — answers
+    frequency of item *ranges* (DyadCountMin.cpp). Levels 0..L over
+    item ids; low ``exact_levels`` kept as exact sparse counts
+    (reference keeps top 14 of 33 exact, DyadCountMin.h:82-85), the rest
+    as CMs with eps' = eps / (L - exact_levels).
+    """
+
+    kind = "dcm"
+
+    def __init__(self, log_domain: int, width: int, depth: int,
+                 exact_levels: int, seed: int = 7):
+        self.L = int(log_domain)           # levels 0..L inclusive
+        self.w = int(width)
+        self.d = int(depth)
+        self.exact_levels = min(int(exact_levels), self.L + 1)
+        self.coeffs = coefficients(seed + 404, self.d)
+
+    def build_grouped(self, cell_keys, items, values, ts):
+        order, uc, starts = _group_slices(cell_keys)
+        bounds = np.append(starts, len(cell_keys))
+        items_s = items[order]
+        values_s = values[order].astype(np.int64)
+        states = []
+        n_cm_levels = self.L + 1 - self.exact_levels
+        for ci in range(len(uc)):
+            s, e = bounds[ci], bounds[ci + 1]
+            it, va = items_s[s:e], values_s[s:e]
+            exact = {}
+            for lvl in range(self.exact_levels):
+                pref = it >> lvl
+                up, inv = np.unique(pref, return_inverse=True)
+                cnt = np.bincount(inv, weights=va.astype(np.float64)).astype(np.int64)
+                exact[lvl] = (up, cnt)
+            cms = np.zeros((max(n_cm_levels, 0), self.d, self.w), dtype=np.int64)
+            for li, lvl in enumerate(range(self.exact_levels, self.L + 1)):
+                pref = it >> lvl
+                h = hash_items(pref, self.coeffs, self.w)
+                rows = np.arange(self.d)[:, None]
+                flat = rows * self.w + h
+                cms[li] += np.bincount(
+                    flat.ravel(),
+                    weights=np.broadcast_to(va, (self.d, len(va))).ravel(),
+                    minlength=self.d * self.w,
+                ).astype(np.int64).reshape(self.d, self.w)
+            states.append({"exact": exact, "cms": cms})
+        return uc, states
+
+    def merge(self, states):
+        out_exact = {}
+        for lvl in range(self.exact_levels):
+            allp = np.concatenate([s["exact"][lvl][0] for s in states])
+            allc = np.concatenate([s["exact"][lvl][1] for s in states])
+            up, inv = np.unique(allp, return_inverse=True)
+            cnt = np.bincount(inv, weights=allc.astype(np.float64)).astype(np.int64)
+            out_exact[lvl] = (up, cnt)
+        cms = states[0]["cms"].copy()
+        for s in states[1:]:
+            cms += s["cms"]
+        return {"exact": out_exact, "cms": cms}
+
+    def query_range(self, st, a: int, b: int) -> int:
+        """Canonical 1-D cover over item ids; exact levels answered
+        exactly, CM levels by min-row point estimates."""
+        from .dyadic import cover_1d_items
+        total = 0
+        for lvl, prefix in cover_1d_items(a, b, self.L):
+            if lvl < self.exact_levels:
+                up, cnt = st["exact"][lvl]
+                j = np.searchsorted(up, prefix)
+                if j < len(up) and up[j] == prefix:
+                    total += int(cnt[j])
+            else:
+                li = lvl - self.exact_levels
+                h = hash_items(np.array([prefix]), self.coeffs, self.w)[:, 0]
+                total += int(st["cms"][li][np.arange(self.d), h].min())
+        return total
+
+
+def make_kernel(kind: str, cfg) -> BaseKernel:
+    """Kernel factory from a SketchConfig."""
+    import math
+    if cfg.exact or kind == "exact":
+        return ExactKernel()
+    if kind == "cm":
+        return CMKernel(cfg.cm_width, cfg.cm_depth, cfg.seed)
+    if kind == "fm":
+        return FMKernel(max(cfg.eps, 0.25), cfg.delta, cfg.seed)
+    if kind == "bf":
+        return BFKernel(expected_n=min(cfg.item_domain, 1 << 20), delta=cfg.delta, seed=cfg.seed)
+    if kind == "ecm":
+        return ECMKernel(cfg.cm_width, cfg.cm_depth, cfg.ecm_k, cfg.seed)
+    if kind == "dcm":
+        log_dom = int(math.ceil(math.log2(max(2, cfg.item_domain))))
+        return DCMKernel(log_dom, cfg.cm_width, cfg.cm_depth, cfg.dcm_exact_levels, cfg.seed)
+    raise ValueError(f"unknown sketch kind {kind!r}")

@@ -1,0 +1,191 @@
+"""Sketch kernels vs naive dict counters (SURVEY.md §5 plan (a)):
+exactness of the exact kernel, CM overestimate-never-underestimate +
+eps bound, FM/BF statistical envelopes, ECM window semantics, dyadic-CM
+range queries, and — crucially for the Spark build — merge/partition
+invariance (the map-side-combine correctness property)."""
+
+import numpy as np
+import pytest
+
+from spatialsketch_spark.core.kernels import (
+    ExactKernel, CMKernel, FMKernel, BFKernel, ECMKernel, DCMKernel,
+)
+
+
+def rand_events(n, item_domain, seed):
+    rng = np.random.default_rng(seed)
+    cells = rng.integers(0, 4, n).astype(np.int64)
+    items = rng.integers(0, item_domain, n).astype(np.int64)
+    values = np.ones(n, dtype=np.int64)
+    ts = np.arange(1, n + 1, dtype=np.int64)
+    return cells, items, values, ts
+
+
+def split_build_merge(kernel, cells, items, values, ts, n_parts=4):
+    """Build partials on row-chunks (simulating Spark partitions) then
+    merge per cell — must equal a single-shot build."""
+    chunks = np.array_split(np.arange(len(cells)), n_parts)
+    partials = {}
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        uc, states = kernel.build_grouped(cells[ch], items[ch], values[ch], ts[ch])
+        for c, s in zip(uc.tolist(), states):
+            partials.setdefault(c, []).append(s)
+    return {c: kernel.merge(ss) for c, ss in partials.items()}
+
+
+def test_exact_kernel_counts_and_merge_invariance():
+    cells, items, values, ts = rand_events(2000, 50, 1)
+    k = ExactKernel()
+    merged = split_build_merge(k, cells, items, values, ts)
+    uc, states = k.build_grouped(cells, items, values, ts)
+    single = dict(zip(uc.tolist(), states))
+    for c in single:
+        for item in range(50):
+            truth = int(values[(cells == c) & (items == item)].sum())
+            assert k.query_item(single[c], item) == truth
+            assert k.query_item(merged[c], item) == truth
+        # windowed
+        t0 = 1000
+        truth_w = int(values[(cells == c) & (ts >= t0)].sum())
+        got = k.query_item(merged[c], 0, 49, t0=t0)
+        assert got == truth_w
+        assert set(k.distinct_items(merged[c])) == set(items[cells == c].tolist())
+
+
+def test_cm_bounds_and_merge():
+    cells, items, values, ts = rand_events(5000, 400, 2)
+    k = CMKernel(width=28, depth=3, seed=7)
+    merged = split_build_merge(k, cells, items, values, ts)
+    uc, states = k.build_grouped(cells, items, values, ts)
+    for c, st in zip(uc.tolist(), states):
+        np.testing.assert_array_equal(st, merged[c])
+        n_cell = int((cells == c).sum())
+        for item in [0, 7, 123, 399]:
+            truth = int(values[(cells == c) & (items == item)].sum())
+            est = k.query_item(st, item)
+            assert est >= truth, "CM never underestimates"
+            assert est <= truth + np.e / 28 * n_cell * 3  # loose eps bound
+    # serialize roundtrip
+    st2 = k.deserialize(k.serialize(states[0]))
+    np.testing.assert_array_equal(st2, states[0])
+
+
+def test_cm_l2_estimate():
+    rng = np.random.default_rng(3)
+    items = rng.zipf(1.5, 5000).astype(np.int64) % 1000
+    cells = np.zeros(5000, dtype=np.int64)
+    k = CMKernel(width=128, depth=5, seed=7)
+    uc, states = k.build_grouped(cells, items, np.ones(5000, dtype=np.int64),
+                                 np.arange(5000, dtype=np.int64))
+    _, counts = np.unique(items, return_counts=True)
+    truth = int((counts.astype(np.float64) ** 2).sum())
+    est = k.l2_estimate(states[0])
+    assert est >= truth
+    assert est <= truth * 1.5
+
+
+def test_fm_estimate_envelope_and_merge():
+    k = FMKernel(eps=0.3, delta=0.05, seed=7)
+    n_distinct = 3000
+    items = np.arange(n_distinct, dtype=np.int64)
+    cells = np.zeros(n_distinct, dtype=np.int64)
+    merged = split_build_merge(k, cells, items, np.ones(n_distinct, dtype=np.int64),
+                               np.arange(n_distinct, dtype=np.int64))
+    est = k.estimate(merged[0])
+    assert 0.25 * n_distinct <= est <= 4.0 * n_distinct  # FM is coarse (powers of 2)
+    uc, states = k.build_grouped(cells, items, np.ones(n_distinct, dtype=np.int64),
+                                 np.arange(n_distinct, dtype=np.int64))
+    np.testing.assert_array_equal(states[0], merged[0])
+
+
+def test_bf_no_false_negatives_and_fpr():
+    k = BFKernel(expected_n=2000, delta=0.05, seed=7)
+    items = np.arange(0, 2000, 2, dtype=np.int64)  # evens present
+    cells = np.zeros(len(items), dtype=np.int64)
+    merged = split_build_merge(k, cells, items, np.ones(len(items), dtype=np.int64),
+                               np.arange(len(items), dtype=np.int64))
+    st = merged[0]
+    for v in items[:200]:
+        assert k.member(st, int(v)), "no false negatives"
+    fps = sum(k.member(st, v) for v in range(1, 2001, 2))
+    assert fps / 1000 < 0.15
+
+
+def test_ecm_exact_window_when_k_huge():
+    """With capacity k larger than the stream, EH buckets never merge and
+    HistSum is exact."""
+    k = ECMKernel(width=64, depth=2, k=1 << 30, seed=7)
+    n = 500
+    items = np.zeros(n, dtype=np.int64)
+    cells = np.zeros(n, dtype=np.int64)
+    ts = np.arange(1, n + 1, dtype=np.int64)
+    uc, states = k.build_grouped(cells, items, np.ones(n, dtype=np.int64), ts)
+    for t0 in [1, 100, 250, 500]:
+        assert k.query_item(states[0], 0, t0=t0) == n - t0 + 1
+
+
+def test_ecm_realistic_window_error_bound():
+    k = ECMKernel(width=64, depth=2, k=8, seed=7)  # eps_ecm = 1/8
+    n = 2000
+    items = np.zeros(n, dtype=np.int64)
+    cells = np.zeros(n, dtype=np.int64)
+    ts = np.arange(1, n + 1, dtype=np.int64)
+    uc, states = k.build_grouped(cells, items, np.ones(n, dtype=np.int64), ts)
+    for t0 in [500, 1000, 1900]:
+        truth = n - t0 + 1
+        est = k.query_item(states[0], 0, t0=t0)
+        assert abs(est - truth) <= max(2, 0.3 * truth)
+
+
+def test_ecm_merge_matches_reference_semantics():
+    """Partition-split build + MergeECM-style merge approximates the
+    single-shot build (the reference's ECM_merge mode trades accuracy for
+    mergeability; with huge k both are exact)."""
+    k = ECMKernel(width=16, depth=2, k=1 << 30, seed=7)
+    n = 400
+    rng = np.random.default_rng(5)
+    items = rng.integers(0, 30, n).astype(np.int64)
+    cells = np.zeros(n, dtype=np.int64)
+    ts = np.arange(1, n + 1, dtype=np.int64)
+    merged = split_build_merge(k, cells, items, np.ones(n, dtype=np.int64), ts)
+    uc, states = k.build_grouped(cells, items, np.ones(n, dtype=np.int64), ts)
+    single = states[0]
+    for item in range(0, 30, 5):
+        for t0 in [1, 200]:
+            truth = int(((items == item) & (ts >= t0)).sum())
+            est_m = k.query_item(merged[0], item, t0=t0)
+            est_s = k.query_item(single, item, t0=t0)
+            # CM-style overestimate (hash collisions), never under
+            assert est_m >= truth and est_s >= truth
+            # merge-path must agree with the single-shot build: with huge k
+            # every bucket stays a singleton, so both are the same multiset
+            assert est_m == est_s
+
+
+def test_dcm_range_queries():
+    k = DCMKernel(log_domain=8, width=64, depth=3, exact_levels=9, seed=7)
+    # all-exact levels -> exact range answers
+    rng = np.random.default_rng(6)
+    items = rng.integers(0, 256, 3000).astype(np.int64)
+    cells = np.zeros(3000, dtype=np.int64)
+    merged = split_build_merge(k, cells, items, np.ones(3000, dtype=np.int64),
+                               np.arange(3000, dtype=np.int64))
+    for a, b in [(0, 255), (10, 20), (7, 7), (100, 250)]:
+        truth = int(((items >= a) & (items <= b)).sum())
+        assert k.query_range(merged[0], a, b) == truth
+
+
+def test_dcm_mixed_levels_overestimates_bounded():
+    k = DCMKernel(log_domain=8, width=512, depth=4, exact_levels=3, seed=7)
+    rng = np.random.default_rng(7)
+    items = rng.integers(0, 256, 3000).astype(np.int64)
+    cells = np.zeros(3000, dtype=np.int64)
+    uc, states = k.build_grouped(cells, items, np.ones(3000, dtype=np.int64),
+                                 np.arange(3000, dtype=np.int64))
+    for a, b in [(10, 200), (0, 127), (5, 9)]:
+        truth = int(((items >= a) & (items <= b)).sum())
+        est = k.query_range(states[0], a, b)
+        assert est >= truth
+        assert est <= truth + 0.2 * 3000
