@@ -1,38 +1,39 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship polygon range-count pipeline at sf0.001
+queries()      -> every implemented operator (SURVEY.md §2) as
+                  (spark, sf_dir) -> DataFrame
+oracle_sql()   -> matching ANSI SQL for DuckDB on the same parquet
+
+Implementation lives in spatialsketch_spark/; this module only adapts
+the driver contract.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full sketch pipeline (derive geo events -> capped-pyramid
+    exact-mode build -> polygon partition -> dyadic cover -> broadcast
+    probe) answering the three fixture polygons at sf0.001."""
+    from spatialsketch_spark.gate import q_polygon_count
+    return q_polygon_count(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from spatialsketch_spark.gate import GATE_QUERIES
+    return {name: fn for name, (fn, _) in GATE_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spatialsketch_spark.gate import GATE_QUERIES
+    return {name: sql_fn() for name, (_, sql_fn) in GATE_QUERIES.items()
+            if sql_fn is not None}

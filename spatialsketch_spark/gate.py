@@ -1,0 +1,283 @@
+"""Driver-contract gate queries: every entry couples a Spark query
+(through the real engine) with ANSI SQL that DuckDB answers on the same
+parquet — the reference's oracle-differential methodology
+(Postgres ground truth, Postgres.cpp:406,715,934,1157,1353) re-expressed
+for the sandbox.
+
+The sketches run in *exact mode* here (collision-free, SketchConfig.
+exact_mode), so the full pipeline — span extraction, cell encode, dyadic
+explode, map-side-combined build, polygon partitioning, dyadic cover,
+broadcast probe — must agree with exact SQL bit-for-bit. The error-bound
+behavior of realistic (lossy) parameters is asserted separately in
+tests/test_geo_pipeline.py and benchmarked in bench.py.
+
+Grid: N = 4096 (reference default), pyramid capped at MIN_LEVEL = 4
+(finest live grid 256x256 — the practical analogue of the reference's
+37 MB DynSketch quota). All fixture polygons are aligned to 16-cell
+blocks so coverage is exactly 1.0 and estimates are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import SketchConfig
+from .core.partitioner import Shape, shape_to_ranges
+from .geo.build import SketchStore
+from .geo.events import ITEM_DOMAIN, derive_geo_events, geo_events_sql
+from .geo.query import QuerySpec, SpatialSketchEngine
+from .sources.interleaved import build_interleaved_docs, extract_geo_events
+
+N = 4096
+MIN_LEVEL = 4
+N_DOCS = 97
+
+# ---------------------------------------------------------------------------
+# polygon fixtures (half-integer vertices, 16-block aligned; N=4096)
+# ---------------------------------------------------------------------------
+
+POLY_L = Shape(rings=[[(-0.5, -0.5), (2559.5, -0.5), (2559.5, 1279.5),
+                       (1279.5, 1279.5), (1279.5, 2559.5), (-0.5, 2559.5)]],
+               grid_size=N, name="L")
+POLY_U = Shape(rings=[[(-0.5, -0.5), (3071.5, -0.5), (3071.5, 3071.5),
+                       (2047.5, 3071.5), (2047.5, 1023.5), (1023.5, 1023.5),
+                       (1023.5, 3071.5), (-0.5, 3071.5)]],
+               grid_size=N, name="U")
+POLY_HOLED = Shape(rings=[[(511.5, 511.5), (3583.5, 511.5), (3583.5, 3583.5),
+                           (511.5, 3583.5)],
+                          [(1535.5, 1535.5), (2559.5, 1535.5),
+                           (2559.5, 2559.5), (1535.5, 2559.5)]],
+                   grid_size=N, name="holed")
+POLYGONS = [POLY_L, POLY_U, POLY_HOLED]
+
+RECTS = [(0, 0, 2047, 2047), (1024, 512, 3071, 1535),
+         (2048, 2048, 4095, 4095), (512, 3072, 1535, 4095)]
+
+_STORES: dict[tuple, SketchStore] = {}
+
+
+def exact_store(spark: SparkSession, sf_dir: str) -> SketchStore:
+    key = (sf_dir, N, MIN_LEVEL, "exact")
+    st = _STORES.get(key)
+    if st is None:
+        cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+        ev = derive_geo_events(spark, sf_dir, N)
+        st = SketchStore.build(spark, ev, cfg, "exact", MIN_LEVEL)
+        st.df = st.df.cache()
+        _STORES[key] = st
+    return st
+
+
+def _engine(spark, sf_dir) -> SpatialSketchEngine:
+    return SpatialSketchEngine(exact_store(spark, sf_dir))
+
+
+def _result(engine, queries) -> DataFrame:
+    return engine.query(queries).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL helpers
+# ---------------------------------------------------------------------------
+
+def _geo_cte() -> str:
+    return geo_events_sql(N).strip()
+
+
+def _rect_values(per_qid_ranges: list[list[tuple]]) -> str:
+    rows = []
+    for qid, ranges in enumerate(per_qid_ranges):
+        for (x1, y1, x2, y2) in ranges:
+            rows.append(f"({qid},{x1},{y1},{x2},{y2})")
+    return ",".join(rows)
+
+
+def _qid_values(n: int) -> str:
+    return ",".join(f"({i})" for i in range(n))
+
+
+def _region_agg_sql(per_qid_ranges, agg_sql: str, extra_pred: str = "",
+                    extra_values: str = "") -> str:
+    """Template: per-qid aggregate over a disjoint-rect region
+    (region predicate = reference's ComposeRange OR-of-BETWEENs,
+    Postgres.cpp:281-303)."""
+    return f"""
+WITH geo AS ({_geo_cte()}),
+rects(qid, x1, y1, x2, y2) AS (VALUES {_rect_values(per_qid_ranges)}),
+qids(qid) AS (VALUES {_qid_values(len(per_qid_ranges))}),
+{extra_values}
+matched AS (
+  SELECT r.qid AS qid, g.*
+  FROM rects r JOIN geo g
+    ON g.x BETWEEN r.x1 AND r.x2 AND g.y BETWEEN r.y1 AND r.y2
+)
+SELECT CAST(q.qid AS BIGINT) AS qid,
+       CAST(COALESCE(t.v, 0) AS BIGINT) AS est
+FROM qids q LEFT JOIN ({agg_sql}) t ON t.qid = q.qid
+ORDER BY qid
+"""
+
+
+# ---------------------------------------------------------------------------
+# gate queries
+# ---------------------------------------------------------------------------
+
+def q_polygon_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon range-count (all items) over the three state-shaped
+    fixtures — the flagship (reference Fig. 4 polygon queries)."""
+    eng = _engine(spark, sf_dir)
+    qs = [QuerySpec.from_shape(i, p, "freq", item=0, item_end=ITEM_DOMAIN - 1)
+          for i, p in enumerate(POLYGONS)]
+    return _result(eng, qs)
+
+
+def oracle_polygon_count() -> str:
+    ranges = [shape_to_ranges(p) for p in POLYGONS]
+    agg = ("SELECT qid, SUM(value) AS v FROM matched GROUP BY qid")
+    return _region_agg_sql(ranges, agg)
+
+
+def q_rect_item_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: COUNT(*) WHERE region AND item = v (Postgres.cpp:406)."""
+    eng = _engine(spark, sf_dir)
+    items = [3, 17, 42, 255]          # 255 is absent -> 0
+    qs = [QuerySpec(i, [r], "freq", item=items[i])
+          for i, r in enumerate(RECTS)]
+    return _result(eng, qs)
+
+
+def oracle_rect_item_freq() -> str:
+    items = [3, 17, 42, 255]
+    iv = ",".join(f"({i},{items[i]})" for i in range(len(RECTS)))
+    agg = ("SELECT m.qid, SUM(m.value) AS v FROM matched m "
+           "JOIN qitems qi ON qi.qid = m.qid AND m.item = qi.item "
+           "GROUP BY m.qid")
+    return _region_agg_sql([[r] for r in RECTS], agg,
+                           extra_values=f"qitems(qid, item) AS (VALUES {iv}),")
+
+
+def q_region_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: COUNT(DISTINCT item) per region (Postgres.cpp:934)."""
+    eng = _engine(spark, sf_dir)
+    regions = [QuerySpec.from_shape(0, POLY_L, "distinct"),
+               QuerySpec(1, [RECTS[1]], "distinct"),
+               QuerySpec(2, [RECTS[3]], "distinct")]
+    return _result(eng, regions)
+
+
+def oracle_region_distinct() -> str:
+    ranges = [shape_to_ranges(POLY_L), [RECTS[1]], [RECTS[3]]]
+    agg = "SELECT qid, COUNT(DISTINCT item) AS v FROM matched GROUP BY qid"
+    return _region_agg_sql(ranges, agg)
+
+
+def q_region_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: EXISTS(item in region) (Postgres.cpp:1157); est in {0,1}."""
+    eng = _engine(spark, sf_dir)
+    probes = [(RECTS[0], 5), (RECTS[0], 254), (RECTS[2], 60),
+              ((0, 0, 15, 15), 3)]
+    qs = [QuerySpec(i, [r], "member", item=it)
+          for i, (r, it) in enumerate(probes)]
+    return _result(eng, qs)
+
+
+def oracle_region_member() -> str:
+    probes = [(RECTS[0], 5), (RECTS[0], 254), (RECTS[2], 60),
+              ((0, 0, 15, 15), 3)]
+    iv = ",".join(f"({i},{it})" for i, (_, it) in enumerate(probes))
+    agg = ("SELECT m.qid, CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END AS v "
+           "FROM matched m JOIN qitems qi "
+           "ON qi.qid = m.qid AND m.item = qi.item GROUP BY m.qid")
+    return _region_agg_sql([[r] for r, _ in probes], agg,
+                           extra_values=f"qitems(qid, item) AS (VALUES {iv}),")
+
+
+def q_region_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: self-join size SUM(cnt^2) per region (Postgres.cpp:1353)."""
+    eng = _engine(spark, sf_dir)
+    qs = [QuerySpec.from_shape(0, POLY_U, "l2"),
+          QuerySpec(1, [RECTS[0]], "l2"),
+          QuerySpec(2, [RECTS[2]], "l2")]
+    return _result(eng, qs)
+
+
+def oracle_region_l2() -> str:
+    ranges = [shape_to_ranges(POLY_U), [RECTS[0]], [RECTS[2]]]
+    agg = ("SELECT qid, SUM(c * c) AS v FROM ("
+           "SELECT qid, item, SUM(value) AS c FROM matched "
+           "GROUP BY qid, item) GROUP BY qid")
+    return _region_agg_sql(ranges, agg)
+
+
+def q_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: region AND item = v AND ts >= t0 (Postgres.cpp:735) — the
+    ECM sliding-window semantics, answered exactly by the exact kernel."""
+    eng = _engine(spark, sf_dir)
+    probes = [(RECTS[0], 3, 1000), (RECTS[1], 17, 5000),
+              (RECTS[2], 42, 0), (RECTS[3], 9, 10 ** 9)]
+    qs = [QuerySpec(i, [r], "window", item=it, t0=t0)
+          for i, (r, it, t0) in enumerate(probes)]
+    return _result(eng, qs)
+
+
+def oracle_window_count() -> str:
+    probes = [(RECTS[0], 3, 1000), (RECTS[1], 17, 5000),
+              (RECTS[2], 42, 0), (RECTS[3], 9, 10 ** 9)]
+    iv = ",".join(f"({i},{it},{t0})" for i, (_, it, t0) in enumerate(probes))
+    agg = ("SELECT m.qid, SUM(m.value) AS v FROM matched m "
+           "JOIN qp ON qp.qid = m.qid AND m.item = qp.item "
+           "AND m.ts >= qp.t0 GROUP BY m.qid")
+    return _region_agg_sql([[r] for r, _, _ in probes], agg,
+                           extra_values=f"qp(qid, item, t0) AS (VALUES {iv}),")
+
+
+def q_item_range_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: region AND item BETWEEN a AND b (Postgres.cpp:715) — the
+    dyadic-CM query class."""
+    eng = _engine(spark, sf_dir)
+    probes = [(RECTS[0], 10, 20), (RECTS[1], 0, 255), (RECTS[2], 100, 101),
+              (RECTS[3], 200, 255)]
+    qs = [QuerySpec(i, [r], "range_freq", item=a, item_end=b)
+          for i, (r, a, b) in enumerate(probes)]
+    return _result(eng, qs)
+
+
+def oracle_item_range_freq() -> str:
+    probes = [(RECTS[0], 10, 20), (RECTS[1], 0, 255), (RECTS[2], 100, 101),
+              (RECTS[3], 200, 255)]
+    iv = ",".join(f"({i},{a},{b})" for i, (_, a, b) in enumerate(probes))
+    agg = ("SELECT m.qid, SUM(m.value) AS v FROM matched m "
+           "JOIN qp ON qp.qid = m.qid AND m.item BETWEEN qp.a AND qp.b "
+           "GROUP BY m.qid")
+    return _region_agg_sql([[r] for r, _, _ in probes], agg,
+                           extra_values=f"qp(qid, a, b) AS (VALUES {iv}),")
+
+
+def q_span_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-doc plumbing: build the span table, extract geo events
+    back out (posexplode + array filter), roll up per item. Verifies the
+    span path against the arithmetic derivation."""
+    docs = build_interleaved_docs(spark, sf_dir, N, n_docs=N_DOCS)
+    ev = extract_geo_events(docs)
+    return (ev.groupBy("item").agg(F.sum("value").alias("cnt"))
+            .select("item", "cnt").orderBy("item"))
+
+
+def oracle_span_rollup() -> str:
+    return f"""
+WITH geo AS ({_geo_cte()})
+SELECT item, CAST(SUM(value) AS BIGINT) AS cnt
+FROM geo GROUP BY item ORDER BY item
+"""
+
+
+GATE_QUERIES = {
+    "geo_polygon_count": (q_polygon_count, oracle_polygon_count),
+    "geo_rect_item_freq": (q_rect_item_freq, oracle_rect_item_freq),
+    "geo_region_distinct": (q_region_distinct, oracle_region_distinct),
+    "geo_region_member": (q_region_member, oracle_region_member),
+    "geo_region_l2": (q_region_l2, oracle_region_l2),
+    "geo_window_count": (q_window_count, oracle_window_count),
+    "geo_item_range_freq": (q_item_range_freq, oracle_item_range_freq),
+    "geo_span_rollup": (q_span_rollup, oracle_span_rollup),
+}

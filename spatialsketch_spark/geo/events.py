@@ -1,0 +1,58 @@
+"""Geo-event stream derivation — the engine's ⟨ts, item, x, y, value⟩
+tuple model (reference ``input_data``, Postgres.h:8-13).
+
+The sandbox testdata has no native lon/lat stream, so geo events are
+derived *deterministically, with pure integer arithmetic* from the
+``events`` table. The same SQL text runs in Spark SQL and in DuckDB,
+which is what lets the driver's oracle gate compare the full sketch
+pipeline bit-for-bit against exact SQL.
+
+The (x, y) mixing mirrors the reference's data prep, which quantizes
+lon/lat onto the [0, N-1] grid outside the engine
+(repository/datasets/RealWorld.ipynb; Technical Report §3 "Updating") —
+here the "sensor coordinates" are a deterministic function of event_id.
+Multipliers are odd (2654435761 = Knuth's 2^32/phi; 2246822519 from
+xxHash's prime table — both public constants), so low bits cycle fully
+mod a power-of-two grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Item domain: user_id < 256 in the synthetic testdata (checked in tests).
+ITEM_DOMAIN = 256
+
+GEO_EVENTS_SQL_TMPL = """
+SELECT
+  event_id                                               AS ts,
+  user_id                                                AS item,
+  (event_id * 2654435761) % {n}                          AS x,
+  (event_id * 2246822519 + user_id * 97) % {n}           AS y,
+  CAST(1 AS BIGINT)                                      AS value
+FROM events
+"""
+
+
+def geo_events_sql(n: int) -> str:
+    """The derivation as ANSI SQL (valid in both Spark SQL and DuckDB)."""
+    return GEO_EVENTS_SQL_TMPL.format(n=n)
+
+
+def register_events_view(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+
+
+def derive_geo_events(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """events parquet -> geo-event DataFrame (ts, item, x, y, value).
+
+    Column-pruned scan: only event_id and user_id are read
+    (verify with .explain: ReadSchema should list exactly those two).
+    """
+    register_events_view(spark, sf_dir)
+    return spark.sql(geo_events_sql(n))
+
+
+def oracle_geo_cte(n: int) -> str:
+    """DuckDB-side CTE text for oracle queries: WITH geo AS (...)."""
+    return f"WITH geo AS ({geo_events_sql(n)})"

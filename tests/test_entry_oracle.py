@@ -1,0 +1,64 @@
+"""Driver-contract simulation: run every queries() entry at sf0.01 and
+compare against its oracle_sql() in DuckDB — row count, column names,
+dtypes-compatible values, order-insensitive. This mirrors the external
+gate (CORRECTNESS_r{N}.json) so mismatches surface before the round
+closes."""
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from conftest import SF_ORACLE
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_index(axis=1)
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    # unify integer dtypes (Spark int64 vs DuckDB int32/hugeint)
+    for c in pdf.columns:
+        if pd.api.types.is_integer_dtype(pdf[c]) or pdf[c].dtype == object and all(
+                isinstance(v, int) for v in pdf[c].dropna()):
+            try:
+                pdf[c] = pdf[c].astype("int64")
+            except (TypeError, OverflowError, ValueError):
+                pass
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].round(9)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def gate(spark):
+    return entry_mod.queries(), entry_mod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.columns == ["qid", "est"]
+
+
+def test_all_queries_match_oracle(spark, duck, gate):
+    qs, oracles = gate
+    assert qs, "no gate queries registered"
+    failures = []
+    for name, fn in qs.items():
+        sdf = fn(spark, SF_ORACLE)
+        got = normalize(sdf.toPandas())
+        if name not in oracles:
+            assert len(got) >= 0  # rows-only check
+            continue
+        want = normalize(duck.execute(oracles[name]).df())
+        if list(got.columns) != list(want.columns):
+            failures.append(f"{name}: columns {list(got.columns)} != {list(want.columns)}")
+            continue
+        if len(got) != len(want):
+            failures.append(f"{name}: rows {len(got)} != {len(want)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        except AssertionError as e:
+            failures.append(f"{name}: value mismatch:\n{e}")
+    assert not failures, "\n".join(failures)

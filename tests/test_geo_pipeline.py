@@ -1,0 +1,162 @@
+"""End-to-end Spark pipeline tests: sketch build (map-side-combined),
+partitioning invariance, polygon queries vs exact Spark SQL, resume."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatialsketch_spark.config import SketchConfig
+from spatialsketch_spark.geo.build import SketchStore
+from spatialsketch_spark.geo.events import derive_geo_events, ITEM_DOMAIN
+from spatialsketch_spark.geo.query import QuerySpec, SpatialSketchEngine
+from spatialsketch_spark.core.partitioner import Shape
+
+from conftest import SF_UNIT
+
+N = 64          # small grid for unit tests (full pyramid, min_level 0)
+MIN_LEVEL = 0
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return derive_geo_events(spark, SF_UNIT, N).cache()
+
+
+@pytest.fixture(scope="module")
+def exact_store(spark, events):
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    return SketchStore.build(spark, events, cfg, "exact", MIN_LEVEL)
+
+
+def truth_count(events, ranges, item=None, item_end=None, t0=None):
+    cond = F.lit(False)
+    for x1, y1, x2, y2 in ranges:
+        cond = cond | (F.col("x").between(x1, x2) & F.col("y").between(y1, y2))
+    df = events.filter(cond)
+    if item is not None:
+        if item_end is not None:
+            df = df.filter(F.col("item").between(item, item_end))
+        else:
+            df = df.filter(F.col("item") == item)
+    if t0 is not None:
+        df = df.filter(F.col("ts") >= t0)
+    return df.agg(F.coalesce(F.sum("value"), F.lit(0))).collect()[0][0]
+
+
+L_SHAPE = Shape(rings=[[(-0.5, -0.5), (39.5, -0.5), (39.5, 19.5), (19.5, 19.5),
+                        (19.5, 39.5), (-0.5, 39.5)]], grid_size=N, name="L")
+
+
+def test_exact_freq_matches_sql(spark, events, exact_store):
+    eng = SpatialSketchEngine(exact_store)
+    queries = [QuerySpec.from_shape(0, L_SHAPE, "freq", item=3),
+               QuerySpec.from_shape(1, L_SHAPE, "freq", item=7),
+               QuerySpec(2, [(10, 10, 40, 50)], "freq", item=12),
+               QuerySpec(3, [(0, 0, 63, 63)], "freq", item=5)]
+    got = {r["qid"]: r["est"] for r in eng.query(queries).collect()}
+    assert got[0] == truth_count(events, L_SHAPE and QuerySpec.from_shape(0, L_SHAPE).ranges, item=3)
+    assert got[1] == truth_count(events, QuerySpec.from_shape(1, L_SHAPE).ranges, item=7)
+    assert got[2] == truth_count(events, [(10, 10, 40, 50)], item=12)
+    assert got[3] == truth_count(events, [(0, 0, 63, 63)], item=5)
+
+
+def test_exact_other_kinds(spark, events, exact_store):
+    eng = SpatialSketchEngine(exact_store)
+    rng = [(8, 8, 55, 40)]
+    queries = [
+        QuerySpec(0, rng, "distinct"),
+        QuerySpec(1, rng, "member", item=3),
+        QuerySpec(2, rng, "member", item=250),       # absent item
+        QuerySpec(3, rng, "l2"),
+        QuerySpec(4, rng, "window", item=3, t0=500),
+        QuerySpec(5, rng, "range_freq", item=10, item_end=20),
+    ]
+    got = {r["qid"]: r["est"] for r in eng.query(queries).collect()}
+
+    cond = (F.col("x").between(8, 55) & F.col("y").between(8, 40))
+    reg = events.filter(cond)
+    assert got[0] == reg.select("item").distinct().count()
+    assert got[1] == int(reg.filter(F.col("item") == 3).count() > 0)
+    assert got[2] == 0
+    l2 = (reg.groupBy("item").agg(F.sum("value").alias("c"))
+          .agg(F.sum(F.col("c") * F.col("c"))).collect()[0][0])
+    assert got[3] == l2
+    assert got[4] == truth_count(events, rng, item=3, t0=500)
+    assert got[5] == truth_count(events, rng, item=10, item_end=20)
+
+
+def test_build_parallelism_invariance(spark, events):
+    """Same sketch table at 2 and 8 partitions (map-side-combine
+    correctness; also the determinism precondition for the N-vs-4N
+    scaling evidence)."""
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    a = SketchStore.build(spark, events.repartition(2), cfg, "exact", 2)
+    b = SketchStore.build(spark, events.repartition(8), cfg, "exact", 2)
+    pa = {(r["grid_key"], r["cell"]): (r["payload"], r["n_events"])
+          for r in a.df.collect()}
+    pb = {(r["grid_key"], r["cell"]): (r["payload"], r["n_events"])
+          for r in b.df.collect()}
+    assert pa.keys() == pb.keys()
+    from spatialsketch_spark.core.kernels import make_kernel
+    k = make_kernel("exact", cfg)
+    for key in pa:
+        sa, sb = k.deserialize(pa[key][0]), k.deserialize(pb[key][0])
+        assert pa[key][1] == pb[key][1]
+        for f in ("items", "values", "ts"):
+            np.testing.assert_array_equal(sa[f], sb[f])
+
+
+def test_cm_realistic_error_bound(spark, events):
+    """CM at reference parameters: est >= truth, rel error within the
+    eps envelope for heavy items (Tech Report §5.2 observed <= 2%;
+    we assert the theoretical eps * L1 bound)."""
+    cfg = SketchConfig.realistic(n=N, eps=0.05, delta=0.05,
+                                 item_domain=ITEM_DOMAIN)
+    store = SketchStore.build(spark, events, cfg, "cm", MIN_LEVEL)
+    eng = SpatialSketchEngine(store)
+    ranges = QuerySpec.from_shape(0, L_SHAPE).ranges
+    total = events.count()
+    queries = [QuerySpec.from_shape(i, L_SHAPE, "freq", item=i)
+               for i in range(0, 40, 7)]
+    got = {r["qid"]: r["est"] for r in eng.query(queries).collect()}
+    for i in range(0, 40, 7):
+        truth = truth_count(events, ranges, item=i)
+        assert got[i] >= truth
+        # cover <= 2*log^2 cells; each cell min-row over d rows; loose bound
+        assert got[i] - truth <= max(5, 3 * cfg.eps * total)
+
+
+def test_min_level_coverage_scaling(spark, events):
+    """Capped pyramid (min_level=3): aligned queries stay exact,
+    unaligned queries answer via fractional coverage (approximate but
+    mass-consistent)."""
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    store = SketchStore.build(spark, events, cfg, "exact", 3)
+    eng = SpatialSketchEngine(store)
+    # aligned to 8-cell blocks -> exact
+    aligned = [(0, 8, 31, 47)]
+    got = {r["qid"]: r["est"]
+           for r in eng.query([QuerySpec(0, aligned, "freq", item=3)]).collect()}
+    assert got[0] == truth_count(events, aligned, item=3)
+    # unaligned -> fractional coverage estimate, within the partial-block mass
+    unal = [(3, 5, 29, 44)]
+    est = {r["qid"]: r["est"]
+           for r in eng.query([QuerySpec(1, unal, "freq", item=3)]).collect()}[1]
+    truth = truth_count(events, unal, item=3)
+    outer = truth_count(events, [(0, 0, 31, 47)], item=3)
+    assert 0 <= est <= outer + 1
+    assert abs(est - truth) <= max(3, 0.7 * truth)
+
+
+def test_store_resume(spark, events, tmp_path):
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    p = str(tmp_path / "store")
+    s1 = SketchStore.build_or_load(spark, events, cfg, "exact", 2, p)
+    t1 = s1.manifest["metrics"]["build_wall_s"]
+    s2 = SketchStore.build_or_load(spark, events, cfg, "exact", 2, p)
+    assert s2.manifest["metrics"]["build_wall_s"] == t1   # served from snapshot
+    assert s2.manifest["lineage"] == s1.manifest["lineage"]
+    eng = SpatialSketchEngine(s2)
+    q = [QuerySpec(0, [(0, 0, 63, 63)], "freq", item=3)]
+    got = eng.query(q).collect()[0]["est"]
+    assert got == truth_count(events, [(0, 0, 63, 63)], item=3)
