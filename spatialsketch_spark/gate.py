@@ -271,6 +271,144 @@ FROM geo GROUP BY item ORDER BY item
 """
 
 
+# ---------------------------------------------------------------------------
+# exact spatial joins / tiling (north_rule operators; SURVEY.md §2.F)
+# ---------------------------------------------------------------------------
+
+KNN_POINTS = [(0, 100, 100), (1, 2048, 2048), (2, 4000, 50), (3, 1, 4095)]
+TILE_LEVEL = 8  # 256-cell tiles -> 16x16 tile grid at N=4096
+
+
+def _rects_values_sql() -> str:
+    from .geo.joins import rects_df  # reuse decomposition only
+    rows = []
+    for sid, sh in enumerate(POLYGONS):
+        for (x1, y1, x2, y2) in shape_to_ranges(sh):
+            rows.append(f"({sid},{x1},{y1},{x2},{y2})")
+    return ",".join(rows)
+
+
+def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join (tiled method — the plan that survives when
+    the polygon side outgrows broadcast): one row per (event, polygon).
+    Exact parity required (north_rule 'matching the reference's join
+    output rows')."""
+    from .geo.joins import pip_join
+    ev = derive_geo_events(spark, sf_dir, N)
+    return (pip_join(ev, POLYGONS, method="tiled", tile_level=TILE_LEVEL)
+            .select(F.col("shape_id").cast("bigint").alias("shape_id"), "ts")
+            .orderBy("shape_id", "ts"))
+
+
+def oracle_pip_assign() -> str:
+    return f"""
+WITH geo AS ({_geo_cte()}),
+rects(shape_id, x1, y1, x2, y2) AS (VALUES {_rects_values_sql()})
+SELECT CAST(r.shape_id AS BIGINT) AS shape_id, g.ts AS ts
+FROM rects r JOIN geo g
+  ON g.x BETWEEN r.x1 AND r.x2 AND g.y BETWEEN r.y1 AND r.y2
+ORDER BY shape_id, ts
+"""
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join, k=5, integer-exact distances, ts tie-break."""
+    from .geo.joins import knn_join
+    ev = derive_geo_events(spark, sf_dir, N)
+    return knn_join(ev, KNN_POINTS, k=5).orderBy("qid", "rank")
+
+
+def oracle_knn() -> str:
+    qv = ",".join(f"({q},{x},{y})" for q, x, y in KNN_POINTS)
+    return f"""
+WITH geo AS ({_geo_cte()}),
+qp(qid, qx, qy) AS (VALUES {qv}),
+d AS (
+  SELECT qp.qid, g.ts,
+         (g.x-qp.qx)*(g.x-qp.qx) + (g.y-qp.qy)*(g.y-qp.qy) AS dist2
+  FROM qp CROSS JOIN geo g
+),
+r AS (
+  SELECT qid, ts, dist2,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, ts) AS rank
+  FROM d
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+       ts, CAST(dist2 AS BIGINT) AS dist2
+FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster tile assignment: per (polygon, tile) covered-cell
+    count + full/partial status."""
+    from .geo.joins import tile_cover
+    return (tile_cover(spark, POLYGONS, TILE_LEVEL, N)
+            .orderBy("shape_id", "tx", "ty"))
+
+
+def oracle_tile_cover() -> str:
+    tsz = 1 << TILE_LEVEL
+    ntile = N // tsz
+    return f"""
+WITH rects(shape_id, x1, y1, x2, y2) AS (VALUES {_rects_values_sql()}),
+grid AS (SELECT gx.range AS tx, gy.range AS ty
+         FROM range(0,{ntile}) gx, range(0,{ntile}) gy),
+ov AS (
+  SELECT r.shape_id, g.tx, g.ty,
+         (LEAST(r.x2, (g.tx+1)*{tsz}-1) - GREATEST(r.x1, g.tx*{tsz}) + 1) AS ox,
+         (LEAST(r.y2, (g.ty+1)*{tsz}-1) - GREATEST(r.y1, g.ty*{tsz}) + 1) AS oy
+  FROM rects r, grid g
+)
+SELECT CAST(shape_id AS BIGINT) AS shape_id, CAST(tx AS BIGINT) AS tx,
+       CAST(ty AS BIGINT) AS ty, CAST(SUM(ox*oy) AS BIGINT) AS covered_cells,
+       CASE WHEN SUM(ox*oy) = {tsz * tsz} THEN 'full' ELSE 'partial' END AS status
+FROM ov WHERE ox > 0 AND oy > 0
+GROUP BY shape_id, tx, ty
+ORDER BY shape_id, tx, ty
+"""
+
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster<->vector roundtrip over POLY_L: per-tile event counts with
+    the polygon coverage status ('outside' for uncovered tiles)."""
+    from .geo.joins import raster_vector_counts
+    ev = derive_geo_events(spark, sf_dir, N)
+    return (raster_vector_counts(ev, POLY_L, TILE_LEVEL, N)
+            .orderBy("tx", "ty"))
+
+
+def oracle_tile_counts() -> str:
+    tsz = 1 << TILE_LEVEL
+    rows = ",".join(f"({x1},{y1},{x2},{y2})"
+                    for (x1, y1, x2, y2) in shape_to_ranges(POLY_L))
+    return f"""
+WITH geo AS ({_geo_cte()}),
+rects(x1, y1, x2, y2) AS (VALUES {rows}),
+counts AS (
+  SELECT (x >> {TILE_LEVEL}) AS tx, (y >> {TILE_LEVEL}) AS ty,
+         SUM(value) AS cnt
+  FROM geo GROUP BY 1, 2
+),
+ov AS (
+  SELECT c.tx, c.ty,
+         (LEAST(r.x2, (c.tx+1)*{tsz}-1) - GREATEST(r.x1, c.tx*{tsz}) + 1) AS ox,
+         (LEAST(r.y2, (c.ty+1)*{tsz}-1) - GREATEST(r.y1, c.ty*{tsz}) + 1) AS oy
+  FROM counts c, rects r
+),
+cover AS (
+  SELECT tx, ty, SUM(ox*oy) AS cc FROM ov
+  WHERE ox > 0 AND oy > 0 GROUP BY tx, ty
+)
+SELECT CAST(c.tx AS BIGINT) AS tx, CAST(c.ty AS BIGINT) AS ty,
+       CASE WHEN v.cc = {tsz * tsz} THEN 'full'
+            WHEN v.cc IS NULL THEN 'outside' ELSE 'partial' END AS status,
+       CAST(c.cnt AS BIGINT) AS cnt
+FROM counts c LEFT JOIN cover v ON v.tx = c.tx AND v.ty = c.ty
+ORDER BY tx, ty
+"""
+
+
 GATE_QUERIES = {
     "geo_polygon_count": (q_polygon_count, oracle_polygon_count),
     "geo_rect_item_freq": (q_rect_item_freq, oracle_rect_item_freq),
@@ -280,4 +418,8 @@ GATE_QUERIES = {
     "geo_window_count": (q_window_count, oracle_window_count),
     "geo_item_range_freq": (q_item_range_freq, oracle_item_range_freq),
     "geo_span_rollup": (q_span_rollup, oracle_span_rollup),
+    "geo_pip_assign": (q_pip_assign, oracle_pip_assign),
+    "geo_knn": (q_knn, oracle_knn),
+    "geo_tile_cover": (q_tile_cover, oracle_tile_cover),
+    "geo_tile_counts": (q_tile_counts, oracle_tile_counts),
 }

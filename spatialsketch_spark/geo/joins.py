@@ -1,0 +1,151 @@
+"""Exact spatial join / tiling operators (SURVEY.md §2.F — capabilities
+the north_rule adds beyond the reference, which only ran point-in-polygon
+inside its Postgres oracle via ``point <@ polygon`` (Postgres.cpp:306-313)).
+
+All operators are built from JVM-side column functions + broadcast joins
+— no Python in the hot path — and are *exact* (row-for-row oracle parity
+required by the north rule).
+
+Scale notes (100 TB posture):
+- PIP: the polygon side (rect decomposition) is tiny -> broadcast hash
+  join against the event stream; zero shuffle on the big side. For
+  polygon sets too large to broadcast, ``method='tiled'`` co-locates by
+  tile key — at cluster scale that becomes a shuffle-on-tile join where
+  both sides are partitioned by the same key, with tile granularity the
+  skew knob.
+- kNN: brute-force (broadcast queries, one window per qid) is the
+  baseline; a bounding-box prefilter (tile ring expansion) bounds the
+  candidate set when the query count is large. The window is
+  partitionBy(qid) — parallel across queries, no global sort.
+- Tiling: pure integer column arithmetic (x >> k), whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..core.partitioner import Shape, shape_to_ranges
+
+
+def rects_df(spark: SparkSession, shapes: list[Shape]) -> DataFrame:
+    """Polygon set -> disjoint-rectangle relation (shape_id, x1..y2).
+    Decomposition runs driver-side (V tiny), the relation is broadcast."""
+    rows = []
+    for sid, sh in enumerate(shapes):
+        for (x1, y1, x2, y2) in shape_to_ranges(sh):
+            rows.append((sid, sh.name, x1, y1, x2, y2))
+    return spark.createDataFrame(
+        rows, "shape_id INT, shape STRING, x1 BIGINT, y1 BIGINT, "
+              "x2 BIGINT, y2 BIGINT")
+
+
+def pip_join(events: DataFrame, shapes: list[Shape],
+             method: str = "broadcast", tile_level: int = 8) -> DataFrame:
+    """Point-in-polygon join: events x polygons -> one row per
+    (event, containing polygon). Exact for rectilinear polygons because
+    the rect decomposition is exact (holes excluded by construction).
+
+    method='broadcast': events JOIN broadcast(rects) ON 4-way BETWEEN.
+    method='tiled': both sides keyed by tile (x>>k, y>>k); rects exploded
+    to their covering tiles (JVM-side sequence+explode). The equi-join on
+    tile keys is what survives when the polygon side outgrows broadcast.
+    """
+    spark = events.sparkSession
+    rects = rects_df(spark, shapes)
+    if method == "broadcast":
+        cond = (F.col("x").between(F.col("x1"), F.col("x2"))
+                & F.col("y").between(F.col("y1"), F.col("y2")))
+        return events.join(F.broadcast(rects), cond, "inner")
+    if method == "tiled":
+        t = tile_level
+        tiled_rects = (
+            rects
+            .withColumn("tx", F.explode(F.sequence(
+                F.shiftright("x1", t), F.shiftright("x2", t))))
+            .withColumn("ty", F.explode(F.sequence(
+                F.shiftright("y1", t), F.shiftright("y2", t))))
+        )
+        ev = (events
+              .withColumn("tx", F.shiftright("x", t))
+              .withColumn("ty", F.shiftright("y", t)))
+        cond = (F.col("x").between(F.col("x1"), F.col("x2"))
+                & F.col("y").between(F.col("y1"), F.col("y2")))
+        return (ev.join(F.broadcast(tiled_rects), ["tx", "ty"])
+                .where(cond).drop("tx", "ty"))
+    raise ValueError(f"unknown method {method!r}")
+
+
+def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
+             k: int = 5) -> DataFrame:
+    """kNN join: for each (qid, qx, qy) find the k nearest events by
+    squared euclidean distance, ties broken by ts (unique) — fully
+    deterministic, integer-exact. -> (qid, rank, ts, dist2)."""
+    spark = events.sparkSession
+    qp = spark.createDataFrame(query_points,
+                               "qid BIGINT, qx BIGINT, qy BIGINT")
+    d = events.join(F.broadcast(qp)).select(
+        "qid", "ts",
+        ((F.col("x") - F.col("qx")) ** 2
+         + (F.col("y") - F.col("qy")) ** 2).cast("bigint").alias("dist2"))
+    w = Window.partitionBy("qid").orderBy("dist2", "ts")
+    return (d.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", F.col("rank").cast("bigint").alias("rank"),
+                    "ts", "dist2"))
+
+
+def assign_tiles(events: DataFrame, tile_level: int) -> DataFrame:
+    """Raster assignment: point -> tile id at the given level (the
+    engine-side analogue of the reference's lon/lat -> grid quantization,
+    RealWorld.ipynb / Tech Report §3 'Updating')."""
+    return events.withColumn("tx", F.shiftright("x", tile_level)) \
+                 .withColumn("ty", F.shiftright("y", tile_level))
+
+
+def tile_cover(spark: SparkSession, shapes: list[Shape], tile_level: int,
+               n: int) -> DataFrame:
+    """Vector -> raster: per (shape, tile) the number of covered cells
+    and the coverage status ('full' | 'partial'). Exact integer overlap
+    arithmetic over the disjoint rect decomposition.
+    -> (shape_id, tx, ty, covered_cells, status)."""
+    t = tile_level
+    tsz = 1 << t
+    rects = rects_df(spark, shapes)
+    per_rect = (
+        rects
+        .withColumn("tx", F.explode(F.sequence(
+            F.shiftright("x1", t), F.shiftright("x2", t))))
+        .withColumn("ty", F.explode(F.sequence(
+            F.shiftright("y1", t), F.shiftright("y2", t))))
+        .withColumn("ox", F.least(F.col("x2"), (F.col("tx") + 1) * tsz - 1)
+                    - F.greatest(F.col("x1"), F.col("tx") * tsz) + 1)
+        .withColumn("oy", F.least(F.col("y2"), (F.col("ty") + 1) * tsz - 1)
+                    - F.greatest(F.col("y1"), F.col("ty") * tsz) + 1)
+    )
+    return (per_rect
+            .groupBy("shape_id", "tx", "ty")
+            .agg(F.sum(F.col("ox") * F.col("oy")).alias("covered_cells"))
+            .withColumn("status", F.when(
+                F.col("covered_cells") == tsz * tsz,
+                F.lit("full")).otherwise(F.lit("partial")))
+            .select(F.col("shape_id").cast("bigint").alias("shape_id"),
+                    F.col("tx").cast("bigint").alias("tx"),
+                    F.col("ty").cast("bigint").alias("ty"),
+                    F.col("covered_cells").cast("bigint").alias("covered_cells"),
+                    "status"))
+
+
+def raster_vector_counts(events: DataFrame, shape: Shape, tile_level: int,
+                         n: int) -> DataFrame:
+    """Raster<->vector roundtrip: every *event tile* (raster side) gets
+    the polygon's coverage status — 'full' | 'partial' | 'outside'.
+    -> (tx, ty, status, cnt)."""
+    spark = events.sparkSession
+    counts = (assign_tiles(events, tile_level)
+              .groupBy("tx", "ty").agg(F.sum("value").alias("cnt")))
+    cover = tile_cover(spark, [shape], tile_level, n).drop("shape_id")
+    return (counts.join(F.broadcast(cover), ["tx", "ty"], "left")
+            .select(F.col("tx").cast("bigint").alias("tx"),
+                    F.col("ty").cast("bigint").alias("ty"),
+                    F.coalesce("status", F.lit("outside")).alias("status"),
+                    F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")))

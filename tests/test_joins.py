@@ -1,0 +1,79 @@
+"""Spatial join operators: method equivalence (broadcast vs tiled PIP),
+kNN determinism, tile-cover mass conservation."""
+
+from pyspark.sql import functions as F
+
+from spatialsketch_spark.core.partitioner import Shape
+from spatialsketch_spark.geo.events import derive_geo_events
+from spatialsketch_spark.geo.joins import (
+    assign_tiles, knn_join, pip_join, raster_vector_counts, tile_cover,
+)
+
+from conftest import SF_UNIT
+
+N = 4096
+SHAPES = [
+    Shape(rings=[[(-0.5, -0.5), (2559.5, -0.5), (2559.5, 1279.5),
+                  (1279.5, 1279.5), (1279.5, 2559.5), (-0.5, 2559.5)]],
+          grid_size=N, name="L"),
+    Shape(rings=[[(511.5, 511.5), (3583.5, 511.5), (3583.5, 3583.5),
+                  (511.5, 3583.5)],
+                 [(1535.5, 1535.5), (2559.5, 1535.5), (2559.5, 2559.5),
+                  (1535.5, 2559.5)]],
+          grid_size=N, name="holed"),
+]
+
+
+def test_pip_methods_agree(spark):
+    ev = derive_geo_events(spark, SF_UNIT, N).cache()
+    a = pip_join(ev, SHAPES, "broadcast").select("shape_id", "ts")
+    b = pip_join(ev, SHAPES, "tiled", tile_level=8).select("shape_id", "ts")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    # hole actually excludes: events inside the hole must not match shape 1
+    hole_hits = (pip_join(ev, SHAPES, "broadcast")
+                 .where((F.col("shape_id") == 1)
+                        & F.col("x").between(1536, 2559)
+                        & F.col("y").between(1536, 2559)).count())
+    assert hole_hits == 0
+
+
+def test_pip_join_is_broadcast(spark):
+    ev = derive_geo_events(spark, SF_UNIT, N)
+    plan = pip_join(ev, SHAPES, "broadcast")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_knn_exact_vs_driver(spark):
+    ev = derive_geo_events(spark, SF_UNIT, N)
+    pts = [(0, 100, 100), (1, 2048, 2048)]
+    got = knn_join(ev, pts, k=3).collect()
+    pdf = ev.toPandas()
+    for qid, qx, qy in pts:
+        d2 = (pdf.x - qx) ** 2 + (pdf.y - qy) ** 2
+        order = sorted(zip(d2.tolist(), pdf.ts.tolist()))[:3]
+        mine = [(r["dist2"], r["ts"]) for r in got if r["qid"] == qid]
+        assert sorted(mine) == order
+
+
+def test_tile_cover_mass(spark):
+    for sh in SHAPES:
+        cover = tile_cover(spark, [sh], 8, N)
+        total = cover.agg(F.sum("covered_cells")).collect()[0][0]
+        from spatialsketch_spark.core.partitioner import shape_to_ranges
+        want = sum((x2 - x1 + 1) * (y2 - y1 + 1)
+                   for x1, y1, x2, y2 in shape_to_ranges(sh))
+        assert total == want
+        full = cover.where("status = 'full'").count()
+        assert full > 0
+
+
+def test_raster_vector_counts_partition(spark):
+    ev = derive_geo_events(spark, SF_UNIT, N).cache()
+    rv = raster_vector_counts(ev, SHAPES[0], 8, N)
+    # every event lands in exactly one tile row; total conserved
+    assert rv.agg(F.sum("cnt")).collect()[0][0] == ev.count()
+    stats = {r["status"] for r in rv.select("status").distinct().collect()}
+    assert stats <= {"full", "partial", "outside"}
+    assert "outside" in stats and "full" in stats
