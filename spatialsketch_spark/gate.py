@@ -423,3 +423,6 @@ GATE_QUERIES = {
     "geo_tile_cover": (q_tile_cover, oracle_tile_cover),
     "geo_tile_counts": (q_tile_counts, oracle_tile_counts),
 }
+
+from .gate_pipeline import PIPELINE_GATE  # noqa: E402
+GATE_QUERIES.update(PIPELINE_GATE)

@@ -1,0 +1,109 @@
+"""Gate entries for the training-data pipeline + relational operators.
+Merged into GATE_QUERIES by gate.py. Documents/embeddings tables are
+registered as views from the sf_dir parquet in each query fn."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .pipeline import dedup, media, relational, similarity, text
+
+EMB_QUERY_IDS = [0, 1, 2, 3]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("text_hash")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    # tau = 0.3: 10 * inter >= 3 * union
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), num=3, den=10) \
+        .orderBy("doc_a", "doc_b")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir)) \
+        .orderBy("doc_a", "doc_b")
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_token_stats(spark, sf_dir):
+    return text.token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_quality(spark, sf_dir):
+    return text.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    return text.doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=5) \
+        .orderBy("qid", "rank")
+
+
+def q_lsh_topk(spark, sf_dir):
+    # approximate — rows-only gate check; recall vs brute force is
+    # asserted in tests/test_pipeline_ops.py
+    return similarity.lsh_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=5) \
+        .orderBy("qid", "rank")
+
+
+def q_media_features(spark, sf_dir):
+    m = media.synth_media_table(_docs(spark, sf_dir))
+    return media.extract_features(m).orderBy("doc_id")
+
+
+def q_rel_pricing(spark, sf_dir):
+    return relational.pricing_summary(spark, sf_dir)
+
+
+def q_rel_nations(spark, sf_dir):
+    return relational.orders_by_nation(spark, sf_dir)
+
+
+def q_rel_window(spark, sf_dir):
+    return relational.top_orders_per_customer(spark, sf_dir, k=2)
+
+
+def q_rel_rollup(spark, sf_dir):
+    return relational.lineitem_rollup(spark, sf_dir)
+
+
+PIPELINE_GATE = {
+    "doc_exact_dedup": (q_exact_dedup, dedup.oracle_exact_dedup),
+    "doc_jaccard_pairs": (q_jaccard_pairs,
+                          lambda: dedup.oracle_jaccard_pairs(3, 10)),
+    "doc_minhash_lsh": (q_minhash_lsh, dedup.oracle_minhash_candidates),
+    "doc_simhash": (q_simhash, dedup.oracle_simhash),
+    "doc_token_stats": (q_token_stats, text.oracle_token_stats),
+    "doc_quality": (q_quality, text.oracle_quality_score),
+    "doc_lang_id": (q_lang_id, text.oracle_lang_id),
+    "doc_fingerprint": (q_fingerprint, text.oracle_doc_fingerprint),
+    "emb_cosine_topk": (q_cosine_topk,
+                        lambda: similarity.oracle_cosine_topk(EMB_QUERY_IDS, 5)),
+    "emb_lsh_topk": (q_lsh_topk, None),
+    "media_features": (q_media_features, media.oracle_media_features),
+    "rel_pricing_summary": (q_rel_pricing, relational.oracle_pricing_summary),
+    "rel_orders_by_nation": (q_rel_nations, relational.oracle_orders_by_nation),
+    "rel_window_topk": (q_rel_window,
+                        lambda: relational.oracle_top_orders_per_customer(2)),
+    "rel_rollup": (q_rel_rollup, relational.oracle_lineitem_rollup),
+}

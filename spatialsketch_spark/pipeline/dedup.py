@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side column functions; cross-engine determinism
+(for the DuckDB oracle gate) comes from md5-based word hashing:
+Spark ``conv(substring(md5(w),1,15),16,10)`` == DuckDB
+``('0x'||substr(md5(w),1,15))::BIGINT`` (verified bit-equal).
+
+Scale notes:
+- exact dedup: one shuffle on the 128-bit content hash; keep-min-id is
+  a plain min() agg (no window needed).
+- minhash-LSH: signatures are per-doc aggregates (one shuffle on
+  doc_id — or none if the source is already doc-partitioned); candidate
+  generation joins on band keys, which bounds pair blowup to collisions
+  within a band instead of the quadratic all-pairs join.
+- n-gram Jaccard: exact, for oracle parity and as the verifier of LSH
+  recall; the shingle inverted-list self-join is the quadratic path and
+  is only run on candidate-bounded inputs at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+MINHASH_P = 1_000_000_007
+NUM_PERM = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+_rng = np.random.default_rng(7)
+PERM_A = [int(v) for v in _rng.integers(1, 4 * 10 ** 8, NUM_PERM)]
+PERM_B = [int(v) for v in _rng.integers(0, 10 ** 9, NUM_PERM)]
+
+
+def norm_text_col(col):
+    """lower + trim + collapse whitespace (the canonical form)."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def word_hash_col(col):
+    """Deterministic 60-bit word hash shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact near-duplicate removal on normalized text.
+    -> (text_hash, keep_id, n_dups): survivor = min doc_id per hash."""
+    return (docs
+            .select("doc_id", F.md5(norm_text_col(F.col("text"))).alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_dups"))
+            .select("text_hash", F.col("keep_id").cast("bigint"),
+                    F.col("n_dups").cast("bigint")))
+
+
+def _trigram_col():
+    """Word 3-gram shingles of the normalized text (array column);
+    empty array for docs with fewer than 3 words."""
+    words = F.split(norm_text_col(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                              F.element_at(words, i + 2),
+                              F.element_at(words, i + 3)),
+    )
+    return F.when(F.size(words) >= 3, F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-trigram table."""
+    return (docs.select("doc_id", F.explode(_trigram_col()).alias("shingle")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, num: int = 2, den: int = 1
+                        ) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs with integer threshold
+    inter/union >= num/den... i.e. den*inter >= num*union is wrong way —
+    threshold tau = num/den, keep pairs with den*inter >= num*union.
+    Default tau=2/1 is impossible; callers pass e.g. (1,2) for tau=0.5.
+    -> (doc_a, doc_b, inter, uni)."""
+    sh = shingle_table(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+            .where(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni"))
+            .select(F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),
+                    F.col("inter").cast("bigint"), F.col("uni").cast("bigint")))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """-> (doc_id, sig_0..sig_{NUM_PERM-1}): min over shingles of
+    (a_i * h + b_i) mod p, h the md5-derived shingle hash reduced mod p."""
+    sh = shingle_table(docs).withColumn(
+        "h", word_hash_col(F.col("shingle")) % MINHASH_P)
+    aggs = [F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i]))
+                  % MINHASH_P).alias(f"sig_{i}") for i in range(NUM_PERM)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """LSH banding: docs sharing all ROWS_PER_BAND signature rows in any
+    band become a candidate pair. -> (doc_a, doc_b) distinct."""
+    sig = minhash_signatures(docs)
+    bands = []
+    for b in range(BANDS):
+        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            *[F.col(c).alias(f"k{r}") for r, c in enumerate(cols)]))
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    a = allb.alias("a")
+    bb = allb.alias("b")
+    keys = ["band"] + [f"k{r}" for r in range(ROWS_PER_BAND)]
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return (a.join(bb, cond)
+            .select(F.col("a.doc_id").cast("bigint").alias("doc_a"),
+                    F.col("b.doc_id").cast("bigint").alias("doc_b"))
+            .distinct())
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash over distinct shingles: bit j of the fingerprint is the
+    sign of sum over shingles of (2*bit_j(h) - 1). -> (doc_id, simhash)."""
+    sh = shingle_table(docs).withColumn(
+        "h", word_hash_col(F.col("shingle")) % MINHASH_P)
+    aggs = [F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1,
+                         1).otherwise(-1)).alias(f"s{j}")
+            for j in range(bits)]
+    per = sh.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return per.select(F.col("doc_id").cast("bigint"),
+                      fp.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL mirrors
+# ---------------------------------------------------------------------------
+
+NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+TRIGRAM_SQL = f"""
+docs_n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM (SELECT doc_id, string_split(norm, ' ') AS words FROM docs_n),
+         UNNEST(range(1, GREATEST(len(words) - 1, 1))) AS t(i)
+  )
+),
+shh AS (
+  SELECT doc_id, shingle,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {MINHASH_P} AS h
+  FROM sh
+)
+"""
+
+
+def oracle_exact_dedup() -> str:
+    return f"""
+WITH docs_n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents)
+SELECT md5(norm) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM docs_n GROUP BY md5(norm) ORDER BY text_hash
+"""
+
+
+def oracle_jaccard_pairs(num: int, den: int) -> str:
+    return f"""
+WITH {TRIGRAM_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {den} * inter >= {num} * (sa.sz + sb.sz - inter)
+ORDER BY doc_a, doc_b
+"""
+
+
+def oracle_minhash_candidates() -> str:
+    sig_exprs = ",\n    ".join(
+        f"MIN(({PERM_A[i]} * h + {PERM_B[i]}) % {MINHASH_P}) AS sig_{i}"
+        for i in range(NUM_PERM))
+    band_selects = []
+    for b in range(BANDS):
+        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        ks = ", ".join(f"{c} AS k{r}" for r, c in enumerate(cols))
+        band_selects.append(f"SELECT doc_id, {b} AS band, {ks} FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    keys = " AND ".join(["a.band = b.band"]
+                        + [f"a.k{r} = b.k{r}" for r in range(ROWS_PER_BAND)])
+    return f"""
+WITH {TRIGRAM_SQL},
+sig AS (SELECT doc_id, {sig_exprs} FROM shh GROUP BY doc_id),
+bands AS ({bands_sql})
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                CAST(b.doc_id AS BIGINT) AS doc_b
+FROM bands a JOIN bands b ON {keys} AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def oracle_simhash(bits: int = 32) -> str:
+    s_exprs = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits))
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+                    for j in range(bits))
+    return f"""
+WITH {TRIGRAM_SQL},
+per AS (SELECT doc_id, {s_exprs} FROM shh GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({fp} AS BIGINT) AS simhash
+FROM per ORDER BY doc_id
+"""

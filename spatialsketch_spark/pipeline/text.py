@@ -1,0 +1,159 @@
+"""Text-analysis operators: token stats, quality scoring, language-ID
+heuristic, document fingerprinting. All integer-valued outputs so the
+DuckDB oracle comparison is bit-exact; all JVM-side column functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import norm_text_col, word_hash_col, MINHASH_P
+
+# deterministic marker sets for the language-ID heuristic (the testdata
+# text is synthetic; what matters is a deterministic, SQL-expressible
+# scoring rule — the real-world analogue is stopword-set scoring)
+LANG_MARKERS = {
+    "en": ["the", "a", "fast", "slow"],
+    "de": ["data", "group", "merge", "window"],
+    "fr": ["query", "filter", "join", "sort"],
+}
+STOPWORDS = ["the", "a", "of", "and", "to"]
+FP_MOD = 999_999_937  # large prime < 2^30
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """-> (doc_id, n_tokens, n_chars_norm, n_distinct_tokens,
+    max_token_len) — whitespace tokenization over normalized text."""
+    words = F.split(norm_text_col(F.col("text")), " ")
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.length(norm_text_col(F.col("text"))).cast("bigint").alias("n_chars_norm"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct_tokens"),
+        F.array_max(F.transform(words, F.length)).cast("bigint").alias("max_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Integer quality score 0..3: +1 length in [50, 2000] chars,
+    +1 stopword count in [1, 40], +1 distinct-token ratio >= 1/2
+    (2*distinct >= total). -> (doc_id, quality)."""
+    words = F.split(norm_text_col(F.col("text")), " ")
+    n = F.size(words)
+    dist = F.size(F.array_distinct(words))
+    stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    ln = F.length(norm_text_col(F.col("text")))
+    q = (F.when(ln.between(50, 2000), 1).otherwise(0)
+         + F.when(stop.between(1, 40), 1).otherwise(0)
+         + F.when(2 * dist >= n, 1).otherwise(0))
+    return docs.select(F.col("doc_id").cast("bigint"),
+                       q.cast("bigint").alias("quality"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language-ID heuristic: predicted language = argmax of
+    marker occurrence counts, ties broken by language name ascending.
+    -> (doc_id, predicted_lang, lang) with the table's label for
+    side-by-side accuracy reads."""
+    words = F.split(norm_text_col(F.col("text")), " ")
+    scores = {lang: F.size(F.filter(words, lambda w: w.isin(markers)))
+              for lang, markers in LANG_MARKERS.items()}
+    # argmax with lexicographic tie-break: iterate langs sorted DESC and
+    # pick with >= so earlier (ASC) names win ties
+    pred = None
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        if pred is None:
+            pred = F.lit(lang)
+            best = scores[lang]
+        else:
+            cond = scores[lang] >= best
+            best = F.when(cond, scores[lang]).otherwise(best)
+            pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select(F.col("doc_id").cast("bigint"),
+                       pred.alias("predicted_lang"), "lang")
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive polynomial fingerprint:
+    sum over positions of (pos+1) * (word_hash mod p) mod p.
+    -> (doc_id, fingerprint)."""
+    words = F.split(norm_text_col(F.col("text")), " ")
+    ex = docs.select("doc_id", F.posexplode(words).alias("pos", "w"))
+    term = (F.col("pos") + 1) * (word_hash_col(F.col("w")) % FP_MOD)
+    return (ex.groupBy("doc_id")
+            .agg((F.sum(term) % FP_MOD).alias("fingerprint"))
+            .select(F.col("doc_id").cast("bigint"),
+                    F.col("fingerprint").cast("bigint")))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+def oracle_token_stats() -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+       CAST(length({_NORM}) AS BIGINT) AS n_chars_norm,
+       CAST(len(list_distinct({_WORDS})) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_max(list_transform({_WORDS}, w -> length(w))) AS BIGINT)
+         AS max_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def oracle_quality_score() -> str:
+    stop_list = ",".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS} AS words, length({_NORM}) AS ln FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((CASE WHEN ln BETWEEN 50 AND 2000 THEN 1 ELSE 0 END)
+          + (CASE WHEN len(list_filter(words, w -> w IN ({stop_list})))
+                  BETWEEN 1 AND 40 THEN 1 ELSE 0 END)
+          + (CASE WHEN 2 * len(list_distinct(words)) >= len(words)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS quality
+FROM t ORDER BY doc_id
+"""
+
+
+def oracle_lang_id() -> str:
+    score_sqls = {
+        lang: ("len(list_filter(words, w -> w IN ("
+               + ",".join(f"'{m}'" for m in markers) + ")))")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    pred = None
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        if pred is None:
+            pred = f"'{lang}'"
+            best = score_sqls[lang]
+        else:
+            pred = (f"CASE WHEN {score_sqls[lang]} >= ({best}) "
+                    f"THEN '{lang}' ELSE {pred} END")
+            best = (f"CASE WHEN {score_sqls[lang]} >= ({best}) "
+                    f"THEN {score_sqls[lang]} ELSE ({best}) END")
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_WORDS} AS words FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {pred} AS predicted_lang, lang
+FROM t ORDER BY doc_id
+"""
+
+
+def oracle_doc_fingerprint() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+e AS (
+  SELECT doc_id, i AS pos1, words[i] AS w
+  FROM t, UNNEST(range(1, len(words) + 1)) AS u(i)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(pos1 * ((('0x' || substr(md5(w), 1, 15))::BIGINT) % {FP_MOD}))
+            % {FP_MOD} AS BIGINT) AS fingerprint
+FROM e GROUP BY doc_id ORDER BY doc_id
+"""
