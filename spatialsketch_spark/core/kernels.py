@@ -97,6 +97,9 @@ class ExactKernel(BaseKernel):
             m &= st["ts"] >= t0
         return int(st["values"][m].sum())
 
+    def query_total(self, st) -> int:
+        return int(st["values"].sum())
+
     def query_l2_counts(self, st) -> dict:
         """item -> count map contribution (merged across cells, then L2)."""
         uc, inv = np.unique(st["items"], return_inverse=True)
@@ -123,6 +126,33 @@ class CMKernel(BaseKernel):
 
     def hash(self, items):
         return hash_items(items, self.coeffs, self.w)
+
+    def serialize(self, state) -> bytes:
+        """Sparse encoding when the counter matrix is mostly zero (the
+        common case for fine-grid cells with a handful of events) —
+        ~10x smaller payloads than pickling the dense (d, w) array."""
+        flat = state.ravel()
+        nz = np.flatnonzero(flat)
+        if len(nz) * 3 < flat.size:
+            return pickle.dumps(("s", state.shape,
+                                 nz.astype(np.int32), flat[nz]), protocol=4)
+        return pickle.dumps(("d", state), protocol=4)
+
+    def deserialize(self, blob: bytes):
+        obj = pickle.loads(blob)
+        if obj[0] == "d":
+            return obj[1]
+        _, shape, idx, vals = obj
+        out = np.zeros(shape[0] * shape[1], dtype=np.int64)
+        out[idx] = vals
+        return out.reshape(shape)
+
+    def query_total(self, st) -> int:
+        """Exact total mass in the cell: every insert adds `value` once
+        per row, so any single row sums to the cell total — the
+        reference's plain 'Count' synopsis (Tech Report Table 3 (a))
+        comes for free from CM row 0."""
+        return int(st[0].sum())
 
     def build_grouped(self, cell_keys, items, values, ts):
         order, uc, starts = _group_slices(cell_keys)

@@ -126,8 +126,7 @@ def q_polygon_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon range-count (all items) over the three state-shaped
     fixtures — the flagship (reference Fig. 4 polygon queries)."""
     eng = _engine(spark, sf_dir)
-    qs = [QuerySpec.from_shape(i, p, "freq", item=0, item_end=ITEM_DOMAIN - 1)
-          for i, p in enumerate(POLYGONS)]
+    qs = [QuerySpec.from_shape(i, p, "count") for i, p in enumerate(POLYGONS)]
     return _result(eng, qs)
 
 

@@ -11,12 +11,20 @@ from .pipeline import dedup, media, relational, similarity, text
 EMB_QUERY_IDS = [0, 1, 2, 3]
 
 
+def _parallelism(spark: SparkSession) -> int:
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file parquet -> 1 input partition; spread before the
+    # CPU-heavy shingle/hash work or everything runs on one core
+    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(_parallelism(spark))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(_parallelism(spark))
 
 
 def q_exact_dedup(spark, sf_dir):

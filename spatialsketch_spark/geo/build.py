@@ -134,15 +134,47 @@ def _merge_partitions(cfg: SketchConfig, kind: str):
 
 
 def build_sketch_df(events: DataFrame, cfg: SketchConfig, kind: str,
-                    min_level: int, num_partitions: int | None = None
-                    ) -> DataFrame:
-    """events(ts,item,x,y,value) -> sketch DataFrame. Lazy: one shuffle
-    (the repartition), volume = partials, never exploded events."""
-    partials = events.mapInPandas(_partial_builder(cfg, kind, min_level),
-                                  schema=SKETCH_SCHEMA)
+                    min_level: int, num_partitions: int | None = None,
+                    mode: str = "zorder") -> DataFrame:
+    """events(ts,item,x,y,value) -> sketch DataFrame. Two shuffle
+    strategies (equal output — asserted in tests):
+
+    mode='partials' (skew-safe fallback): per-partition partial sketches
+      -> hash shuffle on (grid_key, cell) -> partition-level merge. The
+      shuffle carries partials (bounded by touched-cells x partitions);
+      a pathological hot cell still merges only #partitions partials.
+
+    mode='zorder' (locality fast path): range-partition the raw events on
+      their Z-order (Morton) value first. A Z-contiguous partition holds
+      whole dyadic subtrees, so partials dedup near-perfectly at EVERY
+      pyramid level (only cells straddling partition boundaries produce
+      >1 partial) — shuffle volume drops from touched-cells x partitions
+      to ~total-cells + O(partitions x levels^2). Same merge stage, same
+      output (hash-partitioning a grid cell's events across partitions
+      is still handled); the range shuffle moves raw events (small rows)
+      instead of sketch blobs.
+    """
+    from pyspark.sql import functions as F
     spark = events.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if mode == "zorder":
+        z = F.lit(0).cast("bigint")
+        for b in range(cfg.levels - 1):
+            z = (z
+                 + (F.shiftright("x", b).bitwiseAND(F.lit(1))
+                    * F.lit(1 << (2 * b + 1)))
+                 + (F.shiftright("y", b).bitwiseAND(F.lit(1))
+                    * F.lit(1 << (2 * b))))
+        events = events.repartitionByRange(num_partitions, z)
+    elif mode == "partials":
+        # ensure the narrow input is actually parallel (a single parquet
+        # file otherwise serializes the whole partial build on one core)
+        events = events.repartition(num_partitions)
+    else:
+        raise ValueError(f"unknown build mode {mode!r}")
+    partials = events.mapInPandas(_partial_builder(cfg, kind, min_level),
+                                  schema=SKETCH_SCHEMA)
     return partials.repartition(num_partitions, "grid_key", "cell") \
         .mapInPandas(_merge_partitions(cfg, kind), schema=SKETCH_SCHEMA)
 
@@ -178,7 +210,8 @@ class SketchStore:
     @classmethod
     def build(cls, spark: SparkSession, events: DataFrame,
               cfg: SketchConfig, kind: str, min_level: int = 0,
-              path: str | None = None) -> "SketchStore":
+              path: str | None = None, mode: str = "zorder"
+              ) -> "SketchStore":
         t0 = time.time()
         # per-partition input lineage (north_rule: per-partition lineage
         # + sketch-merge metrics in the checkpoint manifest)
@@ -188,7 +221,7 @@ class SketchStore:
                 F.spark_partition_id().alias("pid")).count()
             .withColumnRenamed("count", "cnt").collect()
         ]
-        df = build_sketch_df(events, cfg, kind, min_level)
+        df = build_sketch_df(events, cfg, kind, min_level, mode=mode)
         if path:
             os.makedirs(path, exist_ok=True)
             df.write.mode("overwrite").partitionBy("grid_key") \
@@ -211,6 +244,7 @@ class SketchStore:
                 "sketch_cells": int(stats["cells"]),
                 "merged_events": int(stats["merged_events"]),
                 "build_wall_s": round(time.time() - t0, 3),
+                "build_mode": mode,
             },
         }
         if path:

@@ -64,20 +64,22 @@ class QuerySpec:
                          qkind, item, item_end, t0)
 
 
-def _finisher(cfg, kind: str):
-    """Per-qid estimate over the matched cover cells."""
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        kernel = make_kernel(kind, cfg)
-        qid = int(pdf["qid"].iloc[0])
-        qkind = pdf["qkind"].iloc[0]
-        item = int(pdf["item"].iloc[0])
-        item_end = int(pdf["item_end"].iloc[0])
-        t0 = int(pdf["t0"].iloc[0])
-        states = [kernel.deserialize(b) for b in pdf["payload"]]
-        covs = pdf["coverage"].to_numpy()
-
-        if qkind in ("freq", "window"):
+def _estimate_one(kernel, pdf: pd.DataFrame) -> int:
+    """Estimate for ONE query's matched cover cells."""
+    qkind = pdf["qkind"].iloc[0]
+    item = int(pdf["item"].iloc[0])
+    item_end = int(pdf["item_end"].iloc[0])
+    t0 = int(pdf["t0"].iloc[0])
+    states = [kernel.deserialize(b) for b in pdf["payload"]]
+    covs = pdf["coverage"].to_numpy()
+    if True:
+        if qkind == "count":
+            # region total (no item predicate) — exact from any kernel
+            # exposing query_total (reference 'Count' synopsis, Table 3a)
+            est = 0
+            for st, cov in zip(states, covs):
+                est += int(cov * kernel.query_total(st))
+        elif qkind in ("freq", "window"):
             tt = t0 if (qkind == "window" and t0 >= 0) else None
             ie = item_end if item_end >= 0 else None
             est = 0
@@ -114,7 +116,26 @@ def _finisher(cfg, kind: str):
                 est = int(kernel.l2_estimate(kernel.merge(states)))
         else:
             raise ValueError(f"unknown qkind {qkind!r}")
-        return pd.DataFrame({"qid": [qid], "est": [est]})
+    return int(est)
+
+
+def _finisher(cfg, kind: str):
+    """Partition-level finisher: after repartition(qid), all of a
+    query's matched cells share a partition; one Python/Arrow round
+    answers every query in the partition (no per-group pandas tax)."""
+
+    def fn(batches):
+        kernel = make_kernel(kind, cfg)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        allpdf = pd.concat(chunks, ignore_index=True)
+        out_qid, out_est = [], []
+        for qid, grp in allpdf.groupby("qid", sort=False):
+            out_qid.append(int(qid))
+            out_est.append(_estimate_one(kernel, grp))
+        yield pd.DataFrame({"qid": pd.array(out_qid, dtype="int64"),
+                            "est": pd.array(out_est, dtype="int64")})
 
     return fn
 
@@ -144,14 +165,20 @@ class SpatialSketchEngine:
         contribute 0, the analogue of lazily-unallocated sketches)."""
         spark = self.store.spark
         rows = self.cover_rows(queries)
-        cover = spark.createDataFrame(rows, schema=COVER_SCHEMA)
+        cover_pdf = pd.DataFrame(
+            rows, columns=["qid", "grid_key", "cell", "coverage",
+                           "qkind", "item", "item_end", "t0"])
+        cover = spark.createDataFrame(cover_pdf, schema=COVER_SCHEMA)
         needed = sorted({r[1] for r in rows})
         matched = (
             self.store.df
             .where(F.col("grid_key").isin(needed))   # partition pruning
             .join(F.broadcast(cover), ["grid_key", "cell"])
         )
-        res = matched.groupBy("qid").applyInPandas(
+        n_parts = min(
+            max(1, len({r[0] for r in rows})),
+            int(spark.conf.get("spark.sql.shuffle.partitions")))
+        res = matched.repartition(n_parts, "qid").mapInPandas(
             _finisher(self.store.cfg, self.store.kind), schema=RESULT_SCHEMA)
         # queries whose cover matched no cells answer 0 (or 0/absent for
         # member): union them back in

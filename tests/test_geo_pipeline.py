@@ -148,6 +148,24 @@ def test_min_level_coverage_scaling(spark, events):
     assert abs(est - truth) <= max(3, 0.7 * truth)
 
 
+def test_build_modes_agree(spark, events):
+    """'partials' (skew-safe hash shuffle) and 'zorder' (locality range
+    partitioning) must produce identical sketch tables."""
+    from spatialsketch_spark.geo.build import build_sketch_df
+    from spatialsketch_spark.core.kernels import make_kernel
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    a = build_sketch_df(events, cfg, "exact", 2, mode="partials")
+    b = build_sketch_df(events, cfg, "exact", 2, mode="zorder")
+    k = make_kernel("exact", cfg)
+    pa = {(r["grid_key"], r["cell"]): r["payload"] for r in a.collect()}
+    pb = {(r["grid_key"], r["cell"]): r["payload"] for r in b.collect()}
+    assert pa.keys() == pb.keys()
+    for key in pa:
+        sa, sb = k.deserialize(pa[key]), k.deserialize(pb[key])
+        for f in ("items", "values", "ts"):
+            np.testing.assert_array_equal(sa[f], sb[f])
+
+
 def test_store_resume(spark, events, tmp_path):
     cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
     p = str(tmp_path / "store")
