@@ -136,6 +136,31 @@ def oracle_polygon_count() -> str:
     return _region_agg_sql(ranges, agg)
 
 
+def q_polygon_count_dynsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynSketch memory policy (B10/C5): the same polygon counts with the
+    odd-diagonal grids dropped (reference phase-1 drop order,
+    SpatialSketch.cpp:155-219). The query-side cover rewrite
+    (effective_cover) must recover exact answers from the remaining
+    grids — oracle identical to geo_polygon_count."""
+    key = (sf_dir, N, MIN_LEVEL, "exact-dyn")
+    st = _STORES.get(key)
+    if st is None:
+        L = 12
+        dropped = frozenset(
+            (kx, ky) for kx in range(MIN_LEVEL, L + 1)
+            for ky in range(MIN_LEVEL, L + 1)
+            if (kx + ky) % 2 == 1 and not (kx == MIN_LEVEL and ky == MIN_LEVEL))
+        cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N,
+                                      dropped_grids=dropped)
+        ev = derive_geo_events(spark, sf_dir, N)
+        st = SketchStore.build(spark, ev, cfg, "exact", MIN_LEVEL)
+        st.df = st.df.cache()
+        _STORES[key] = st
+    eng = SpatialSketchEngine(st)
+    qs = [QuerySpec.from_shape(i, p, "count") for i, p in enumerate(POLYGONS)]
+    return _result(eng, qs)
+
+
 def q_rect_item_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: COUNT(*) WHERE region AND item = v (Postgres.cpp:406)."""
     eng = _engine(spark, sf_dir)
@@ -410,6 +435,8 @@ ORDER BY tx, ty
 
 GATE_QUERIES = {
     "geo_polygon_count": (q_polygon_count, oracle_polygon_count),
+    "geo_polygon_count_dynsketch": (q_polygon_count_dynsketch,
+                                    oracle_polygon_count),
     "geo_rect_item_freq": (q_rect_item_freq, oracle_rect_item_freq),
     "geo_region_distinct": (q_region_distinct, oracle_region_distinct),
     "geo_region_member": (q_region_member, oracle_region_member),

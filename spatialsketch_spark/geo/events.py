@@ -43,14 +43,24 @@ def register_events_view(spark: SparkSession, sf_dir: str) -> None:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
 
 
-def derive_geo_events(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+def derive_geo_events(spark: SparkSession, sf_dir: str, n: int,
+                      spread: bool = True) -> DataFrame:
     """events parquet -> geo-event DataFrame (ts, item, x, y, value).
 
     Column-pruned scan: only event_id and user_id are read
     (verify with .explain: ReadSchema should list exactly those two).
+
+    spread=True repartitions the single-file parquet to the session's
+    parallelism: every downstream shuffle's map side would otherwise run
+    as ONE task (a 1-partition source serializes the whole shuffle
+    write). On a real cluster the source is already parallel and this
+    is a no-op cost-wise.
     """
     register_events_view(spark, sf_dir)
-    return spark.sql(geo_events_sql(n))
+    df = spark.sql(geo_events_sql(n))
+    if spread:
+        df = df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return df
 
 
 def oracle_geo_cte(n: int) -> str:

@@ -119,6 +119,52 @@ def _estimate_one(kernel, pdf: pd.DataFrame) -> int:
     return int(est)
 
 
+def _additive_estimator(cfg, kind: str):
+    """Pre-shuffle partial sums for additive query kinds: compute
+    trunc(coverage * per-cell estimate) for every matched row in place,
+    emit one (qid, partial_sum) row per qid per partition. The payload
+    column never crosses a shuffle."""
+
+    def fn(batches):
+        kernel = make_kernel(kind, cfg)
+        sums: dict[int, int] = {}
+        for pdf in batches:
+            qids = pdf["qid"].to_numpy()
+            covs = pdf["coverage"].to_numpy()
+            qkinds = pdf["qkind"].to_numpy()
+            items = pdf["item"].to_numpy()
+            iends = pdf["item_end"].to_numpy()
+            t0s = pdf["t0"].to_numpy()
+            payloads = pdf["payload"]
+            for i in range(len(pdf)):
+                st = kernel.deserialize(payloads.iloc[i])
+                qk = qkinds[i]
+                item = int(items[i])
+                ie = int(iends[i])
+                tt = int(t0s[i])
+                if qk == "window":
+                    e = kernel.query_item(st, item,
+                                          ie if ie >= 0 else None,
+                                          tt if tt >= 0 else None)
+                elif qk == "range_freq":
+                    if kernel.kind == "dcm":
+                        e = kernel.query_range(st, item, ie)
+                    else:
+                        e = kernel.query_item(st, item, ie)
+                else:  # freq
+                    e = kernel.query_item(st, item,
+                                          ie if ie >= 0 else None)
+                qid = int(qids[i])
+                sums[qid] = sums.get(qid, 0) + int(covs[i] * e)
+        if sums:
+            yield pd.DataFrame({
+                "qid": pd.array(list(sums.keys()), dtype="int64"),
+                "est": pd.array(list(sums.values()), dtype="int64"),
+            })
+
+    return fn
+
+
 def _finisher(cfg, kind: str):
     """Partition-level finisher: after repartition(qid), all of a
     query's matched cells share a partition; one Python/Arrow round
@@ -160,29 +206,133 @@ class SpatialSketchEngine:
                                  q.qkind, q.item, q.item_end, q.t0))
         return rows
 
+    def _cover_df(self, queries: list[QuerySpec]):
+        """Cover DataFrame. Small batches: computed on the driver (the
+        reference's query planning is driver-side too). Large batches:
+        the per-query bit arithmetic is fanned out via mapInPandas so
+        query *throughput* scales with executors, not driver cores."""
+        spark = self.store.spark
+        cfg = self.store.cfg
+        if len(queries) < 64:
+            rows = self.cover_rows(queries)
+            cover_pdf = pd.DataFrame(
+                rows, columns=["qid", "grid_key", "cell", "coverage",
+                               "qkind", "item", "item_end", "t0"])
+            return spark.createDataFrame(cover_pdf, schema=COVER_SCHEMA)
+        # distributed: ship (qid, rect, params) rows, expand per partition
+        rect_rows = []
+        for q in queries:
+            for (x1, y1, x2, y2) in q.ranges:
+                rect_rows.append((q.qid, x1, y1, x2, y2, q.qkind,
+                                  q.item, q.item_end, q.t0))
+        spec_pdf = pd.DataFrame(rect_rows, columns=[
+            "qid", "x1", "y1", "x2", "y2", "qkind", "item", "item_end", "t0"])
+        spec = spark.createDataFrame(
+            spec_pdf, schema="qid BIGINT, x1 BIGINT, y1 BIGINT, x2 BIGINT, "
+                             "y2 BIGINT, qkind STRING, item BIGINT, "
+                             "item_end BIGINT, t0 BIGINT")
+        log_n = cfg.levels - 1
+        dropped = cfg.dropped_grids
+        floor_k = self.store.min_level
+        n = cfg.n
+        levels = cfg.levels
+
+        def expand(batches):
+            for pdf in batches:
+                out = {k: [] for k in ["qid", "grid_key", "cell", "coverage",
+                                       "qkind", "item", "item_end", "t0"]}
+                for r in pdf.itertuples(index=False):
+                    for kx, ky, cx, cy, cov in effective_cover(
+                            r.x1, r.y1, r.x2, r.y2, log_n, dropped, floor_k):
+                        out["qid"].append(r.qid)
+                        out["grid_key"].append(kx + ky * levels)
+                        out["cell"].append(cx * n + cy)
+                        out["coverage"].append(float(cov))
+                        out["qkind"].append(r.qkind)
+                        out["item"].append(r.item)
+                        out["item_end"].append(r.item_end)
+                        out["t0"].append(r.t0)
+                yield pd.DataFrame(out)
+
+        nparts = min(len(rect_rows),
+                     int(spark.conf.get("spark.sql.shuffle.partitions")))
+        return spec.repartition(nparts).mapInPandas(expand,
+                                                    schema=COVER_SCHEMA)
+
+    def _query_grids(self, q: QuerySpec):
+        cfg = self.store.cfg
+        for (x1, y1, x2, y2) in q.ranges:
+            yield from effective_cover(x1, y1, x2, y2, cfg.levels - 1,
+                                       cfg.dropped_grids,
+                                       floor_k=self.store.min_level)
+
+    def _matched(self, queries: list[QuerySpec]):
+        spark = self.store.spark
+        cover = self._cover_df(queries)
+        if len(queries) < 64:
+            needed = sorted({self.store.cfg.grid_key(kx, ky)
+                             for q in queries
+                             for kx, ky, _, _, _ in self._query_grids(q)})
+        else:
+            from .build import live_grids
+            needed = sorted(self.store.cfg.grid_key(kx, ky) for kx, ky in
+                            live_grids(self.store.cfg, self.store.min_level))
+        pruned = self.store.df.where(F.col("grid_key").isin(needed))
+        if len(queries) < 64:
+            # small cover -> broadcast it, zero shuffle on the sketch side
+            return pruned.join(F.broadcast(cover), ["grid_key", "cell"])
+        # large cover (could exceed the sketch side) -> shuffle join
+        return pruned.join(cover, ["grid_key", "cell"])
+
     def query(self, queries: list[QuerySpec]) -> DataFrame:
         """-> DataFrame(qid, est); missing-cell-safe (untouched cells
-        contribute 0, the analogue of lazily-unallocated sketches)."""
+        contribute 0, the analogue of lazily-unallocated sketches).
+
+        Three physical strategies by query class:
+        - 'count': pure JVM — SUM(trunc(coverage * val_sum)) per qid;
+          no payload ever leaves the sketch table scan (codegen'd).
+        - additive kinds (freq / range_freq / window): the per-cell
+          estimate is computed WHERE the join output lives (mapInPandas,
+          pre-shuffle partial sums); only (qid, partial) scalars shuffle.
+          Sum-over-cells is associative, trunc applied per cell exactly
+          as the reference does (SpatialSketch.cpp:766).
+        - merge kinds (distinct / member / l2): cell states must be
+          merged before estimating — payloads shuffle by qid, but these
+          queries match only O(log^2 N) cells each.
+        """
         spark = self.store.spark
-        rows = self.cover_rows(queries)
-        cover_pdf = pd.DataFrame(
-            rows, columns=["qid", "grid_key", "cell", "coverage",
-                           "qkind", "item", "item_end", "t0"])
-        cover = spark.createDataFrame(cover_pdf, schema=COVER_SCHEMA)
-        needed = sorted({r[1] for r in rows})
-        matched = (
-            self.store.df
-            .where(F.col("grid_key").isin(needed))   # partition pruning
-            .join(F.broadcast(cover), ["grid_key", "cell"])
-        )
-        n_parts = min(
-            max(1, len({r[0] for r in rows})),
-            int(spark.conf.get("spark.sql.shuffle.partitions")))
-        res = matched.repartition(n_parts, "qid").mapInPandas(
-            _finisher(self.store.cfg, self.store.kind), schema=RESULT_SCHEMA)
-        # queries whose cover matched no cells answer 0 (or 0/absent for
-        # member): union them back in
+        counts = [q for q in queries if q.qkind == "count"]
+        additive = [q for q in queries
+                    if q.qkind in ("freq", "range_freq", "window")]
+        mergeful = [q for q in queries
+                    if q.qkind in ("distinct", "member", "l2")]
+        parts = []
+        if counts:
+            m = self._matched(counts)
+            parts.append(
+                m.groupBy("qid").agg(
+                    F.sum(F.floor(F.col("coverage") * F.col("val_sum")))
+                    .cast("bigint").alias("est")))
+        if additive:
+            m = self._matched(additive).select(
+                "qid", "coverage", "qkind", "item", "item_end", "t0",
+                "payload")
+            partial = m.mapInPandas(
+                _additive_estimator(self.store.cfg, self.store.kind),
+                schema=RESULT_SCHEMA)
+            parts.append(partial.groupBy("qid").agg(
+                F.sum("est").cast("bigint").alias("est")))
+        if mergeful:
+            m = self._matched(mergeful)
+            n_parts = min(max(1, len(mergeful)),
+                          int(spark.conf.get("spark.sql.shuffle.partitions")))
+            parts.append(m.repartition(n_parts, "qid").mapInPandas(
+                _finisher(self.store.cfg, self.store.kind),
+                schema=RESULT_SCHEMA))
         all_qids = spark.createDataFrame(
             [(q.qid,) for q in queries], schema="qid BIGINT")
+        res = parts[0]
+        for p in parts[1:]:
+            res = res.unionByName(p)
         return (all_qids.join(res, "qid", "left")
                 .select("qid", F.coalesce("est", F.lit(0)).alias("est")))
