@@ -4,7 +4,7 @@
 
 Headline components (BASELINE.json metric):
 - sketch-build rows/s: realistic-CM capped-pyramid build over the
-  replicated geo-event stream (colocate mode, one shuffle)
+  replicated geo-event stream (zorder locality mode)
 - polygon range-count q/s at <=5% relative error: 100 random placements
   x 3 fixture polygons, answered as ONE batched cover join, accuracy
   verified against exact Spark SQL in the same run
