@@ -74,6 +74,11 @@ def q_lsh_topk(spark, sf_dir):
         .orderBy("qid", "rank")
 
 
+def q_cosine_dups(spark, sf_dir):
+    return similarity.cosine_dup_pairs(_emb(spark, sf_dir), 0.3) \
+        .orderBy("vec_a", "vec_b")
+
+
 def q_media_features(spark, sf_dir):
     m = media.synth_media_table(_docs(spark, sf_dir))
     return media.extract_features(m).orderBy("doc_id")
@@ -108,6 +113,8 @@ PIPELINE_GATE = {
     "emb_cosine_topk": (q_cosine_topk,
                         lambda: similarity.oracle_cosine_topk(EMB_QUERY_IDS, 5)),
     "emb_lsh_topk": (q_lsh_topk, None),
+    "emb_cosine_dups": (q_cosine_dups,
+                        lambda: similarity.oracle_cosine_dup_pairs(0.3)),
     "media_features": (q_media_features, media.oracle_media_features),
     "rel_pricing_summary": (q_rel_pricing, relational.oracle_pricing_summary),
     "rel_orders_by_nation": (q_rel_nations, relational.oracle_orders_by_nation),

@@ -130,9 +130,50 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                     F.col("vec_id").cast("bigint")))
 
 
+def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cos(a, b) >= threshold. Exact integer dot products; the double
+    division/threshold compare is bit-identical cross-engine.
+    -> (vec_a, vec_b)."""
+    q = with_quantized(emb)
+    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
+                 F.col("n2").alias("na2"))
+    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
+                 F.col("n2").alias("nb2"))
+    d = (a.join(b, F.col("vec_a") < F.col("vec_b"))
+         .withColumn("cos", _dot(F.col("qa"), F.col("qb")) /
+                     F.sqrt(F.col("na2").cast("double")
+                            * F.col("nb2").cast("double"))))
+    return (d.where(F.col("cos") >= threshold)
+            .select(F.col("vec_a").cast("bigint"),
+                    F.col("vec_b").cast("bigint")))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle (brute-force cosine only; LSH is rows-only checked)
 # ---------------------------------------------------------------------------
+
+
+def oracle_cosine_dup_pairs(threshold: float = 0.3) -> str:
+    return f"""
+WITH qe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         CAST(ROUND(unnest(embedding) * {QUANT}) AS BIGINT) AS q
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SUM(q * q) AS n2 FROM qe GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q * b.q) AS dot
+  FROM qe a JOIN qe b ON a.idx = b.idx AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT CAST(d.vec_a AS BIGINT) AS vec_a, CAST(d.vec_b AS BIGINT) AS vec_b
+FROM dots d JOIN norms na ON na.vec_id = d.vec_a
+            JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE d.dot / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+      >= {threshold}
+ORDER BY vec_a, vec_b
+"""
 
 def oracle_cosine_topk(query_ids: list[int], k: int = 5) -> str:
     ids = ",".join(str(i) for i in query_ids)
