@@ -277,6 +277,28 @@ def oracle_item_range_freq() -> str:
                            extra_values=f"qp(qid, a, b) AS (VALUES {iv}),")
 
 
+def q_item_range_dcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same D3 item-range semantics answered by a *dyadic-CM* store
+    (per-cell 1-D dyadic hierarchy over items, DyadCountMin.cpp) with
+    all-exact levels — the engine's MultiDimCM-equivalent config
+    (SURVEY.md §2 C11). Oracle identical to geo_item_range_freq."""
+    key = (sf_dir, N, MIN_LEVEL, "dcm")
+    st = _STORES.get(key)
+    if st is None:
+        cfg = SketchConfig(n=N, eps=0.1, delta=0.05,
+                           item_domain=ITEM_DOMAIN, dcm_exact_levels=9)
+        ev = derive_geo_events(spark, sf_dir, N)
+        st = SketchStore.build(spark, ev, cfg, "dcm", MIN_LEVEL)
+        st.df = st.df.cache()
+        _STORES[key] = st
+    eng = SpatialSketchEngine(st)
+    probes = [(RECTS[0], 10, 20), (RECTS[1], 0, 255), (RECTS[2], 100, 101),
+              (RECTS[3], 200, 255)]
+    qs = [QuerySpec(i, [r], "range_freq", item=a, item_end=b)
+          for i, (r, a, b) in enumerate(probes)]
+    return _result(eng, qs)
+
+
 def q_span_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved-doc plumbing: build the span table, extract geo events
     back out (posexplode + array filter), roll up per item. Verifies the
@@ -443,6 +465,7 @@ GATE_QUERIES = {
     "geo_region_l2": (q_region_l2, oracle_region_l2),
     "geo_window_count": (q_window_count, oracle_window_count),
     "geo_item_range_freq": (q_item_range_freq, oracle_item_range_freq),
+    "geo_item_range_dcm": (q_item_range_dcm, oracle_item_range_freq),
     "geo_span_rollup": (q_span_rollup, oracle_span_rollup),
     "geo_pip_assign": (q_pip_assign, oracle_pip_assign),
     "geo_knn": (q_knn, oracle_knn),

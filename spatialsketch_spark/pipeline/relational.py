@@ -94,6 +94,74 @@ FROM r WHERE rank <= {k} ORDER BY custkey, rank
 """
 
 
+def customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership joins: customers WITH orders (left_semi) and
+    WITHOUT (left_anti), rolled up per market segment."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").select("o_custkey")
+    semi = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("with_orders")))
+    anti = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("without_orders")))
+    return (semi.join(anti, "c_mktsegment", "full")
+            .select("c_mktsegment",
+                    F.coalesce("with_orders", F.lit(0)).cast("bigint")
+                    .alias("with_orders"),
+                    F.coalesce("without_orders", F.lit(0)).cast("bigint")
+                    .alias("without_orders"))
+            .orderBy("c_mktsegment"))
+
+
+def oracle_customers_semi_anti() -> str:
+    return """
+WITH s AS (
+  SELECT c_mktsegment, COUNT(*) AS with_orders FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment
+),
+a AS (
+  SELECT c_mktsegment, COUNT(*) AS without_orders FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment
+)
+SELECT COALESCE(s.c_mktsegment, a.c_mktsegment) AS c_mktsegment,
+       CAST(COALESCE(s.with_orders, 0) AS BIGINT) AS with_orders,
+       CAST(COALESCE(a.without_orders, 0) AS BIGINT) AS without_orders
+FROM s FULL JOIN a ON s.c_mktsegment = a.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def customer_running_spend(spark: SparkSession, sf_dir: str,
+                           max_cust: int = 20) -> DataFrame:
+    """Analytic window with a running frame: cumulative order spend per
+    customer in order-date order (integer cents)."""
+    o = _read(spark, sf_dir, "orders").where(F.col("o_custkey") < max_cust)
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (o.select(F.col("o_custkey").cast("bigint").alias("custkey"),
+                     F.col("o_orderkey").cast("bigint").alias("orderkey"),
+                     F.sum(cents(F.col("o_totalprice"))).over(w)
+                     .cast("bigint").alias("running_c"))
+            .orderBy("custkey", "orderkey"))
+
+
+def oracle_customer_running_spend(max_cust: int = 20) -> str:
+    return f"""
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(o_orderkey AS BIGINT) AS orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_c
+FROM orders WHERE o_custkey < {max_cust}
+ORDER BY custkey, orderkey
+"""
+
+
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup — the relational mirror of the dyadic grid
     pyramid (SURVEY.md §2.G: the pyramid IS a 2-D rollup)."""
