@@ -357,6 +357,7 @@ class ECMKernel(BaseKernel):
         return total
 
     def query_item(self, st, item, item_end=None, t0=0) -> int:
+        t0 = 0 if t0 is None else t0
         h = hash_items(np.array([item]), self.coeffs, self.w)[:, 0]
         ests = [self.hist_sum(st[r][int(h[r])], t0) for r in range(self.d)]
         return int(min(ests))

@@ -104,6 +104,14 @@ def _estimate_one(kernel, pdf: pd.DataFrame) -> int:
         elif qkind == "member":
             hit = any(kernel.member(st, item) for st in states)
             est = 1 if hit else 0
+        elif qkind == "window_merge":
+            # reference ECM_merge mode (SpatialSketch.cpp:1175-1221):
+            # merge the cover cells' histograms first (MergeECM arrival
+            # reconstruction), then one HistSum min-over-rows
+            merged = states[0] if len(states) == 1 else kernel.merge(states)
+            est = kernel.query_item(merged, item,
+                                    item_end if item_end >= 0 else None,
+                                    t0 if t0 >= 0 else None)
         elif qkind == "l2":
             if kernel.kind == "exact":
                 parts = [kernel.query_l2_counts(st) for st in states]
@@ -305,7 +313,8 @@ class SpatialSketchEngine:
         additive = [q for q in queries
                     if q.qkind in ("freq", "range_freq", "window")]
         mergeful = [q for q in queries
-                    if q.qkind in ("distinct", "member", "l2")]
+                    if q.qkind in ("distinct", "member", "l2",
+                                   "window_merge")]
         parts = []
         if counts:
             m = self._matched(counts)
