@@ -54,10 +54,12 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
                     F.col("n_dups").cast("bigint")))
 
 
-def _trigram_col():
-    """Word 3-gram shingles of the normalized text (array column);
-    empty array for docs with fewer than 3 words."""
-    words = F.split(norm_text_col(F.col("text")), " ")
+def _trigrams_of(words):
+    """Word 3-gram shingles from a *bound* words column (materialize the
+    split once — inlining it would make Catalyst re-evaluate the regexp
+    split inside every element_at of every sequence index, turning a
+    linear scan quadratic); empty array for docs with fewer than 3
+    words."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - 3),
         lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
@@ -70,7 +72,11 @@ def _trigram_col():
 
 def shingle_table(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) exploded distinct word-trigram table."""
-    return (docs.select("doc_id", F.explode(_trigram_col()).alias("shingle")))
+    return (docs
+            .select("doc_id",
+                    F.split(norm_text_col(F.col("text")), " ").alias("words"))
+            .select("doc_id",
+                    F.explode(_trigrams_of(F.col("words"))).alias("shingle")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, num: int = 2, den: int = 1

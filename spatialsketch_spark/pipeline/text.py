@@ -21,14 +21,23 @@ STOPWORDS = ["the", "a", "of", "and", "to"]
 FP_MOD = 999_999_937  # large prime < 2^30
 
 
+def _with_words(docs: DataFrame) -> DataFrame:
+    """Materialize the normalized text + word array once per row
+    (repeating the split expression would re-run the regexp per use)."""
+    return docs.select(
+        "*", norm_text_col(F.col("text")).alias("_norm")
+    ).withColumn("_words", F.split(F.col("_norm"), " "))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """-> (doc_id, n_tokens, n_chars_norm, n_distinct_tokens,
     max_token_len) — whitespace tokenization over normalized text."""
-    words = F.split(norm_text_col(F.col("text")), " ")
-    return docs.select(
+    d = _with_words(docs)
+    words = F.col("_words")
+    return d.select(
         F.col("doc_id").cast("bigint"),
         F.size(words).cast("bigint").alias("n_tokens"),
-        F.length(norm_text_col(F.col("text"))).cast("bigint").alias("n_chars_norm"),
+        F.length("_norm").cast("bigint").alias("n_chars_norm"),
         F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct_tokens"),
         F.array_max(F.transform(words, F.length)).cast("bigint").alias("max_token_len"),
     )
@@ -38,16 +47,17 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Integer quality score 0..3: +1 length in [50, 2000] chars,
     +1 stopword count in [1, 40], +1 distinct-token ratio >= 1/2
     (2*distinct >= total). -> (doc_id, quality)."""
-    words = F.split(norm_text_col(F.col("text")), " ")
+    d = _with_words(docs)
+    words = F.col("_words")
     n = F.size(words)
     dist = F.size(F.array_distinct(words))
     stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
-    ln = F.length(norm_text_col(F.col("text")))
+    ln = F.length("_norm")
     q = (F.when(ln.between(50, 2000), 1).otherwise(0)
          + F.when(stop.between(1, 40), 1).otherwise(0)
          + F.when(2 * dist >= n, 1).otherwise(0))
-    return docs.select(F.col("doc_id").cast("bigint"),
-                       q.cast("bigint").alias("quality"))
+    return d.select(F.col("doc_id").cast("bigint"),
+                    q.cast("bigint").alias("quality"))
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -55,7 +65,8 @@ def lang_id(docs: DataFrame) -> DataFrame:
     marker occurrence counts, ties broken by language name ascending.
     -> (doc_id, predicted_lang, lang) with the table's label for
     side-by-side accuracy reads."""
-    words = F.split(norm_text_col(F.col("text")), " ")
+    d = _with_words(docs)
+    words = F.col("_words")
     scores = {lang: F.size(F.filter(words, lambda w: w.isin(markers)))
               for lang, markers in LANG_MARKERS.items()}
     # argmax with lexicographic tie-break: iterate langs sorted DESC and
@@ -69,8 +80,8 @@ def lang_id(docs: DataFrame) -> DataFrame:
             cond = scores[lang] >= best
             best = F.when(cond, scores[lang]).otherwise(best)
             pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return docs.select(F.col("doc_id").cast("bigint"),
-                       pred.alias("predicted_lang"), "lang")
+    return d.select(F.col("doc_id").cast("bigint"),
+                    pred.alias("predicted_lang"), "lang")
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
