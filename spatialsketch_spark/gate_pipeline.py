@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .pipeline import dedup, media, relational, similarity, text
+from .pipeline import dedup, media, relational, similarity, temporal, text
 
 EMB_QUERY_IDS = [0, 1, 2, 3]
 
@@ -100,7 +100,87 @@ def q_rel_rollup(spark, sf_dir):
     return relational.lineitem_rollup(spark, sf_dir)
 
 
+TS_BRACKETS = [(0, 0, 999), (1, 1000, 2499), (2, 2500, 2999),
+               (3, 5000, 9999)]
+
+
+def _geo_ev(spark, sf_dir):
+    from .geo.events import derive_geo_events
+    from .gate import N
+    return derive_geo_events(spark, sf_dir, N)
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each sampled event gets the latest 'calibration'
+    timestamp (every 7th event of the same item) at or before it."""
+    from pyspark.sql import functions as F
+    ev = _geo_ev(spark, sf_dir)
+    left = ev.where(F.col("ts") % 13 == 0).select("ts", "item")
+    right = ev.where(F.col("ts") % 7 == 0) \
+        .select("item", F.col("ts"), F.col("ts").alias("rts"))
+    out = temporal.asof_join(left, right, key="item", ts="ts",
+                             right_val="rts")
+    return (out.select("ts", "item",
+                       F.coalesce("rts", F.lit(-1)).cast("bigint")
+                       .alias("calib_ts"))
+            .orderBy("ts"))
+
+
+def oracle_asof_join():
+    from .gate import _geo_cte
+    return f"""
+WITH geo AS ({_geo_cte()}),
+l AS (SELECT ts, item FROM geo WHERE ts % 13 = 0),
+r AS (SELECT item, ts AS rts FROM geo WHERE ts % 7 = 0)
+SELECT l.ts AS ts, l.item AS item,
+       CAST(COALESCE(r.rts, -1) AS BIGINT) AS calib_ts
+FROM l ASOF LEFT JOIN r ON l.item = r.item AND l.ts >= r.rts
+ORDER BY ts
+"""
+
+
+def q_range_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+    ev = _geo_ev(spark, sf_dir)
+    br = spark.createDataFrame(TS_BRACKETS, "bid BIGINT, lo BIGINT, hi BIGINT")
+    return (temporal.range_join(ev, br, col="ts")
+            .groupBy("bid").agg(F.sum("value").alias("cnt"))
+            .select(F.col("bid").cast("bigint"),
+                    F.col("cnt").cast("bigint"))
+            .orderBy("bid"))
+
+
+def oracle_range_join():
+    from .gate import _geo_cte
+    vals = ",".join(f"({b},{lo},{hi})" for b, lo, hi in TS_BRACKETS)
+    return f"""
+WITH geo AS ({_geo_cte()}),
+br(bid, lo, hi) AS (VALUES {vals})
+SELECT CAST(bid AS BIGINT) AS bid, CAST(SUM(value) AS BIGINT) AS cnt
+FROM br JOIN geo ON geo.ts BETWEEN lo AND hi
+GROUP BY bid ORDER BY bid
+"""
+
+
+def q_time_rollup(spark, sf_dir):
+    return temporal.time_rollup(_geo_ev(spark, sf_dir), width=997) \
+        .orderBy("w_start")
+
+
+def oracle_time_rollup():
+    from .gate import _geo_cte
+    return f"""
+WITH geo AS ({_geo_cte()})
+SELECT CAST(ts - ts % 997 AS BIGINT) AS w_start,
+       CAST(SUM(value) AS BIGINT) AS cnt
+FROM geo GROUP BY 1 ORDER BY w_start
+"""
+
+
 PIPELINE_GATE = {
+    "tmp_asof_join": (q_asof_join, oracle_asof_join),
+    "tmp_range_join": (q_range_join, oracle_range_join),
+    "tmp_time_rollup": (q_time_rollup, oracle_time_rollup),
     "doc_exact_dedup": (q_exact_dedup, dedup.oracle_exact_dedup),
     "doc_jaccard_pairs": (q_jaccard_pairs,
                           lambda: dedup.oracle_jaccard_pairs(3, 10)),

@@ -1,0 +1,72 @@
+"""Temporal operators Spark's built-ins don't provide directly —
+composed from DataFrame primitives per the engine's design rule
+(SURVEY.md §2 note: compose built-ins first, UDFs only if semantics
+demand it). All three are exact and DuckDB-oracle-checked.
+
+- as-of join: for each left row, the latest right row with
+  right.ts <= left.ts within the key — the union + windowed
+  last(ignorenulls) construction (one shuffle on (key, ts), no range
+  explosion). DuckDB's native ASOF JOIN is the oracle.
+- range join: events against literal interval brackets — broadcast +
+  BETWEEN (Catalyst turns it into a broadcast nested-loop; bracket
+  count is small by construction at query time).
+- time rollup: tumbling windows on the integer timeline (the
+  hypertable-rollup shape); hopping windows via explode of window
+  starts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str = "item",
+              ts: str = "ts", right_val: str = "rts") -> DataFrame:
+    """left columns + ``right_val`` = value of the latest right row at or
+    before the left row's timestamp (null if none). Rights sort before
+    lefts at equal ts so ties match (>= semantics, like ASOF JOIN)."""
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    r = (right.select(F.col(key), F.col(ts), F.col(right_val))
+         .withColumn("_side", F.lit(0)))
+    for c in lcols:
+        if c not in (key, ts) and c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    if right_val not in l.columns:
+        l = l.withColumn(right_val, F.lit(None))
+    u = l.unionByName(r.select(l.columns))
+    w = (Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (u.withColumn("_rv", F.last(right_val, ignorenulls=True).over(w))
+            .where(F.col("_side") == 1)
+            .select(*lcols, F.col("_rv").alias(right_val)))
+
+
+def range_join(events: DataFrame, brackets: DataFrame,
+               col: str = "ts", lo: str = "lo", hi: str = "hi") -> DataFrame:
+    """events x brackets ON events[col] BETWEEN lo AND hi (inclusive);
+    bracket side broadcast."""
+    cond = F.col(col).between(F.col(lo), F.col(hi))
+    return events.join(F.broadcast(brackets), cond, "inner")
+
+
+def time_rollup(events: DataFrame, width: int, ts: str = "ts",
+                hop: int | None = None) -> DataFrame:
+    """Tumbling (or hopping, if hop < width) window counts on an integer
+    timeline. -> (w_start, cnt [, ...group cols])."""
+    if hop is None or hop == width:
+        w_start = (F.col(ts) - F.col(ts) % width).alias("w_start")
+        return (events.groupBy(w_start)
+                .agg(F.sum("value").alias("cnt"))
+                .select(F.col("w_start").cast("bigint"),
+                        F.col("cnt").cast("bigint")))
+    # hopping: a row at t belongs to windows starting in
+    # (t - width, t] stepped by hop
+    first = (F.col(ts) - F.col(ts) % hop) - (width // hop - 1) * hop
+    starts = F.sequence(F.greatest(first, F.lit(0)),
+                        F.col(ts) - F.col(ts) % hop, F.lit(hop))
+    return (events.withColumn("w_start", F.explode(starts))
+            .where(F.col(ts) < F.col("w_start") + width)
+            .groupBy("w_start").agg(F.sum("value").alias("cnt"))
+            .select(F.col("w_start").cast("bigint"),
+                    F.col("cnt").cast("bigint")))

@@ -1,0 +1,40 @@
+"""Temporal operators: as-of join edge cases, hopping rollup."""
+
+from pyspark.sql import functions as F
+
+from spatialsketch_spark.pipeline.temporal import (
+    asof_join, range_join, time_rollup,
+)
+
+
+def test_asof_edges(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "a", 20), (4, "b", 7)],
+        "id LONG, item STRING, ts LONG")
+    right = spark.createDataFrame(
+        [("a", 5, 100), ("a", 20, 200), ("b", 8, 300)],
+        "item STRING, ts LONG, rts LONG")
+    got = {r["id"]: r["rts"] for r in
+           asof_join(left, right, key="item", ts="ts").collect()}
+    assert got[1] == 100        # latest <= 10 is ts=5
+    assert got[2] == 100        # equality matches (>= semantics)
+    assert got[3] == 200        # equality at 20
+    assert got[4] is None       # no right row at or before ts=7 for b
+
+
+def test_hopping_rollup(spark):
+    ev = spark.createDataFrame([(t, 1) for t in range(0, 100)],
+                               "ts LONG, value LONG")
+    out = {r["w_start"]: r["cnt"] for r in
+           time_rollup(ev, width=20, hop=10).collect()}
+    # interior windows hold exactly 20 rows
+    assert out[10] == 20 and out[40] == 20
+    # every row appears in exactly width/hop = 2 windows
+    assert sum(out.values()) == 2 * 100 - 10  # first 10 rows only in w=0
+
+
+def test_range_join_inclusive_bounds(spark):
+    ev = spark.createDataFrame([(5, 1), (10, 1), (11, 1)],
+                               "ts LONG, value LONG")
+    br = spark.createDataFrame([(0, 5, 10)], "bid LONG, lo LONG, hi LONG")
+    assert range_join(ev, br, col="ts").count() == 2  # 5 and 10 inclusive
