@@ -31,6 +31,14 @@ from .hashing import coefficients, hash_items, trailing_zeros, MERSENNE_P
 FM_PHI = 0.77351  # FM.cpp:135-148 estimator constant (x1.2928 = 1/phi)
 
 
+def int_group_sum(idx: np.ndarray, weights: np.ndarray, n: int) -> np.ndarray:
+    """Exact int64 grouped sum (np.bincount with float64 weights loses
+    exactness past 2^53; the exact-mode paths must not)."""
+    out = np.zeros(n, dtype=np.int64)
+    np.add.at(out, idx, weights.astype(np.int64))
+    return out
+
+
 def _group_slices(cell_keys: np.ndarray):
     """Sort events by cell; return (order, unique_cells, start_offsets)."""
     order = np.argsort(cell_keys, kind="stable")
@@ -103,8 +111,8 @@ class ExactKernel(BaseKernel):
     def query_l2_counts(self, st) -> dict:
         """item -> count map contribution (merged across cells, then L2)."""
         uc, inv = np.unique(st["items"], return_inverse=True)
-        cnt = np.bincount(inv, weights=st["values"].astype(np.float64))
-        return {"items": uc, "counts": cnt.astype(np.int64)}
+        cnt = int_group_sum(inv, st["values"], len(uc))
+        return {"items": uc, "counts": cnt}
 
     def distinct_items(self, st) -> np.ndarray:
         return np.unique(st["items"])
@@ -154,6 +162,13 @@ class CMKernel(BaseKernel):
         comes for free from CM row 0."""
         return int(st[0].sum())
 
+    # NOTE on exactness: the per-batch counter build below accumulates
+    # int64 values through np.bincount's float64 weights, exact only
+    # while any single counter's per-batch increment stays < 2^53 (~9e15
+    # — far above any realistic Arrow batch; cross-batch accumulation is
+    # int64 `+=` in merge()). The CM is a lossy synopsis anyway; the
+    # engine's *exact-mode* claim rides on ExactKernel, which never goes
+    # through float weights.
     def build_grouped(self, cell_keys, items, values, ts):
         order, uc, starts = _group_slices(cell_keys)
         inv = np.searchsorted(uc, cell_keys[order])
@@ -176,6 +191,12 @@ class CMKernel(BaseKernel):
         return out
 
     def query_item(self, st, item, item_end=None, t0=None) -> int:
+        if item_end is not None and item_end != item:
+            raise ValueError("CM answers point frequencies only; item "
+                             "ranges need a 'dcm' (or exact-mode) store")
+        if t0 is not None and t0 > 0:
+            raise ValueError("CM has no time dimension; window queries "
+                             "need an 'ecm' (or exact-mode) store")
         h = self.hash(np.array([item]))[:, 0]
         return int(st[np.arange(self.d), h].min())    # CountMin.cpp:184-194
 
@@ -357,6 +378,9 @@ class ECMKernel(BaseKernel):
         return total
 
     def query_item(self, st, item, item_end=None, t0=0) -> int:
+        if item_end is not None and item_end != item:
+            raise ValueError("ECM answers point (item, window) counts; "
+                             "item ranges need a 'dcm'/exact-mode store")
         t0 = 0 if t0 is None else t0
         h = hash_items(np.array([item]), self.coeffs, self.w)[:, 0]
         ests = [self.hist_sum(st[r][int(h[r])], t0) for r in range(self.d)]
@@ -395,8 +419,7 @@ class DCMKernel(BaseKernel):
             for lvl in range(self.exact_levels):
                 pref = it >> lvl
                 up, inv = np.unique(pref, return_inverse=True)
-                cnt = np.bincount(inv, weights=va.astype(np.float64)).astype(np.int64)
-                exact[lvl] = (up, cnt)
+                exact[lvl] = (up, int_group_sum(inv, va, len(up)))
             cms = np.zeros((max(n_cm_levels, 0), self.d, self.w), dtype=np.int64)
             for li, lvl in enumerate(range(self.exact_levels, self.L + 1)):
                 pref = it >> lvl
@@ -417,8 +440,7 @@ class DCMKernel(BaseKernel):
             allp = np.concatenate([s["exact"][lvl][0] for s in states])
             allc = np.concatenate([s["exact"][lvl][1] for s in states])
             up, inv = np.unique(allp, return_inverse=True)
-            cnt = np.bincount(inv, weights=allc.astype(np.float64)).astype(np.int64)
-            out_exact[lvl] = (up, cnt)
+            out_exact[lvl] = (up, int_group_sum(inv, allc, len(up)))
         cms = states[0]["cms"].copy()
         for s in states[1:]:
             cms += s["cms"]

@@ -255,6 +255,92 @@ def oracle_window_count() -> str:
                            extra_values=f"qp(qid, item, t0) AS (VALUES {iv}),")
 
 
+def q_window_count_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 answered in the reference's second (ECM_merge) query mode
+    (SpatialSketch.cpp:1175-1221): the cover cells' histograms are
+    merged FIRST (MergeECM arrival reconstruction), then one HistSum —
+    vs q_window_count's per-cell HistSum + sum. In exact mode both must
+    equal the same oracle; merge-order invariance of the lossy EH fold
+    is asserted in tests/test_dynsketch.py::test_window_merge_mode."""
+    eng = _engine(spark, sf_dir)
+    probes = [(RECTS[0], 3, 1000), (RECTS[1], 17, 5000),
+              (RECTS[2], 42, 0), (RECTS[3], 9, 10 ** 9)]
+    qs = [QuerySpec(i, [r], "window_merge", item=it, t0=t0)
+          for i, (r, it, t0) in enumerate(probes)]
+    return _result(eng, qs)
+
+
+# unaligned fixture: half-integer vertices NOT on the 16-cell block
+# grid, so floor-level cover cells carry fractional coverage and the
+# estimate is the reference's coverage-scaled truncation
+# (SpatialSketch.cpp:660-676,766) — inexact by design.
+POLY_FRAC = Shape(rings=[[(100.5, 50.5), (2000.5, 50.5), (2000.5, 1500.5),
+                          (1000.5, 1500.5), (1000.5, 2500.5),
+                          (100.5, 2500.5)]],
+                  grid_size=N, name="frac-L")
+FRAC_RECTS = [(3.5, 7.5, 1234.5, 2345.5), (2000.5, 2000.5, 3210.5, 3456.5)]
+
+
+def q_polygon_count_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-coverage gate: truncated estimates cannot be
+    bit-equal to SQL, but they carry a PROVEN envelope — for every
+    cover cell, both the estimate floor(cov * cell_total) and the true
+    in-region mass lie in [0, cell_total], and full-coverage cells are
+    exact, so |est - truth| <= sum of cell totals over partial-coverage
+    cells. The gate emits ok = (|est - truth| <= bound) per query and
+    the oracle emits the constant 1 — hash-equal iff every estimate is
+    inside its envelope. truth is computed by the same raw-event
+    aggregation that geo_polygon_count proves equal to DuckDB."""
+    eng = _engine(spark, sf_dir)
+    st = eng.store
+    shapes_ranges = [shape_to_ranges(POLY_FRAC)] + [
+        [(int(x1 + 0.5), int(y1 + 0.5), int(x2 - 0.5), int(y2 - 0.5))]
+        for (x1, y1, x2, y2) in FRAC_RECTS]
+    qs = [QuerySpec(i, rs, "count") for i, rs in enumerate(shapes_ranges)]
+    est = eng.query(qs)
+
+    from .geo.events import derive_geo_events
+    ev = derive_geo_events(spark, sf_dir, N)
+    rect_rows = [(q.qid, x1, y1, x2, y2)
+                 for q in qs for (x1, y1, x2, y2) in q.ranges]
+    rects = spark.createDataFrame(
+        rect_rows, "qid BIGINT, x1 BIGINT, y1 BIGINT, x2 BIGINT, y2 BIGINT")
+    cond = (F.col("x").between(F.col("x1"), F.col("x2"))
+            & F.col("y").between(F.col("y1"), F.col("y2")))
+    truth = (ev.join(F.broadcast(rects), cond)
+             .groupBy("qid").agg(F.sum("value").alias("truth")))
+
+    cover_pdf = eng.cover_rows(qs)
+    import pandas as pd
+    cover = spark.createDataFrame(
+        pd.DataFrame(cover_pdf,
+                     columns=["qid", "grid_key", "cell", "coverage",
+                              "qkind", "item", "item_end", "t0"]),
+        schema=("qid BIGINT, grid_key INT, cell BIGINT, coverage DOUBLE, "
+                "qkind STRING, item BIGINT, item_end BIGINT, t0 BIGINT"))
+    bound = (st.df.join(F.broadcast(
+                 cover.where(F.col("coverage") < 1.0)
+                 .select("qid", "grid_key", "cell")),
+                 ["grid_key", "cell"])
+             .groupBy("qid").agg(F.sum("val_sum").alias("bound")))
+
+    return (est.join(truth, "qid", "left").join(bound, "qid", "left")
+            .select("qid",
+                    F.when(F.abs(F.col("est")
+                                 - F.coalesce("truth", F.lit(0)))
+                           <= F.coalesce("bound", F.lit(0)), 1)
+                    .otherwise(0).cast("bigint").alias("ok"))
+            .orderBy("qid"))
+
+
+def oracle_polygon_count_frac() -> str:
+    return f"""
+SELECT CAST(qid AS BIGINT) AS qid, CAST(1 AS BIGINT) AS ok
+FROM (VALUES {_qid_values(1 + len(FRAC_RECTS))}) t(qid)
+ORDER BY qid
+"""
+
+
 def q_item_range_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: region AND item BETWEEN a AND b (Postgres.cpp:715) — the
     dyadic-CM query class."""
@@ -464,6 +550,9 @@ GATE_QUERIES = {
     "geo_region_member": (q_region_member, oracle_region_member),
     "geo_region_l2": (q_region_l2, oracle_region_l2),
     "geo_window_count": (q_window_count, oracle_window_count),
+    "geo_window_count_merge": (q_window_count_merge, oracle_window_count),
+    "geo_polygon_count_frac": (q_polygon_count_frac,
+                               oracle_polygon_count_frac),
     "geo_item_range_freq": (q_item_range_freq, oracle_item_range_freq),
     "geo_item_range_dcm": (q_item_range_dcm, oracle_item_range_freq),
     "geo_span_rollup": (q_span_rollup, oracle_span_rollup),

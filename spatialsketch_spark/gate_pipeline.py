@@ -67,15 +67,27 @@ def q_cosine_topk(spark, sf_dir):
         .orderBy("qid", "rank")
 
 
+# Recall-complete LSH config for the fixtures: the synthetic near-dup
+# pairs sit barely above cos 0.3 (min 0.30007 at sf0.01), the hardest
+# regime for hyperplane LSH. With 2-bit keys, 8 tables and 1-bit
+# multi-probe a qualifying pair is missed only if its keys differ in
+# BOTH bits of ALL 8 tables: P ≈ (0.403^2)^8 ≈ 5e-7 at cos=0.3 —
+# verified exhaustively equal to brute force at sf0.001 and sf0.01
+# (tests/test_pipeline_ops.py). The approximate operator is thereby
+# gated against the EXACT oracle: candidates ⊇ truth, and the exact
+# re-rank/re-check makes the output identical.
+LSH_GATE = dict(n_tables=8, planes_per_table=2, probe_bits=1)
+
+
 def q_lsh_topk(spark, sf_dir):
-    # approximate — rows-only gate check; recall vs brute force is
-    # asserted in tests/test_pipeline_ops.py
-    return similarity.lsh_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=5) \
-        .orderBy("qid", "rank")
+    return similarity.lsh_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=5,
+                               **LSH_GATE).orderBy("qid", "rank")
 
 
-def q_cosine_dups(spark, sf_dir):
-    return similarity.cosine_dup_pairs(_emb(spark, sf_dir), 0.3) \
+def q_lsh_dups(spark, sf_dir):
+    # the bucketed near-dup scale path; the all-pairs cosine_dup_pairs
+    # join is demoted to a test-only verifier
+    return similarity.lsh_dup_pairs(_emb(spark, sf_dir), 0.3, **LSH_GATE) \
         .orderBy("vec_a", "vec_b")
 
 
@@ -192,9 +204,10 @@ PIPELINE_GATE = {
     "doc_fingerprint": (q_fingerprint, text.oracle_doc_fingerprint),
     "emb_cosine_topk": (q_cosine_topk,
                         lambda: similarity.oracle_cosine_topk(EMB_QUERY_IDS, 5)),
-    "emb_lsh_topk": (q_lsh_topk, None),
-    "emb_cosine_dups": (q_cosine_dups,
-                        lambda: similarity.oracle_cosine_dup_pairs(0.3)),
+    "emb_lsh_topk": (q_lsh_topk,
+                     lambda: similarity.oracle_cosine_topk(EMB_QUERY_IDS, 5)),
+    "emb_lsh_dups": (q_lsh_dups,
+                     lambda: similarity.oracle_cosine_dup_pairs(0.3)),
     "media_features": (q_media_features, media.oracle_media_features),
     "rel_pricing_summary": (q_rel_pricing, relational.oracle_pricing_summary),
     "rel_orders_by_nation": (q_rel_nations, relational.oracle_orders_by_nation),

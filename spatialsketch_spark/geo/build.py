@@ -72,15 +72,20 @@ def _partial_builder(cfg: SketchConfig, kind: str, min_level: int):
         x = np.concatenate(xs); y = np.concatenate(ys)
         items = np.concatenate(its); values = np.concatenate(vas)
         ts = np.concatenate(tss)
+        if len(x) == 0:
+            return
         out_gk, out_cell, out_payload = [], [], []
         out_nev, out_vs = [], []
         for kx, ky in grids:
             keys = (x >> kx) * n + (y >> ky)
             uc, states = kernel.build_grouped(keys, items, values, ts)
-            inv = np.searchsorted(uc, keys)
-            counts = np.bincount(inv, minlength=len(uc)).astype(np.int64)
-            vsums = np.bincount(inv, weights=values.astype(np.float64),
-                                minlength=len(uc)).astype(np.int64)
+            # n_events / val_sum: integer-exact grouped sums (sorted
+            # reduceat, no float64-weight bincount — val_sum backs the
+            # exact 'count' query path and must hold past 2^53)
+            order = np.argsort(keys, kind="stable")
+            starts = np.searchsorted(keys[order], uc)
+            counts = np.diff(np.append(starts, len(keys))).astype(np.int64)
+            vsums = np.add.reduceat(values[order], starts).astype(np.int64)
             gk = cfg.grid_key(kx, ky)
             for c, st, ne, vs in zip(uc.tolist(), states, counts.tolist(),
                                      vsums.tolist()):
@@ -257,11 +262,13 @@ class SketchStore:
                 F.spark_partition_id().alias("pid")).count()
             .withColumnRenamed("count", "cnt").collect()
         ]
+        fingerprint = cls.fingerprint_events(events)
         stats = df.agg(F.count("*").alias("cells"),
                        F.sum("n_events").alias("merged_events")).collect()[0]
         manifest = {
             "kind": kind,
             "min_level": min_level,
+            "input_fingerprint": fingerprint,
             "cfg": {"n": cfg.n, "eps": cfg.eps, "delta": cfg.delta,
                     "seed": cfg.seed, "exact": cfg.exact,
                     "item_domain": cfg.item_domain,
@@ -289,6 +296,22 @@ class SketchStore:
         df = spark.read.parquet(f"{path}/sketch")
         return cls(spark, df, cfg, kind, manifest["min_level"], manifest)
 
+    @staticmethod
+    def fingerprint_events(events: DataFrame) -> dict:
+        """Partitioning-invariant input identity: row count, ts range,
+        and an order-invariant XOR of per-row xxhash64. Recorded in the
+        manifest and compared on resume so a stale snapshot built from
+        *different data* is never silently served."""
+        fp = events.agg(
+            F.count("*").alias("n"), F.min("ts").alias("tmin"),
+            F.max("ts").alias("tmax"),
+            F.bit_xor(F.xxhash64("ts", "item", "x", "y", "value"))
+            .alias("xh")).collect()[0]
+        return {"n_events": int(fp["n"]),
+                "min_ts": int(fp["tmin"]) if fp["tmin"] is not None else None,
+                "max_ts": int(fp["tmax"]) if fp["tmax"] is not None else None,
+                "xor_hash": int(fp["xh"]) if fp["xh"] is not None else None}
+
     @classmethod
     def build_or_load(cls, spark: SparkSession, events: DataFrame,
                       cfg: SketchConfig, kind: str, min_level: int,
@@ -299,7 +322,9 @@ class SketchStore:
             if (m.get("kind") == kind and m.get("min_level") == min_level
                     and m.get("cfg", {}).get("n") == cfg.n
                     and m.get("cfg", {}).get("exact") == cfg.exact
-                    and m.get("cfg", {}).get("seed") == cfg.seed):
+                    and m.get("cfg", {}).get("seed") == cfg.seed
+                    and m.get("input_fingerprint")
+                    == cls.fingerprint_events(events)):
                 return st
         except (OSError, ValueError, KeyError):
             pass

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.dyadic import effective_cover
-from ..core.kernels import make_kernel
+from ..core.kernels import int_group_sum, make_kernel
 from ..core.partitioner import Shape, shape_to_ranges
 from .build import SketchStore
 
@@ -118,7 +118,7 @@ def _estimate_one(kernel, pdf: pd.DataFrame) -> int:
                 allit = np.concatenate([p["items"] for p in parts])
                 allct = np.concatenate([p["counts"] for p in parts])
                 uc, inv = np.unique(allit, return_inverse=True)
-                cnt = np.bincount(inv, weights=allct.astype(np.float64))
+                cnt = int_group_sum(inv, allct, len(uc))
                 est = int((cnt ** 2).sum())
             else:                              # CM: merge counters, L2 min-row
                 est = int(kernel.l2_estimate(kernel.merge(states)))
@@ -184,6 +184,12 @@ def _finisher(cfg, kind: str):
         if not chunks:
             return
         allpdf = pd.concat(chunks, ignore_index=True)
+        # merge-kind semantics ignore coverage (states are merged, not
+        # scaled), so two disjoint rects of one query hitting the same
+        # floor-level cell must contribute that cell's state ONCE —
+        # without this dedup the duplicated counters inflate l2 /
+        # window_merge results for unaligned multi-rect regions.
+        allpdf = allpdf.drop_duplicates(subset=["qid", "grid_key", "cell"])
         out_qid, out_est = [], []
         for qid, grp in allpdf.groupby("qid", sort=False):
             out_qid.append(int(qid))
@@ -304,10 +310,36 @@ class SpatialSketchEngine:
           pre-shuffle partial sums); only (qid, partial) scalars shuffle.
           Sum-over-cells is associative, trunc applied per cell exactly
           as the reference does (SpatialSketch.cpp:766).
-        - merge kinds (distinct / member / l2): cell states must be
-          merged before estimating — payloads shuffle by qid, but these
-          queries match only O(log^2 N) cells each.
+        - merge kinds (distinct / member / l2 / window_merge): cell
+          states must be merged before estimating — payloads shuffle by
+          qid, but these queries match only O(log^2 N) cells each.
+          Fractional coverage is intentionally IGNORED for merge kinds
+          (a merged bitmap/filter/counter set has no meaningful scalar
+          scaling); duplicate (qid, cell) matches are deduped before
+          the merge.
+
+        Each qkind is validated against the store's kernel up front —
+        dispatching e.g. a range_freq at a plain-CM store would
+        otherwise silently return point-frequency estimates.
         """
+        _QKIND_KERNELS = {
+            "count": None,                        # val_sum column, any kernel
+            "freq": {"exact", "cm", "ecm"},
+            "range_freq": {"exact", "dcm"},
+            "window": {"exact", "ecm"},
+            "window_merge": {"exact", "ecm"},
+            "distinct": {"exact", "fm"},
+            "member": {"exact", "bf"},
+            "l2": {"exact", "cm"},
+        }
+        kind = "exact" if self.store.cfg.exact else self.store.kind
+        for q in queries:
+            allowed = _QKIND_KERNELS.get(q.qkind, ())
+            if allowed is not None and kind not in (allowed or ()):
+                raise ValueError(
+                    f"query kind {q.qkind!r} is not answerable by a "
+                    f"{self.store.kind!r} store (needs one of "
+                    f"{sorted(allowed) if allowed else '?'})")
         spark = self.store.spark
         counts = [q for q in queries if q.qkind == "count"]
         additive = [q for q in queries

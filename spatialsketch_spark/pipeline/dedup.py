@@ -79,22 +79,49 @@ def shingle_table(docs: DataFrame) -> DataFrame:
                     F.explode(_trigrams_of(F.col("words"))).alias("shingle")))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, num: int = 2, den: int = 1
-                        ) -> DataFrame:
-    """Exact trigram-Jaccard near-dup pairs with integer threshold
-    inter/union >= num/den... i.e. den*inter >= num*union is wrong way —
-    threshold tau = num/den, keep pairs with den*inter >= num*union.
-    Default tau=2/1 is impossible; callers pass e.g. (1,2) for tau=0.5.
-    -> (doc_a, doc_b, inter, uni)."""
+def ngram_jaccard_pairs(docs: DataFrame, num: int, den: int) -> DataFrame:
+    """EXACT trigram-Jaccard near-dup pairs at threshold tau = num/den
+    (keep pairs with den*inter >= num*union), via *prefix filtering*
+    (Chaudhuri et al. SSJoin / Bayardo et al. all-pairs): order each
+    doc's shingles by global document frequency (rarest first, ties by
+    shingle), keep only the first sz - ceil(tau*sz) + 1 as the doc's
+    prefix, and generate candidates by equi-joining prefixes.
+
+    Completeness: J(A,B) >= tau implies inter >= ceil(tau*|A|) (since
+    den*i >= num*(a+b-i) and b >= i give den*i >= num*a), so fewer than
+    ceil(tau*|A|) common shingles fit in A's suffix — the globally
+    smallest common shingle therefore sits in BOTH prefixes. Exact for
+    any data: candidates superset all qualifying pairs; the exact
+    inter/union recheck is candidate-bounded, so no unbounded shingle
+    self-join exists at any scale (the 100 TB posture the plain
+    inverted-list self-join lacks). -> (doc_a, doc_b, inter, uni)."""
+    if num <= 0 or den <= 0 or num > den:
+        raise ValueError(f"threshold num/den must be in (0, 1]: {num}/{den}")
+    from pyspark.sql import Window
     sh = shingle_table(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    order = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # prefix_len = sz - ceil(num*sz/den) + 1, integer ceil
+    plen = (F.col("sz")
+            - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / den) + 1)
+    prefix = (sh.join(dfreq, "shingle")
+              .withColumn("pos", F.row_number().over(order))
+              .join(sizes, "doc_id")
+              .where(F.col("pos") <= plen)
+              .select("doc_id", "shingle"))
+    cands = (prefix.alias("a")
+             .join(prefix.alias("b"),
+                   (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    # exact intersection count, bounded to candidate pairs
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (cands.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (inter.join(sa, "doc_a").join(sb, "doc_b")

@@ -11,20 +11,29 @@ integers only.
   nested-loop join; ranking is one window per qid (parallel across
   qids, no global sort).
 - ``lsh_topk``: the scale path — random-hyperplane (SimHash) bucketing
-  with integer hyperplanes derived from md5, so buckets are
-  deterministic; exact re-ranking within multi-probe buckets. Recall vs
-  brute force asserted in tests.
+  computed as ONE numpy matmul per Arrow batch against a seeded ±1
+  plane matrix regenerated on every executor (deterministic; no driver
+  action, no per-dimension Catalyst expressions — at dim=768 the
+  expression-tree form would be ~12k Column nodes per projection);
+  exact re-ranking within multi-probe buckets reuses the byte-identical
+  quantized arithmetic of ``cosine_topk``.
+- ``lsh_dup_pairs``: bucketed near-duplicate pairs — LSH candidates
+  (pairs colliding in any table, within ``probe_bits`` of each other)
+  followed by the exact integer-cosine >= tau recheck. Replaces the
+  all-pairs join as the gated/scale path; ``cosine_dup_pairs`` remains
+  the brute-force verifier.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-
-from .dedup import word_hash_col
 
 QUANT = 1_000_000
 N_TABLES = 4          # independent hyperplane tables (band OR-construction)
 PLANES_PER_TABLE = 4  # bits per bucket key (AND-construction)
+PLANE_SEED = 7
 
 
 def quantize(col):
@@ -65,33 +74,73 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5
                     F.col("vec_id").cast("bigint")))
 
 
-def _plane_sign(dim: int, plane: int):
-    """Deterministic ±1 from md5 of 'plane:dim' (shared with tests)."""
-    return F.when(
-        word_hash_col(F.concat_ws(":", F.lit(plane), F.lit(dim)))
-        .bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+def plane_matrix(dim: int, n_planes: int, seed: int = PLANE_SEED
+                 ) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix (dim, n_planes) — regenerated
+    identically on every executor from the seed (shared with tests)."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(dim, n_planes),
+                         dtype=np.int64) * 2 - 1)
 
 
 def simhash_buckets(emb: DataFrame, n_tables: int = N_TABLES,
-                    planes_per_table: int = PLANES_PER_TABLE) -> DataFrame:
+                    planes_per_table: int = PLANES_PER_TABLE,
+                    seed: int = PLANE_SEED) -> DataFrame:
     """Random-hyperplane bucketing, one bucket id per table: bit p of
-    table t = sign of the dot product with an integer ±1 hyperplane.
-    Multiple independent tables (OR-construction) keep recall usable on
-    weakly-correlated data. -> (vec_id, qv, n2, buckets: array)."""
-    qdf = with_quantized(emb)
-    dim = len(emb.select("embedding").head()["embedding"])
-    buckets = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("bigint")
-        for p in range(planes_per_table):
-            plane = t * planes_per_table + p
-            proj = None
-            for d in range(dim):
-                term = _plane_sign(d, plane) * F.element_at("qv", d + 1)
-                proj = term if proj is None else proj + term
-            bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-        buckets.append(bucket)
-    return qdf.withColumn("buckets", F.array(*buckets))
+    table t = sign of the dot product with a ±1 hyperplane. Multiple
+    independent tables (OR-construction) keep recall usable on
+    weakly-correlated data.
+
+    All projections for an Arrow batch are ONE numpy matmul
+    (B x dim) @ (dim x n_planes) inside mapInPandas; dim is taken from
+    the batch on the executor — no driver action, no data-dependent
+    plan. The raw embedding is carried through so callers apply the
+    same quantized re-rank arithmetic as the brute-force baseline.
+    -> (vec_id, embedding, buckets: array<bigint>[n_tables])."""
+    n_planes = n_tables * planes_per_table
+    weights = (1 << np.arange(planes_per_table, dtype=np.int64))
+
+    def fn(batches):
+        planes = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            if planes is None:
+                planes = plane_matrix(mat.shape[1], n_planes, seed)
+            bits = (mat @ planes) > 0                    # (B, n_planes)
+            buckets = bits.reshape(len(pdf), n_tables,
+                                   planes_per_table) @ weights
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": pdf["embedding"],
+                                "buckets": list(buckets)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        fn, schema="vec_id BIGINT, embedding ARRAY<FLOAT>, "
+                   "buckets ARRAY<BIGINT>")
+
+
+def _bucketed_quantized(emb: DataFrame, n_tables: int, planes_per_table: int,
+                        seed: int = PLANE_SEED) -> DataFrame:
+    """(vec_id, qv, n2, table, bucket) — one row per hash table."""
+    b = simhash_buckets(emb, n_tables, planes_per_table, seed)
+    return (b.withColumn("qv", quantize(F.col("embedding")))
+            .withColumn("n2", _norm2(F.col("qv")))
+            .select("vec_id", "qv", "n2",
+                    F.posexplode("buckets").alias("table", "bucket")))
+
+
+def _probe_starts(planes_per_table: int, probe_bits: int):
+    """Bucket keys within hamming distance ``probe_bits`` (0, 1 or 2)."""
+    probes = [F.col("qbucket")]
+    if probe_bits >= 1:
+        probes += [F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                   for p in range(planes_per_table)]
+    if probe_bits >= 2:
+        probes += [F.col("qbucket").bitwiseXOR(F.lit((1 << p) | (1 << q)))
+                   for p in range(planes_per_table)
+                   for q in range(p + 1, planes_per_table)]
+    return probes
 
 
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
@@ -101,18 +150,13 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     """Approximate top-k: candidates share the query's bucket in ANY
     table, exactly or within hamming distance probe_bits (multi-probe);
     exact cosine re-rank on candidates. -> (qid, rank, vec_id)."""
-    b = simhash_buckets(emb, n_tables, planes_per_table)
-    bt = b.select("vec_id", "qv", "n2",
-                  F.posexplode("buckets").alias("table", "bucket"))
+    bt = _bucketed_quantized(emb, n_tables, planes_per_table)
     q = bt.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"),
         F.col("n2").alias("qn2"), F.col("table").alias("qtable"),
         F.col("bucket").alias("qbucket"))
-    probes = [F.col("qbucket")]
-    if probe_bits >= 1:
-        probes += [F.col("qbucket").bitwiseXOR(F.lit(1 << p))
-                   for p in range(planes_per_table)]
-    q = q.withColumn("probe", F.explode(F.array(*probes)))
+    q = q.withColumn("probe", F.explode(F.array(
+        *_probe_starts(planes_per_table, probe_bits))))
     cand = bt.join(F.broadcast(q),
                    (F.col("table") == F.col("qtable"))
                    & (F.col("bucket") == F.col("probe"))
@@ -144,6 +188,44 @@ def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
          .withColumn("cos", _dot(F.col("qa"), F.col("qb")) /
                      F.sqrt(F.col("na2").cast("double")
                             * F.col("nb2").cast("double"))))
+    return (d.where(F.col("cos") >= threshold)
+            .select(F.col("vec_a").cast("bigint"),
+                    F.col("vec_b").cast("bigint")))
+
+
+def lsh_dup_pairs(emb: DataFrame, threshold: float = 0.3,
+                  n_tables: int = N_TABLES,
+                  planes_per_table: int = PLANES_PER_TABLE,
+                  probe_bits: int = 1) -> DataFrame:
+    """Bucketed embedding near-duplicate pairs — the 100 TB path the
+    all-pairs ``cosine_dup_pairs`` join lacks: candidates are pairs
+    whose bucket keys collide in ANY table within hamming distance
+    ``probe_bits`` (an equi-join on (table, bucket) — pair blowup is
+    bounded by bucket collisions, never |n|^2), then the exact
+    integer-quantized cosine >= threshold recheck, byte-identical to
+    the brute-force verifier's arithmetic.
+
+    Recall is a config property: P[miss] = P[keys differ by > probe_bits
+    bits]^n_tables per pair. The gate runs a recall-complete config for
+    the fixture's cosine range (see gate_pipeline.q_lsh_dups);
+    tests assert candidates ⊇ brute-force pairs there.
+    -> (vec_a, vec_b)."""
+    bt = _bucketed_quantized(emb, n_tables, planes_per_table)
+    a = bt.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
+                  F.col("n2").alias("na2"), "table",
+                  F.col("bucket").alias("qbucket"))
+    a = a.withColumn("probe", F.explode(F.array(
+        *_probe_starts(planes_per_table, probe_bits)))).drop("qbucket")
+    b = bt.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
+                  F.col("n2").alias("nb2"), "table", "bucket")
+    cand = (a.join(b, (a["table"] == b["table"])
+                   & (F.col("probe") == F.col("bucket"))
+                   & (F.col("vec_a") < F.col("vec_b")))
+            .drop("table", "probe", "bucket")
+            .dropDuplicates(["vec_a", "vec_b"]))
+    d = cand.withColumn("cos", _dot(F.col("qa"), F.col("qb")) /
+                        F.sqrt(F.col("na2").cast("double")
+                               * F.col("nb2").cast("double")))
     return (d.where(F.col("cos") >= threshold)
             .select(F.col("vec_a").cast("bigint"),
                     F.col("vec_b").cast("bigint")))

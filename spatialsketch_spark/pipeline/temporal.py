@@ -61,8 +61,13 @@ def time_rollup(events: DataFrame, width: int, ts: str = "ts",
                 .select(F.col("w_start").cast("bigint"),
                         F.col("cnt").cast("bigint")))
     # hopping: a row at t belongs to windows starting in
-    # (t - width, t] stepped by hop
-    first = (F.col(ts) - F.col(ts) % hop) - (width // hop - 1) * hop
+    # (t - width, t] stepped by hop. The earliest *aligned* start that
+    # can still contain t is align(t) - (ceil(width/hop) - 1) * hop —
+    # floor(width/hop) would drop the first window whenever hop does
+    # not divide width, and would make sequence() start > stop when
+    # hop > width. Spurious early starts (and, for hop > width, rows
+    # falling in no window at all) are trimmed by the where() below.
+    first = (F.col(ts) - F.col(ts) % hop) - (-(-width // hop) - 1) * hop
     starts = F.sequence(F.greatest(first, F.lit(0)),
                         F.col(ts) - F.col(ts) % hop, F.lit(hop))
     return (events.withColumn("w_start", F.explode(starts))

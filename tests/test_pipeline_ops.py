@@ -35,6 +35,89 @@ def test_lsh_topk_recall(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_lsh_topk_exact_at_gate_config(spark, emb):
+    """At the recall-complete gate config the approximate top-k must be
+    IDENTICAL to brute force (candidates ⊇ truth + exact re-rank)."""
+    from spatialsketch_spark.gate_pipeline import LSH_GATE
+    qids = [0, 1, 2, 3, 10, 20]
+    exact = sorted((r["qid"], r["rank"], r["vec_id"]) for r in
+                   similarity.cosine_topk(emb, qids, k=5).collect())
+    approx = sorted((r["qid"], r["rank"], r["vec_id"]) for r in
+                    similarity.lsh_topk(emb, qids, k=5,
+                                        **LSH_GATE).collect())
+    assert approx == exact
+
+
+def test_lsh_dup_pairs_exact_at_gate_config(spark, emb):
+    from spatialsketch_spark.gate_pipeline import LSH_GATE
+    exact = {(r["vec_a"], r["vec_b"]) for r in
+             similarity.cosine_dup_pairs(emb, 0.3).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]) for r in
+           similarity.lsh_dup_pairs(emb, 0.3, **LSH_GATE).collect()}
+    assert lsh == exact and len(exact) > 0
+
+
+def test_lsh_plan_bounded_at_dim_768(spark):
+    """The scale bug the round-1 LSH had: O(dim x planes) Catalyst
+    expression nodes. At dim=768 the bucketing plan must stay bounded
+    (one MapInPandas, no per-dimension element_at chain) and build
+    instantly."""
+    import time
+    import numpy as np
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(v) for v in rng.normal(size=768)])
+            for i in range(8)]
+    emb768 = spark.createDataFrame(rows,
+                                   "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    t0 = time.time()
+    b = similarity.simhash_buckets(emb768)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert time.time() - t0 < 10
+    assert "element_at" not in plan
+    assert len(plan) < 20_000, len(plan)
+    got = b.collect()
+    assert all(len(r["buckets"]) == similarity.N_TABLES for r in got)
+
+
+def _py_trigrams(text):
+    import re
+    words = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    return {" ".join(words[i:i + 3]) for i in range(len(words) - 2)} \
+        if len(words) >= 3 else set()
+
+
+def test_prefix_filtered_jaccard_matches_bruteforce(spark):
+    """Prefix filtering is an exactness-preserving candidate pruning:
+    compare against a driver-side brute force on adversarial-ish docs
+    (shared prefixes/suffixes, duplicates, short docs)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = []
+    words = base.split()
+    for i in range(40):
+        w = list(words)
+        if i % 3 == 0:
+            w[i % len(w)] = f"tok{i}"
+        if i % 5 == 0:
+            w = w[: 4 + (i % 7)]
+        docs.append((i, " ".join(w)))
+    docs += [(100, "a b"), (101, "a b c"), (102, "a b c")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    for num, den in [(3, 10), (5, 10), (8, 10)]:
+        got = {(r["doc_a"], r["doc_b"], r["inter"], r["uni"]) for r in
+               dedup.ngram_jaccard_pairs(df, num=num, den=den).collect()}
+        want = set()
+        tri = {d: _py_trigrams(t) for d, t in docs}
+        ids = sorted(tri)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                i = len(tri[a] & tri[b])
+                u = len(tri[a] | tri[b])
+                if u and den * i >= num * u:
+                    want.add((a, b, i, u))
+        assert got == want, (num, den, got ^ want)
+
+
 def test_minhash_candidates_contain_high_jaccard(spark, docs):
     """Pairs above a high Jaccard threshold should (mostly) be LSH
     candidates; with 4 bands x 3 rows, P(candidate) = 1-(1-s^3)^4 —

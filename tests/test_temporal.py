@@ -33,6 +33,36 @@ def test_hopping_rollup(spark):
     assert sum(out.values()) == 2 * 100 - 10  # first 10 rows only in w=0
 
 
+def _hop_truth(ts_values, width, hop):
+    """Brute-force hopping rollup: every aligned start s = k*hop with
+    s <= t < s + width."""
+    out = {}
+    for t in ts_values:
+        s = t - t % hop
+        while s >= 0 and s + width > t:
+            out[s] = out.get(s, 0) + 1
+            s -= hop
+    return out
+
+
+def test_hopping_rollup_nondivisible_width(spark):
+    # width % hop != 0: floor(width/hop) would drop the earliest window
+    ev = spark.createDataFrame([(t, 1) for t in range(0, 60)],
+                               "ts LONG, value LONG")
+    out = {r["w_start"]: r["cnt"] for r in
+           time_rollup(ev, width=25, hop=10).collect()}
+    assert out == _hop_truth(range(0, 60), 25, 10)
+
+
+def test_hopping_rollup_hop_gt_width(spark):
+    # hop > width: rows between windows belong to none; must not throw
+    ev = spark.createDataFrame([(t, 1) for t in range(0, 50)],
+                               "ts LONG, value LONG")
+    out = {r["w_start"]: r["cnt"] for r in
+           time_rollup(ev, width=7, hop=20).collect()}
+    assert out == _hop_truth(range(0, 50), 7, 20)
+
+
 def test_range_join_inclusive_bounds(spark):
     ev = spark.createDataFrame([(5, 1), (10, 1), (11, 1)],
                                "ts LONG, value LONG")
