@@ -116,6 +116,40 @@ def cover_2d(x1: int, y1: int, x2: int, y2: int, log_n: int,
     return out
 
 
+def cover_2d_np(rects, log_n: int, floor_k: int = 0):
+    """Batch 2-D covers as numpy arrays: rects is an iterable of
+    (x1, y1, x2, y2); returns (rect_idx, kx, ky, cx, cy, coverage)
+    int64/float64 arrays. Same elements as cover_2d per rect (asserted
+    in tests) — the per-axis covers stay tiny Python (<= 2 log n
+    intervals), but the cross product and row materialization are
+    vectorized, which is what the large-batch query planner pays per
+    rect (the per-element list-append form costs ~1 ms/rect; this is
+    ~10x cheaper)."""
+    idxs, kxs, kys, cxs, cys, covs = [], [], [], [], [], []
+    for i, (x1, y1, x2, y2) in enumerate(rects):
+        xs = canonical_cover(int(x1), int(x2), log_n, floor_k)
+        ys = canonical_cover(int(y1), int(y2), log_n, floor_k)
+        if not xs or not ys:
+            continue
+        xk = np.fromiter((k for k, _, _ in xs), np.int64, len(xs))
+        xc = np.fromiter((s >> k for k, s, _ in xs), np.int64, len(xs))
+        xv = np.fromiter((c for _, _, c in xs), np.float64, len(xs))
+        yk = np.fromiter((k for k, _, _ in ys), np.int64, len(ys))
+        yc = np.fromiter((s >> k for k, s, _ in ys), np.int64, len(ys))
+        yv = np.fromiter((c for _, _, c in ys), np.float64, len(ys))
+        nx, ny = len(xs), len(ys)
+        kxs.append(np.repeat(xk, ny)); cxs.append(np.repeat(xc, ny))
+        kys.append(np.tile(yk, nx));   cys.append(np.tile(yc, nx))
+        covs.append(np.repeat(xv, ny) * np.tile(yv, nx))
+        idxs.append(np.full(nx * ny, i, dtype=np.int64))
+    if not idxs:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, z, np.zeros(0, dtype=np.float64)
+    return (np.concatenate(idxs), np.concatenate(kxs),
+            np.concatenate(kys), np.concatenate(cxs),
+            np.concatenate(cys), np.concatenate(covs))
+
+
 def effective_cover(x1: int, y1: int, x2: int, y2: int, log_n: int,
                     dropped: frozenset | set = frozenset(),
                     floor_k: int = 0,

@@ -73,9 +73,29 @@ class ExactKernel(BaseKernel):
 
     State: dict(items=int64[], values=int64[], ts=int64[]) sorted by
     (ts, item). Equivalent to exact-mode CM/FM/BF/ECM simultaneously.
+
+    Payload codec: length-prefixed raw int64 buffers (np.frombuffer),
+    not pickle — the query path deserializes one payload per matched
+    cover cell, and pickle.loads was the dominant per-row cost there.
     """
 
     kind = "exact"
+    _MAGIC = b"XK1\x00\x00\x00\x00\x00"   # 8 bytes so arrays stay 8-aligned
+
+    def serialize(self, state) -> bytes:
+        n = np.int64(len(state["items"]))
+        return b"".join((self._MAGIC, n.tobytes(),
+                         np.ascontiguousarray(state["items"], np.int64).tobytes(),
+                         np.ascontiguousarray(state["values"], np.int64).tobytes(),
+                         np.ascontiguousarray(state["ts"], np.int64).tobytes()))
+
+    def deserialize(self, blob: bytes):
+        if blob[:8] != self._MAGIC:           # legacy pickle payloads
+            return pickle.loads(blob)
+        n = int(np.frombuffer(blob, np.int64, 1, 8)[0])
+        return {"items": np.frombuffer(blob, np.int64, n, 16),
+                "values": np.frombuffer(blob, np.int64, n, 16 + 8 * n),
+                "ts": np.frombuffer(blob, np.int64, n, 16 + 16 * n)}
 
     def build_grouped(self, cell_keys, items, values, ts):
         order, uc, starts = _group_slices(cell_keys)
@@ -135,25 +155,65 @@ class CMKernel(BaseKernel):
     def hash(self, items):
         return hash_items(items, self.coeffs, self.w)
 
+    _MAGIC_D = b"CMD\x00\x00\x00\x00\x00"
+    _MAGIC_S = b"CMS\x00\x00\x00\x00\x00"
+
     def serialize(self, state) -> bytes:
         """Sparse encoding when the counter matrix is mostly zero (the
         common case for fine-grid cells with a handful of events) —
-        ~10x smaller payloads than pickling the dense (d, w) array."""
-        flat = state.ravel()
+        ~10x smaller payloads than the dense (d, w) array. Raw int64
+        buffers, not pickle: the query path pays one deserialize per
+        matched cover cell."""
+        flat = np.ascontiguousarray(state, np.int64).ravel()
         nz = np.flatnonzero(flat)
-        if len(nz) * 3 < flat.size:
-            return pickle.dumps(("s", state.shape,
-                                 nz.astype(np.int32), flat[nz]), protocol=4)
-        return pickle.dumps(("d", state), protocol=4)
+        if len(nz) * 2 < flat.size:
+            return b"".join((self._MAGIC_S,
+                             np.int64(len(nz)).tobytes(),
+                             nz.astype(np.int64).tobytes(),
+                             flat[nz].tobytes()))
+        return self._MAGIC_D + flat.tobytes()
 
     def deserialize(self, blob: bytes):
-        obj = pickle.loads(blob)
+        if blob[:8] == self._MAGIC_D:
+            return np.frombuffer(blob, np.int64, self.d * self.w,
+                                 8).reshape(self.d, self.w)
+        if blob[:8] == self._MAGIC_S:
+            nnz = int(np.frombuffer(blob, np.int64, 1, 8)[0])
+            idx = np.frombuffer(blob, np.int64, nnz, 16)
+            vals = np.frombuffer(blob, np.int64, nnz, 16 + 8 * nnz)
+            out = np.zeros(self.d * self.w, dtype=np.int64)
+            out[idx] = vals
+            return out.reshape(self.d, self.w)
+        obj = pickle.loads(blob)                  # legacy payloads
         if obj[0] == "d":
             return obj[1]
         _, shape, idx, vals = obj
         out = np.zeros(shape[0] * shape[1], dtype=np.int64)
         out[idx] = vals
         return out.reshape(shape)
+
+    def deserialize_batch(self, payloads) -> np.ndarray:
+        """B payloads -> one (B, d, w) int64 counter stack; the batched
+        probe then answers every (row, item) in one fancy-index."""
+        out = np.zeros((len(payloads), self.d, self.w), dtype=np.int64)
+        flat = out.reshape(len(payloads), self.d * self.w)
+        for i, blob in enumerate(payloads):
+            if blob[:8] == self._MAGIC_S:
+                nnz = int(np.frombuffer(blob, np.int64, 1, 8)[0])
+                idx = np.frombuffer(blob, np.int64, nnz, 16)
+                flat[i, idx] = np.frombuffer(blob, np.int64, nnz, 16 + 8 * nnz)
+            else:
+                flat[i, :] = self.deserialize(blob).ravel()
+        return out
+
+    def query_items_batch(self, counters: np.ndarray,
+                          items: np.ndarray) -> np.ndarray:
+        """Vectorized point-frequency probe: counters (B, d, w),
+        items (B,) -> min-over-rows estimates (B,)."""
+        h = self.hash(items)                                   # (d, B)
+        b_idx = np.arange(counters.shape[0])[:, None]          # (B, 1)
+        r_idx = np.arange(self.d)[None, :]                     # (1, d)
+        return counters[b_idx, r_idx, h.T].min(axis=1)
 
     def query_total(self, st) -> int:
         """Exact total mass in the cell: every insert adds `value` once

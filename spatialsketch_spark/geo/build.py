@@ -235,6 +235,21 @@ class SketchStore:
         self.kind = kind
         self.min_level = min_level
         self.manifest = manifest or {}
+        self._bucketed = None
+
+    def bucketed_df(self) -> DataFrame:
+        """The sketch table hash-partitioned by its join key (grid_key,
+        cell) and cached that way — the local-mode analogue of writing
+        the sketch as a BUCKETED table on a cluster. Query-batch joins
+        then reuse this output partitioning: the payload column (the
+        wide side) never re-shuffles per batch; only the tiny cover
+        relation moves. One payload shuffle per store lifetime,
+        amortized over every subsequent query batch."""
+        if self._bucketed is None:
+            p = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            self._bucketed = self.df.repartition(
+                p, "grid_key", "cell").cache()
+        return self._bucketed
 
     # -- construction ------------------------------------------------
     @classmethod

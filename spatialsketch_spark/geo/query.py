@@ -127,6 +127,54 @@ def _estimate_one(kernel, pdf: pd.DataFrame) -> int:
     return int(est)
 
 
+def _additive_batch_ests(kernel, pdf: pd.DataFrame) -> np.ndarray:
+    """Per-matched-row estimates for one Arrow batch, vectorized per
+    kernel kind (the per-row pickle.loads + Python dispatch loop this
+    replaces was the dominant query-side cost at large batch sizes)."""
+    items = pdf["item"].to_numpy(np.int64)
+    iends = pdf["item_end"].to_numpy(np.int64)
+    t0s = pdf["t0"].to_numpy(np.int64)
+    payloads = pdf["payload"]
+    n = len(pdf)
+    if kernel.kind == "cm":
+        # engine validation guarantees every row is a point-freq probe
+        counters = kernel.deserialize_batch(payloads)
+        return kernel.query_items_batch(counters, items)
+    if kernel.kind == "exact":
+        # one concatenated pass: row-id-tagged masks answer freq /
+        # range_freq / window together (exact state = event arrays)
+        states = [kernel.deserialize(b) for b in payloads]
+        lens = np.fromiter((len(s["items"]) for s in states),
+                           dtype=np.int64, count=n)
+        if int(lens.sum()) == 0:
+            return np.zeros(n, dtype=np.int64)
+        row = np.repeat(np.arange(n), lens)
+        allit = np.concatenate([s["items"] for s in states])
+        allva = np.concatenate([s["values"] for s in states])
+        allts = np.concatenate([s["ts"] for s in states])
+        lo = items[row]
+        hi = np.where(iends >= 0, iends, items)[row]
+        m = (allit >= lo) & (allit <= hi)
+        qk = pdf["qkind"].to_numpy()
+        twin = np.where((qk == "window") & (t0s >= 0), t0s,
+                        np.iinfo(np.int64).min)[row]
+        m &= allts >= twin
+        return int_group_sum(row[m], allva[m], n)
+    # dcm / ecm: per-row (bounded: dyadic item covers / EH folds)
+    out = np.empty(n, dtype=np.int64)
+    qkinds = pdf["qkind"].to_numpy()
+    for i in range(n):
+        st = kernel.deserialize(payloads.iloc[i])
+        item, ie, tt = int(items[i]), int(iends[i]), int(t0s[i])
+        if qkinds[i] == "range_freq" and kernel.kind == "dcm":
+            out[i] = kernel.query_range(st, item, ie)
+        else:
+            out[i] = kernel.query_item(st, item,
+                                       ie if ie >= 0 else None,
+                                       tt if tt >= 0 else None)
+    return out
+
+
 def _additive_estimator(cfg, kind: str):
     """Pre-shuffle partial sums for additive query kinds: compute
     trunc(coverage * per-cell estimate) for every matched row in place,
@@ -137,33 +185,18 @@ def _additive_estimator(cfg, kind: str):
         kernel = make_kernel(kind, cfg)
         sums: dict[int, int] = {}
         for pdf in batches:
-            qids = pdf["qid"].to_numpy()
-            covs = pdf["coverage"].to_numpy()
-            qkinds = pdf["qkind"].to_numpy()
-            items = pdf["item"].to_numpy()
-            iends = pdf["item_end"].to_numpy()
-            t0s = pdf["t0"].to_numpy()
-            payloads = pdf["payload"]
-            for i in range(len(pdf)):
-                st = kernel.deserialize(payloads.iloc[i])
-                qk = qkinds[i]
-                item = int(items[i])
-                ie = int(iends[i])
-                tt = int(t0s[i])
-                if qk == "window":
-                    e = kernel.query_item(st, item,
-                                          ie if ie >= 0 else None,
-                                          tt if tt >= 0 else None)
-                elif qk == "range_freq":
-                    if kernel.kind == "dcm":
-                        e = kernel.query_range(st, item, ie)
-                    else:
-                        e = kernel.query_item(st, item, ie)
-                else:  # freq
-                    e = kernel.query_item(st, item,
-                                          ie if ie >= 0 else None)
-                qid = int(qids[i])
-                sums[qid] = sums.get(qid, 0) + int(covs[i] * e)
+            if not len(pdf):
+                continue
+            ests = _additive_batch_ests(kernel, pdf)
+            qids = pdf["qid"].to_numpy(np.int64)
+            covs = pdf["coverage"].to_numpy(np.float64)
+            # trunc per sub-query, exactly as the reference (:766) —
+            # values are non-negative so floor == trunc
+            contrib = np.floor(covs * ests).astype(np.int64)
+            uq, inv = np.unique(qids, return_inverse=True)
+            part = int_group_sum(inv, contrib, len(uq))
+            for q, v in zip(uq.tolist(), part.tolist()):
+                sums[q] = sums.get(q, 0) + v
         if sums:
             yield pd.DataFrame({
                 "qid": pd.array(list(sums.keys()), dtype="int64"),
@@ -252,7 +285,27 @@ class SpatialSketchEngine:
         levels = cfg.levels
 
         def expand(batches):
+            from ..core.dyadic import cover_2d_np
             for pdf in batches:
+                if not len(pdf):
+                    continue
+                if not dropped:
+                    # fast path: batched numpy cross-product covers
+                    rects = zip(pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
+                                pdf["x2"].to_numpy(), pdf["y2"].to_numpy())
+                    ridx, kx, ky, cx, cy, cov = cover_2d_np(
+                        rects, log_n, floor_k)
+                    yield pd.DataFrame({
+                        "qid": pdf["qid"].to_numpy()[ridx],
+                        "grid_key": (kx + ky * levels).astype("int32"),
+                        "cell": cx * n + cy,
+                        "coverage": cov,
+                        "qkind": pdf["qkind"].to_numpy()[ridx],
+                        "item": pdf["item"].to_numpy()[ridx],
+                        "item_end": pdf["item_end"].to_numpy()[ridx],
+                        "t0": pdf["t0"].to_numpy()[ridx],
+                    })
+                    continue
                 out = {k: [] for k in ["qid", "grid_key", "cell", "coverage",
                                        "qkind", "item", "item_end", "t0"]}
                 for r in pdf.itertuples(index=False):
@@ -280,8 +333,21 @@ class SpatialSketchEngine:
                                        cfg.dropped_grids,
                                        floor_k=self.store.min_level)
 
+    def _estimate_cover_rows(self, queries: list[QuerySpec]) -> int:
+        """Driver-side cover-size estimate from a <=64-query sample
+        (each query's cover is O(log^2 N) cells — expanding a sample
+        costs microseconds and avoids a counting job)."""
+        step = max(1, len(queries) // 64)
+        sample = queries[::step][:64]
+        cells = sum(1 for q in sample for _ in self._query_grids(q))
+        return int(cells / max(1, len(sample)) * len(queries))
+
+    # broadcast the cover relation up to this many rows (~60 B/row ->
+    # ~200 MB broadcast ceiling); beyond it, shuffle-join against the
+    # bucketed sketch cache instead
+    BROADCAST_COVER_ROWS = 3_000_000
+
     def _matched(self, queries: list[QuerySpec]):
-        spark = self.store.spark
         cover = self._cover_df(queries)
         if len(queries) < 64:
             needed = sorted({self.store.cfg.grid_key(kx, ky)
@@ -291,11 +357,21 @@ class SpatialSketchEngine:
             from .build import live_grids
             needed = sorted(self.store.cfg.grid_key(kx, ky) for kx, ky in
                             live_grids(self.store.cfg, self.store.min_level))
-        pruned = self.store.df.where(F.col("grid_key").isin(needed))
-        if len(queries) < 64:
-            # small cover -> broadcast it, zero shuffle on the sketch side
+        if (len(queries) < 64
+                or self._estimate_cover_rows(queries)
+                <= self.BROADCAST_COVER_ROWS):
+            # broadcast the cover -> zero shuffle on the sketch side;
+            # the broadcast exchange is canonically identical across the
+            # per-qkind consumer branches, so ReuseExchange materializes
+            # the cover ONCE per batch.
+            pruned = self.store.df.where(F.col("grid_key").isin(needed))
             return pruned.join(F.broadcast(cover), ["grid_key", "cell"])
-        # large cover (could exceed the sketch side) -> shuffle join
+        # cover too large to broadcast -> shuffle join against the
+        # BUCKETED sketch cache: its (grid_key, cell) hash partitioning
+        # is reused by the join, so only the cover side shuffles — the
+        # payload blobs stay put (at cluster scale: a bucketed table).
+        pruned = self.store.bucketed_df().where(
+            F.col("grid_key").isin(needed))
         return pruned.join(cover, ["grid_key", "cell"])
 
     def query(self, queries: list[QuerySpec]) -> DataFrame:
@@ -347,15 +423,21 @@ class SpatialSketchEngine:
         mergeful = [q for q in queries
                     if q.qkind in ("distinct", "member", "l2",
                                    "window_merge")]
+        # ONE cover + ONE sketch join for the whole batch; the per-class
+        # consumers below filter on qkind. Their shared subtree (cover
+        # expansion + broadcast + join) is canonically identical, so
+        # ReuseExchange materializes it once per batch.
+        m_all = self._matched(queries)
         parts = []
         if counts:
-            m = self._matched(counts)
+            m = m_all.where(F.col("qkind") == "count")
             parts.append(
                 m.groupBy("qid").agg(
                     F.sum(F.floor(F.col("coverage") * F.col("val_sum")))
                     .cast("bigint").alias("est")))
         if additive:
-            m = self._matched(additive).select(
+            m = m_all.where(F.col("qkind").isin(
+                "freq", "range_freq", "window")).select(
                 "qid", "coverage", "qkind", "item", "item_end", "t0",
                 "payload")
             partial = m.mapInPandas(
@@ -364,7 +446,8 @@ class SpatialSketchEngine:
             parts.append(partial.groupBy("qid").agg(
                 F.sum("est").cast("bigint").alias("est")))
         if mergeful:
-            m = self._matched(mergeful)
+            m = m_all.where(F.col("qkind").isin(
+                "distinct", "member", "l2", "window_merge"))
             n_parts = min(max(1, len(mergeful)),
                           int(spark.conf.get("spark.sql.shuffle.partitions")))
             parts.append(m.repartition(n_parts, "qid").mapInPandas(

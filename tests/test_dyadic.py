@@ -112,3 +112,25 @@ def test_cover_1d_items():
             assert not (cells & seg)
             cells |= seg
         assert cells == set(range(a, b + 1))
+
+
+def test_cover_2d_np_matches_scalar():
+    """The batched numpy cover (large-query-batch fast path) must emit
+    exactly the scalar cover_2d elements per rect, every floor_k."""
+    import numpy as np
+    from spatialsketch_spark.core.dyadic import cover_2d, cover_2d_np
+    rng = np.random.default_rng(5)
+    rects = []
+    for _ in range(300):
+        x1, x2 = sorted(rng.integers(0, 256, 2).tolist())
+        y1, y2 = sorted(rng.integers(0, 256, 2).tolist())
+        rects.append((x1, y1, x2, y2))
+    for fk in (0, 3, 4):
+        ridx, kx, ky, cx, cy, cov = cover_2d_np(rects, 8, fk)
+        for i, r in enumerate(rects):
+            want = sorted(cover_2d(*r, 8, fk, fk))
+            m = ridx == i
+            got = sorted(zip(kx[m].tolist(), ky[m].tolist(),
+                             cx[m].tolist(), cy[m].tolist(),
+                             cov[m].tolist()))
+            assert got == want, (fk, r)

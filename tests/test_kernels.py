@@ -189,3 +189,41 @@ def test_dcm_mixed_levels_overestimates_bounded():
         est = k.query_range(states[0], a, b)
         assert est >= truth
         assert est <= truth + 0.2 * 3000
+
+
+def test_payload_codecs_roundtrip():
+    """Raw-buffer payload codecs (the pickle replacement on the query
+    hot path): exact + CM dense/sparse roundtrip, batch deserialize,
+    batched probe == scalar probe."""
+    import numpy as np
+    from spatialsketch_spark.config import SketchConfig
+    from spatialsketch_spark.core.kernels import make_kernel
+
+    ex = make_kernel("exact", SketchConfig.exact_mode(item_domain=64, n=16))
+    st = {"items": np.array([3, 5, 5], dtype=np.int64),
+          "values": np.array([1, 2, 1], dtype=np.int64),
+          "ts": np.array([10, 20, 30], dtype=np.int64)}
+    rt = ex.deserialize(ex.serialize(st))
+    for k in st:
+        assert (rt[k] == st[k]).all()
+    empty = {"items": np.array([], dtype=np.int64),
+             "values": np.array([], dtype=np.int64),
+             "ts": np.array([], dtype=np.int64)}
+    rt0 = ex.deserialize(ex.serialize(empty))
+    assert len(rt0["items"]) == 0
+
+    cm = make_kernel("cm", SketchConfig.realistic(n=16, item_domain=64))
+    rng = np.random.default_rng(9)
+    dense = rng.integers(0, 100, (cm.d, cm.w)).astype(np.int64)
+    sparse = np.zeros((cm.d, cm.w), dtype=np.int64)
+    sparse[0, 3] = 7
+    sparse[cm.d - 1, cm.w - 1] = 11
+    for st in (dense, sparse):
+        assert (cm.deserialize(cm.serialize(st)) == st).all()
+    payloads = [cm.serialize(dense), cm.serialize(sparse)]
+    batch = cm.deserialize_batch(payloads)
+    assert (batch[0] == dense).all() and (batch[1] == sparse).all()
+    items = np.array([5, 9], dtype=np.int64)
+    got = cm.query_items_batch(batch, items)
+    want = [cm.query_item(dense, 5), cm.query_item(sparse, 9)]
+    assert got.tolist() == want
