@@ -234,6 +234,46 @@ def run_bench(cpus: int) -> dict:
     }
 
 
+def _prev_round_timings() -> tuple[str, dict] | None:
+    """Latest BENCH_r{N}.json in the repo root — so every bench run
+    prints per-phase deltas against the previous round and regressions
+    are visible immediately."""
+    import glob
+    import re
+    cands = []
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            cands.append((int(m.group(1)), p))
+    if not cands:
+        return None
+    rnd, path = max(cands)
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        parsed = prev.get("parsed", prev)
+        return f"r{rnd}", parsed.get("sf"), parsed.get("queries", {})
+    except (OSError, ValueError):
+        return None
+
+
+def with_deltas(result: dict) -> dict:
+    prev = _prev_round_timings()
+    if prev is None:
+        return result
+    tag, prev_sf, pq = prev
+    if prev_sf != result.get("sf"):
+        return result       # cross-sf ratios would be meaningless
+    deltas = {}
+    for phase, secs in result.get("queries", {}).items():
+        if phase in pq and pq[phase]:
+            deltas[phase] = round(secs / pq[phase], 3)   # <1 = faster
+    if deltas:
+        result["detail"]["speed_ratio_vs_" + tag] = deltas
+    return result
+
+
 def main():
     if "--scaling" in sys.argv:
         # N-vs-4N evidence: same input, local[8] pinned to 8 cores via
@@ -280,7 +320,7 @@ def main():
     cpus = CPUS
     if "--cpus" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
-    print(json.dumps(run_bench(cpus)))
+    print(json.dumps(with_deltas(run_bench(cpus))))
 
 
 if __name__ == "__main__":

@@ -75,14 +75,8 @@ def pip_join(events: DataFrame, shapes: list[Shape],
     raise ValueError(f"unknown method {method!r}")
 
 
-def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
-             k: int = 5) -> DataFrame:
-    """kNN join: for each (qid, qx, qy) find the k nearest events by
-    squared euclidean distance, ties broken by ts (unique) — fully
-    deterministic, integer-exact. -> (qid, rank, ts, dist2)."""
-    spark = events.sparkSession
-    qp = spark.createDataFrame(query_points,
-                               "qid BIGINT, qx BIGINT, qy BIGINT")
+def _knn_ranked(events: DataFrame, qp: DataFrame, k: int) -> DataFrame:
+    """events x broadcast(qp) -> per-qid top-k by (dist2, ts)."""
     d = events.join(F.broadcast(qp)).select(
         "qid", "ts",
         ((F.col("x") - F.col("qx")) ** 2
@@ -92,6 +86,97 @@ def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
             .where(F.col("rank") <= k)
             .select("qid", F.col("rank").cast("bigint").alias("rank"),
                     "ts", "dist2"))
+
+
+def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
+             k: int = 5, method: str = "ring", tile_level: int = 8,
+             initial_ring: int = 2) -> DataFrame:
+    """kNN join: for each (qid, qx, qy) find the k nearest events by
+    squared euclidean distance, ties broken by ts (unique) — fully
+    deterministic, integer-exact. -> (qid, rank, ts, dist2).
+
+    method='brute': unpruned events x queries window rank (the
+    verifier; joined row count is |events| * |queries|).
+    method='ring' (default): tile-ring candidate pruning with a
+    provable-exactness stopping rule. Candidates for ring r are events
+    within Chebyshev tile distance r of the query's tile; any event
+    OUTSIDE ring r is at euclidean distance >= r*2^tile_level + 1, so a
+    qid is exact once it has >= k candidates and its k-th candidate
+    dist2 is STRICTLY below (r*2^tile_level + 1)^2 (strict, because the
+    ts tie-break could otherwise be beaten by an outside event at equal
+    dist2). Unresolved qids double the ring; at ring >= grid width the
+    candidate set is total, i.e. brute force — the exactness fallback.
+    The joined row count is bounded by the hit tiles' population, not
+    |events| * |queries| (asserted in tests/test_joins.py)."""
+    spark = events.sparkSession
+    qp_all = spark.createDataFrame(query_points,
+                                   "qid BIGINT, qx BIGINT, qy BIGINT")
+    if method == "brute":
+        return _knn_ranked(events, qp_all, k)
+    if method != "ring":
+        raise ValueError(f"unknown method {method!r}")
+    tsz = 1 << tile_level
+    ev_t = assign_tiles(events, tile_level)
+    ext = None          # event tile extent, computed lazily (one scan)
+
+    def extent():
+        nonlocal ext
+        if ext is None:
+            ext = ev_t.agg(
+                F.min("tx").alias("x0"), F.max("tx").alias("x1"),
+                F.min("ty").alias("y0"), F.max("ty").alias("y1")
+            ).collect()[0]
+        return ext
+
+    pending = {int(q): (int(x), int(y)) for q, x, y in query_points}
+    results: list[tuple] = []
+    r = max(1, initial_ring)
+    while pending:
+        qrows = [(q, x, y) for q, (x, y) in sorted(pending.items())]
+        qp = spark.createDataFrame(
+            qrows, "qid BIGINT, qx BIGINT, qy BIGINT") \
+            .withColumn("qtx", F.shiftright("qx", tile_level)) \
+            .withColumn("qty", F.shiftright("qy", tile_level))
+        cand = ev_t.join(
+            F.broadcast(qp),
+            (F.abs(F.col("tx") - F.col("qtx")) <= r)
+            & (F.abs(F.col("ty") - F.col("qty")) <= r))
+        d = cand.select(
+            "qid", "ts",
+            ((F.col("x") - F.col("qx")) ** 2
+             + (F.col("y") - F.col("qy")) ** 2).cast("bigint")
+            .alias("dist2"))
+        w = Window.partitionBy("qid").orderBy("dist2", "ts")
+        topk = (d.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)).collect()
+        per_q: dict[int, list] = {}
+        for row in topk:
+            per_q.setdefault(int(row["qid"]), []).append(row)
+        bound2 = (r * tsz + 1) ** 2
+        for q in list(pending):
+            qx, qy = pending[q]
+            qtx, qty = qx >> tile_level, qy >> tile_level
+            rows = per_q.get(q, [])
+            kth_ok = len(rows) >= k and rows[-1]["dist2"] < bound2
+            if not kth_ok:
+                # ring r covers every event tile -> candidates are total
+                # (brute-force equivalence: the exactness fallback)
+                e = extent()
+                total = (e["x0"] is None
+                         or (qtx - r <= e["x0"] and qtx + r >= e["x1"]
+                             and qty - r <= e["y0"] and qty + r >= e["y1"]))
+            if kth_ok or total:
+                results.extend(
+                    (q, int(rw["rank"]), int(rw["ts"]), int(rw["dist2"]))
+                    for rw in rows)
+                del pending[q]
+        if pending:
+            r *= 2
+    if not results:
+        return spark.createDataFrame(
+            [], "qid BIGINT, rank BIGINT, ts BIGINT, dist2 BIGINT")
+    return spark.createDataFrame(
+        results, "qid BIGINT, rank BIGINT, ts BIGINT, dist2 BIGINT")
 
 
 def assign_tiles(events: DataFrame, tile_level: int) -> DataFrame:
