@@ -447,6 +447,143 @@ class ECMKernel(BaseKernel):
         return int(min(ests))
 
 
+class ElasticKernel(BaseKernel):
+    """Elastic-style heavy/light frequency kernel — the engine analogue
+    of the reference's vendored ElasticSketch (B9 in SURVEY §2;
+    reference ElasticSketch/ElasticSketch.h:178-187 query composition,
+    HeavyPart.h:110-160 insert + Ostracism eviction, LightPart.h:137-143
+    one-row light query). Same-budget error vs CM is measured in
+    tests/test_kernels.py::test_elastic_same_budget_vs_cm.
+
+    Semantics re-expressed (not transcribed):
+    - heavy part: ``n_buckets`` hash buckets of ``slots`` (key, count,
+      flag) entries + a per-bucket guard (negative vote). Matched key:
+      count += f (exact while resident). Empty slot: install flag=0.
+      Full bucket: guard += 1; once guard >= lambda * min_count the
+      minimum entry is EVICTED to the light part and the new key is
+      installed with count=f, flag=1 (its earlier mass may sit in the
+      light part — the reference's 0x80000001 install).
+    - light part: one-row conservative counter array (add on insert).
+    - query(key): resident & flag=0 -> exact heavy count; resident &
+      flag=1 -> heavy + light; absent -> light. Never underestimates
+      (every unit of mass lands in heavy or light exactly once; light
+      collisions only add).
+    - merge: sum light arrays; sum heavy entries per key (flags OR);
+      rebuild heavy by re-inserting entries in decreasing (count, key)
+      order, overflow evicted to light with flag bookkeeping. Like the
+      ECM fold, merge is deterministic and commutative (canonical
+      ordering) though not bit-identical to single-stream insertion
+      order — estimates keep the never-underestimate property.
+    """
+
+    kind = "elastic"
+
+    def __init__(self, n_buckets: int, slots: int, light_width: int,
+                 lam: int = 8, seed: int = 7):
+        self.b = max(1, int(n_buckets))
+        self.slots = max(1, int(slots))
+        self.lw = max(8, int(light_width))
+        self.lam = int(lam)
+        self.coeffs = coefficients(seed + 505, 2)   # row0: bucket, row1: light
+
+    def _new_state(self):
+        return {"heavy": [dict() for _ in range(self.b)],   # key -> [cnt, flag]
+                "guard": np.zeros(self.b, dtype=np.int64),
+                "light": np.zeros(self.lw, dtype=np.int64)}
+
+    def _positions(self, items: np.ndarray):
+        h = hash_items(items, self.coeffs, MERSENNE_P)
+        return (h[0] % self.b).astype(np.int64), \
+               (h[1] % self.lw).astype(np.int64)
+
+    def _insert_seq(self, st, items, values, bpos, lpos):
+        heavy, guard, light = st["heavy"], st["guard"], st["light"]
+        for j in range(len(items)):
+            key = int(items[j]); f = int(values[j])
+            bp = int(bpos[j]); bkt = heavy[bp]
+            ent = bkt.get(key)
+            if ent is not None:
+                ent[0] += f
+                continue
+            if len(bkt) < self.slots:
+                bkt[key] = [f, 0]
+                continue
+            guard[bp] += 1
+            mk = min(bkt, key=lambda k: (bkt[k][0], k))
+            if guard[bp] >= self.lam * bkt[mk][0]:
+                # Ostracism eviction: loser's mass moves to light
+                ev_cnt, ev_flag = bkt.pop(mk)
+                lp = int(hash_items(np.array([mk]), self.coeffs,
+                                    MERSENNE_P)[1, 0] % self.lw)
+                light[lp] += ev_cnt
+                bkt[key] = [f, 1]
+                guard[bp] = 0
+            else:
+                light[int(lpos[j])] += f
+
+    def build_grouped(self, cell_keys, items, values, ts):
+        order, uc, starts = _group_slices(cell_keys)
+        bounds = np.append(starts, len(cell_keys))
+        items_s, values_s, ts_s = items[order], values[order], ts[order]
+        states = []
+        for ci in range(len(uc)):
+            s, e = bounds[ci], bounds[ci + 1]
+            it, va, t = items_s[s:e], values_s[s:e], ts_s[s:e]
+            o = np.argsort(t, kind="stable")      # arrival order
+            it, va = it[o], va[o]
+            st = self._new_state()
+            bpos, lpos = self._positions(it)
+            self._insert_seq(st, it, va, bpos, lpos)
+            states.append(st)
+        return uc, states
+
+    def merge(self, states):
+        out = self._new_state()
+        out["light"] = np.sum([s["light"] for s in states],
+                              axis=0).astype(np.int64)
+        # flag=0 promises "none of this key's mass is in the light
+        # part" — across states that promise only survives if every
+        # source light is empty (another state may hold this key's mass
+        # in ITS light); otherwise all rebuilt entries go conservative
+        # (flag=1 -> heavy + light, preserving never-underestimate).
+        any_light = any(bool(s["light"].any()) for s in states)
+        ents: dict[int, list] = {}
+        for s in states:
+            for bkt in s["heavy"]:
+                for k, (c, fl) in bkt.items():
+                    e = ents.setdefault(k, [0, 0])
+                    e[0] += c
+                    e[1] |= fl | (1 if any_light else 0)
+        keys = sorted(ents, key=lambda k: (-ents[k][0], k))
+        karr = np.array(keys, dtype=np.int64)
+        if len(karr):
+            bpos, lpos = self._positions(karr)
+            for k, bp, lp in zip(keys, bpos.tolist(), lpos.tolist()):
+                bkt = out["heavy"][bp]
+                if len(bkt) < self.slots:
+                    bkt[k] = list(ents[k])
+                else:
+                    out["light"][lp] += ents[k][0]
+        return out
+
+    def query_item(self, st, item, item_end=None, t0=None) -> int:
+        if item_end is not None and item_end != item:
+            raise ValueError("elastic answers point frequencies only")
+        if t0 is not None and t0 > 0:
+            raise ValueError("elastic has no time dimension")
+        bpos, lpos = self._positions(np.array([item], dtype=np.int64))
+        ent = st["heavy"][int(bpos[0])].get(int(item))
+        light = int(st["light"][int(lpos[0])])
+        if ent is None:
+            return light
+        cnt, flag = ent
+        return cnt + light if flag else cnt
+
+    def query_total(self, st) -> int:
+        heavy = sum(c for bkt in st["heavy"] for c, _ in bkt.values())
+        return int(heavy + st["light"].sum())
+
+
 class DCMKernel(BaseKernel):
     """Per-cell dyadic Count-Min over the item domain — answers
     frequency of item *ranges* (DyadCountMin.cpp). Levels 0..L over
@@ -537,6 +674,14 @@ def make_kernel(kind: str, cfg) -> BaseKernel:
         return BFKernel(expected_n=min(cfg.item_domain, 1 << 20), delta=cfg.delta, seed=cfg.seed)
     if kind == "ecm":
         return ECMKernel(cfg.cm_width, cfg.cm_depth, cfg.ecm_k, cfg.seed)
+    if kind == "elastic":
+        # same counter budget as the CM at this config: heavy entries
+        # (key+count = 2 words) for a quarter of the budget, the rest as
+        # one-row light counters
+        budget = cfg.cm_width * cfg.cm_depth
+        return ElasticKernel(n_buckets=max(1, budget // 16), slots=4,
+                             light_width=max(8, budget // 2),
+                             seed=cfg.seed)
     if kind == "dcm":
         log_dom = int(math.ceil(math.log2(max(2, cfg.item_domain))))
         return DCMKernel(log_dom, cfg.cm_width, cfg.cm_depth, cfg.dcm_exact_levels, cfg.seed)

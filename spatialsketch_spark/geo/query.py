@@ -400,7 +400,7 @@ class SpatialSketchEngine:
         """
         _QKIND_KERNELS = {
             "count": None,                        # val_sum column, any kernel
-            "freq": {"exact", "cm", "ecm"},
+            "freq": {"exact", "cm", "ecm", "elastic"},
             "range_freq": {"exact", "dcm"},
             "window": {"exact", "ecm"},
             "window_merge": {"exact", "ecm"},

@@ -178,3 +178,38 @@ def test_store_resume(spark, events, tmp_path):
     q = [QuerySpec(0, [(0, 0, 63, 63)], "freq", item=3)]
     got = eng.query(q).collect()[0]["est"]
     assert got == truth_count(events, [(0, 0, 63, 63)], item=3)
+
+
+def test_trunc_points_pinned(spark):
+    """Pin the reference's per-sub-query truncation points
+    (SpatialSketch.cpp:766): a floor-level cell with total mass t and
+    coverage c contributes exactly floor(c * t) — not round, not
+    ceiling, and truncated per cell BEFORE summing."""
+    rows = []
+    # cell block (0..7)^2 at min_level 3: place 7 events in column x=0..7
+    for i in range(7):
+        rows.append((i, 3, i % 8, 2, 1))
+    # second block (8..15, 0..7): 5 events
+    for i in range(5):
+        rows.append((100 + i, 3, 8 + (i % 8), 3, 1))
+    ev = spark.createDataFrame(
+        rows, "ts LONG, item LONG, x LONG, y LONG, value LONG")
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=16)
+    store = SketchStore.build(spark, ev, cfg, "exact", 3)
+    eng = SpatialSketchEngine(store)
+    # query [0..3]x[0..3]: quarter of block 1 only -> floor(0.25*7) = 1
+    # (events actually inside: x<=3,y=2 -> 4; the truncated coverage
+    # estimate is deliberately different: 1)
+    got = {r["qid"]: r["est"] for r in eng.query(
+        [QuerySpec(0, [(0, 0, 3, 3)], "count"),
+         # [0..11]x[0..7]: block1 full (7) + half of block2
+         # -> 7 + floor(0.5*5) = 9
+         QuerySpec(1, [(0, 0, 11, 7)], "count"),
+         # freq path pays the same trunc: item=3 only in block1
+         QuerySpec(2, [(0, 0, 3, 3)], "freq", item=3),
+         ]).collect()}
+    # coverage is the per-axis product: x in [0..3] of 8 -> 0.5, y the
+    # same -> 0.25; floor(0.25 * 7) = 1 (round would give 2)
+    assert got[0] == 1
+    assert got[1] == 7 + int(0.5 * 1.0 * 5)
+    assert got[2] == 1

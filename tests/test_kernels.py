@@ -227,3 +227,81 @@ def test_payload_codecs_roundtrip():
     got = cm.query_items_batch(batch, items)
     want = [cm.query_item(dense, 5), cm.query_item(sparse, 9)]
     assert got.tolist() == want
+
+
+def _zipf_stream(n=30000, domain=2000, seed=3):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    items = (rng.zipf(1.3, n) % domain).astype(np.int64)
+    values = np.ones(n, dtype=np.int64)
+    ts = np.arange(n, dtype=np.int64)
+    cells = np.zeros(n, dtype=np.int64)
+    return cells, items, values, ts
+
+
+def test_elastic_never_underestimates_and_total_exact():
+    import numpy as np
+    from spatialsketch_spark.config import SketchConfig
+    from spatialsketch_spark.core.kernels import make_kernel
+    cfg = SketchConfig.realistic(n=16, item_domain=2000)
+    es = make_kernel("elastic", cfg)
+    cells, items, values, ts = _zipf_stream()
+    uc, sts = es.build_grouped(cells, items, values, ts)
+    st = sts[0]
+    truth = np.bincount(items, minlength=2000)
+    for it in range(0, 2000, 7):
+        assert es.query_item(st, it) >= truth[it], it
+    assert es.query_total(st) == len(items)
+
+
+def test_elastic_merge_commutative_and_safe():
+    import numpy as np
+    from spatialsketch_spark.config import SketchConfig
+    from spatialsketch_spark.core.kernels import make_kernel
+    cfg = SketchConfig.realistic(n=16, item_domain=2000)
+    es = make_kernel("elastic", cfg)
+    cells, items, values, ts = _zipf_stream()
+    half = len(items) // 2
+    _, a = es.build_grouped(cells[:half], items[:half], values[:half],
+                            ts[:half])
+    _, b = es.build_grouped(cells[half:], items[half:], values[half:],
+                            ts[half:])
+    m1, m2 = es.merge([a[0], b[0]]), es.merge([b[0], a[0]])
+    truth = np.bincount(items, minlength=2000)
+    for it in range(0, 2000, 7):
+        e1, e2 = es.query_item(m1, it), es.query_item(m2, it)
+        assert e1 == e2, it                      # commutative
+        assert e1 >= truth[it], it               # never underestimates
+    assert es.query_total(m1) == len(items)
+    # serialize roundtrip (pickle path is fine for object states)
+    rt = es.deserialize(es.serialize(m1))
+    assert es.query_item(rt, 1) == es.query_item(m1, 1)
+
+
+def test_elastic_same_budget_vs_cm():
+    """The B9 parity measurement: at the same counter budget the
+    heavy/light kernel must beat plain CM on a skewed stream (heavy
+    hitters resident => exact), the documented reason the reference
+    vendors ElasticSketch."""
+    import numpy as np
+    from spatialsketch_spark.config import SketchConfig
+    from spatialsketch_spark.core.kernels import make_kernel
+    cfg = SketchConfig.realistic(n=16, item_domain=2000)
+    es = make_kernel("elastic", cfg)
+    cm = make_kernel("cm", cfg)
+    cells, items, values, ts = _zipf_stream()
+    _, es_sts = es.build_grouped(cells, items, values, ts)
+    _, cm_sts = cm.build_grouped(cells, items, values, ts)
+    truth = np.bincount(items, minlength=2000)
+    es_err = cm_err = 0
+    top = np.argsort(-truth)[:20]
+    for it in range(2000):
+        es_err += es.query_item(es_sts[0], it) - int(truth[it])
+        cm_err += cm.query_item(cm_sts[0], it) - int(truth[it])
+    # measured at this budget (84 counters): elastic ~35% lower total
+    # overestimate than CM (516883 vs 792935 on this stream)
+    assert es_err <= 0.8 * cm_err, (es_err, cm_err)
+    # most of the top-10 heavy hitters answered exactly by the heavy part
+    exact_top = sum(1 for it in top[:10]
+                    if es.query_item(es_sts[0], int(it)) == int(truth[it]))
+    assert exact_top >= 6, exact_top

@@ -94,3 +94,30 @@ def test_dcm_item_range_pipeline(spark, events):
     t = region(events)
     assert got[0] == t.filter(F.col("item").between(10, 30)).count()
     assert got[1] == t.count()
+
+
+def test_elastic_freq_pipeline(spark, events):
+    """B9 analogue end-to-end: an 'elastic' store built by the same
+    build path answers region+item frequency with the heavy/light
+    composition — never underestimating, and validated against CM at
+    the same budget in test_kernels."""
+    cfg = SketchConfig.realistic(n=N, eps=0.1, delta=0.05,
+                                 item_domain=ITEM_DOMAIN)
+    store = SketchStore.build(spark, events, cfg, "elastic", 0)
+    eng = SpatialSketchEngine(store)
+    items = [3, 17, 42, 200]
+    qs = [QuerySpec(i, RNG, "freq", item=it) for i, it in enumerate(items)]
+    got = {r["qid"]: r["est"] for r in eng.query(qs).collect()}
+    n_stream = events.count()
+    for i, it in enumerate(items):
+        truth = (region(events).filter(F.col("item") == it)
+                 .agg(F.sum("value")).collect()[0][0]) or 0
+        assert got[i] >= truth, (it, got[i], truth)
+        assert got[i] - truth <= 0.5 * n_stream
+    # count queries remain exact (val_sum path, kernel-independent)
+    cnt = eng.query([QuerySpec(9, RNG, "count")]).collect()[0]["est"]
+    assert cnt == region(events).agg(F.sum("value")).collect()[0][0]
+    # dispatch validation: unsupported kinds rejected for this store
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.query([QuerySpec(0, RNG, "distinct")])
