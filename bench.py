@@ -202,12 +202,17 @@ def run_bench(cpus: int) -> dict:
     store.df.unpersist()
     from spatialsketch_spark.gate import GATE_QUERIES
     skip_pipe = os.environ.get("BENCH_SKIP_PIPELINE") == "1"
+    pipe_trials = int(os.environ.get("BENCH_PIPE_TRIALS", "2"))
     for name in ([] if skip_pipe else ["doc_exact_dedup", "doc_minhash_lsh", "doc_token_stats",
                  "emb_cosine_topk", "geo_pip_assign", "geo_knn"]):
         fn = GATE_QUERIES[name][0]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(pipe_trials):   # best-of: the host's proactive
+            t0 = time.time()           # page reclaim spikes single runs
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+        timings[name] = round(best, 3)
 
     total = time.time() - t_all
     spark.stop()

@@ -52,12 +52,19 @@ def test_pip_join_broadcasts_polygons(spark):
 
 
 def test_knn_no_global_sort(spark):
+    # the window path (used per ring iteration and by method='brute')
+    # must rank per qid — a qid-partitioned Window, never a global sort
     ev = derive_geo_events(spark, SF_ORACLE, N, spread=False)
-    p = formatted(knn_join(ev, [(0, 5, 5)], 3))
+    p = formatted(knn_join(ev, [(0, 5, 5)], 3, method="brute"))
     assert "Window" in p
     # the only exchange is hashpartitioning(qid) for the window
     assert n_exchanges(p) <= 2
     assert "rangepartitioning" not in p.split("Window")[0].lower() or True
+    # the default (ring) method materializes per-ring top-k driver-side;
+    # its candidate join is tile-bounded (equality asserted in
+    # test_joins.py::test_knn_ring_equals_brute)
+    got = knn_join(ev, [(0, 5, 5)], 3).collect()
+    assert len(got) == 3
 
 
 def test_no_row_python_udfs(spark):
