@@ -175,10 +175,12 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
 
 def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (a < b) with
-    cos(a, b) >= threshold. Exact integer dot products; the double
-    division/threshold compare is bit-identical cross-engine.
-    -> (vec_a, vec_b)."""
+    """Brute-force embedding-cosine near-duplicate pairs: all (a < b)
+    with cos(a, b) >= threshold. VERIFIER ONLY — the all-pairs join is
+    O(n^2); the gated/scale path is ``lsh_dup_pairs`` (equal output at
+    a recall-complete config, asserted in tests). Exact integer dot
+    products; the double division/threshold compare is bit-identical
+    cross-engine. -> (vec_a, vec_b)."""
     q = with_quantized(emb)
     a = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
                  F.col("n2").alias("na2"))

@@ -90,3 +90,69 @@ class StreamingSketch:
                            manifest={"kind": self.kind,
                                      "min_level": self.min_level,
                                      "streaming": True})
+
+
+def windowed_event_counts(stream_events: DataFrame, width_s: int,
+                          watermark_s: int,
+                          group_cols: tuple = ()) -> DataFrame:
+    """Event-time tumbling-window counts with late-data handling — the
+    Structured-Streaming analogue of the batch ``time_rollup``
+    (pipeline/temporal.py): integer ``ts`` (seconds) -> event time,
+    watermark bounds state and drops rows later than ``watermark_s``
+    behind the max seen event time. In append output mode a window is
+    emitted exactly once, when the watermark passes its end — the
+    exactly-once windowed aggregation shape of the brief.
+    -> streaming DF (w_start BIGINT, [group cols...,] cnt BIGINT)."""
+    from pyspark.sql import functions as F
+    ev = stream_events.withColumn("etime", F.timestamp_seconds("ts")) \
+        .withWatermark("etime", f"{watermark_s} seconds")
+    agg = (ev.groupBy(F.window("etime", f"{width_s} seconds"),
+                      *[F.col(c) for c in group_cols])
+           .agg(F.sum("value").alias("cnt")))
+    return agg.select(
+        F.unix_timestamp(F.col("window.start")).cast("bigint")
+        .alias("w_start"),
+        *[F.col(c) for c in group_cols],
+        F.col("cnt").cast("bigint"))
+
+
+def stateful_cell_counts(stream_events: DataFrame,
+                         tile_level: int) -> DataFrame:
+    """Custom stateful per-tile accumulator via
+    ``applyInPandasWithState`` — the brief's custom-stateful-operator
+    shape. State per tile (tx, ty): running event count, value sum and
+    max ts, persisted in the state store across micro-batches and
+    emitted (updated) every batch the tile is touched. This is the
+    streaming form of the engine's per-cell accumulation for operators
+    whose state is NOT a mergeable monoid (where foreachBatch-append
+    would not compose).
+    -> streaming DF (tx, ty, n_events, val_sum, max_ts)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        n = vs = mx = 0
+        if state.exists:
+            n, vs, mx = state.get
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += int(len(pdf))
+            vs += int(pdf["value"].sum())
+            mx = max(mx, int(pdf["ts"].max()))
+        state.update((n, vs, mx))
+        yield pd.DataFrame({"tx": [key[0]], "ty": [key[1]],
+                            "n_events": [n], "val_sum": [vs],
+                            "max_ts": [mx]})
+
+    tiled = stream_events \
+        .withColumn("tx", F.shiftright("x", tile_level)) \
+        .withColumn("ty", F.shiftright("y", tile_level))
+    return tiled.groupBy("tx", "ty").applyInPandasWithState(
+        update,
+        outputStructType=("tx BIGINT, ty BIGINT, n_events BIGINT, "
+                          "val_sum BIGINT, max_ts BIGINT"),
+        stateStructType="n BIGINT, vs BIGINT, mx BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -67,3 +67,70 @@ def test_streaming_matches_batch(spark, tmp_path, compact):
     assert got[2] == reg.select("item").distinct().count()
     assert got[3] == ev.filter((F.col("item") == 3)
                                & (F.col("ts") >= 700)).count()
+
+
+def test_windowed_event_counts_watermark(spark, tmp_path):
+    """Event-time tumbling windows with watermark: batch-1 windows whose
+    end precedes the watermark are finalized (append mode emits them
+    exactly once); a too-late row arriving in batch 2 is dropped."""
+    from spatialsketch_spark.streaming.sketch_stream import (
+        windowed_event_counts)
+    src = str(tmp_path / "wsrc")
+    rows1 = [(t, 1, 1, 1, 1) for t in range(0, 100)]      # windows 0..90
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    out = windowed_event_counts(stream, width_s=10, watermark_s=5)
+    q = (out.writeStream.format("memory").queryName("wm_counts")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "wck"))
+         .start())
+    q.processAllAvailable()
+    got1 = {r["w_start"]: r["cnt"]
+            for r in spark.sql("select * from wm_counts").collect()}
+    # watermark after batch 1 = 99 - 5 = 94: windows ending <= 94
+    # (w_start 0..80) are final; [90,100) is still open
+    assert got1 == {w: 10 for w in range(0, 90, 10)}
+    # batch 2: one too-late row (ts=3, watermark 94 > window end 10 ->
+    # dropped) and fresh rows that close the [90,100) window
+    rows2 = [(3, 1, 1, 1, 1)] + [(t, 1, 1, 1, 1) for t in range(100, 120)]
+    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got2 = {r["w_start"]: r["cnt"]
+            for r in spark.sql("select * from wm_counts").collect()}
+    assert got2[90] == 10            # closed exactly once, late row absent
+    assert got2[0] == 10             # unchanged: ts=3 was dropped
+
+
+def test_stateful_cell_counts_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-tile running state survives across
+    micro-batches (state store), not just within one batch."""
+    from spatialsketch_spark.streaming.sketch_stream import (
+        stateful_cell_counts)
+    src = str(tmp_path / "ssrc")
+    rows1 = [(t, 1, (t % 2) * 16, 0, 2) for t in range(10)]  # tiles 0 and 1
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    out = stateful_cell_counts(stream, tile_level=4)
+    q = (out.writeStream.format("memory").queryName("cell_state")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "sck"))
+         .start())
+    q.processAllAvailable()
+    # batch 2 touches only tile 0 — its state must ACCUMULATE
+    rows2 = [(100 + t, 1, 0, 0, 1) for t in range(5)]
+    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    import pandas as pd
+    pdf = spark.sql("select * from cell_state").toPandas()
+    # last emitted row per tile = current running state
+    last = pdf.groupby(["tx", "ty"]).last().reset_index()
+    t0 = last[(last.tx == 0) & (last.ty == 0)].iloc[0]
+    t1 = last[(last.tx == 1) & (last.ty == 0)].iloc[0]
+    assert (t0.n_events, t0.val_sum, t0.max_ts) == (10, 15, 104)
+    assert (t1.n_events, t1.val_sum, t1.max_ts) == (5, 10, 9)
