@@ -564,3 +564,5 @@ GATE_QUERIES = {
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402
 GATE_QUERIES.update(PIPELINE_GATE)
+from .gate_envelope import ENVELOPE_GATE  # noqa: E402
+GATE_QUERIES.update(ENVELOPE_GATE)

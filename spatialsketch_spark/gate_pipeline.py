@@ -174,6 +174,20 @@ GROUP BY bid ORDER BY bid
 """
 
 
+def q_range_join_bucketed(spark, sf_dir):
+    """Same bracket counts answered by the shuffle-on-block interval
+    join (the non-broadcast scale path) — oracle identical to
+    tmp_range_join."""
+    from pyspark.sql import functions as F
+    ev = _geo_ev(spark, sf_dir)
+    br = spark.createDataFrame(TS_BRACKETS, "bid BIGINT, lo BIGINT, hi BIGINT")
+    return (temporal.range_join_bucketed(ev, br, block=512)
+            .groupBy("bid").agg(F.sum("value").alias("cnt"))
+            .select(F.col("bid").cast("bigint"),
+                    F.col("cnt").cast("bigint"))
+            .orderBy("bid"))
+
+
 def q_time_rollup(spark, sf_dir):
     return temporal.time_rollup(_geo_ev(spark, sf_dir), width=997) \
         .orderBy("w_start")
@@ -192,6 +206,7 @@ FROM geo GROUP BY 1 ORDER BY w_start
 PIPELINE_GATE = {
     "tmp_asof_join": (q_asof_join, oracle_asof_join),
     "tmp_range_join": (q_range_join, oracle_range_join),
+    "tmp_range_join_bucketed": (q_range_join_bucketed, oracle_range_join),
     "tmp_time_rollup": (q_time_rollup, oracle_time_rollup),
     "doc_exact_dedup": (q_exact_dedup, dedup.oracle_exact_dedup),
     "doc_jaccard_pairs": (q_jaccard_pairs,

@@ -50,6 +50,29 @@ def range_join(events: DataFrame, brackets: DataFrame,
     return events.join(F.broadcast(brackets), cond, "inner")
 
 
+def range_join_bucketed(events: DataFrame, brackets: DataFrame,
+                        block: int, col: str = "ts", lo: str = "lo",
+                        hi: str = "hi") -> DataFrame:
+    """Interval join for bracket tables too large to broadcast — the
+    100 TB path ``range_join``'s broadcast-nested-loop lacks. Each
+    bracket explodes to the fixed-size value blocks it covers; events
+    carry their single block id; the equi-join on block co-locates both
+    sides (a plain shuffle hash join), and the exact BETWEEN recheck
+    keeps it semantically identical to ``range_join`` (asserted in
+    tests + gated against the same oracle). Each qualifying pair
+    matches in exactly one block, so no dedup is needed. ``block``
+    trades bracket-side fan-out (width/block rows per bracket) against
+    per-block event fan-in — set it near the median bracket width."""
+    if block <= 0:
+        raise ValueError("block must be positive")
+    b = brackets.withColumn(
+        "blk", F.explode(F.sequence(F.floor(F.col(lo) / block),
+                                    F.floor(F.col(hi) / block))))
+    e = events.withColumn("blk", F.floor(F.col(col) / block))
+    cond = F.col(col).between(F.col(lo), F.col(hi))
+    return e.join(b, "blk").where(cond).drop("blk")
+
+
 def time_rollup(events: DataFrame, width: int, ts: str = "ts",
                 hop: int | None = None) -> DataFrame:
     """Tumbling (or hopping, if hop < width) window counts on an integer

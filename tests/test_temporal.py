@@ -68,3 +68,29 @@ def test_range_join_inclusive_bounds(spark):
                                "ts LONG, value LONG")
     br = spark.createDataFrame([(0, 5, 10)], "bid LONG, lo LONG, hi LONG")
     assert range_join(ev, br, col="ts").count() == 2  # 5 and 10 inclusive
+
+
+def test_range_join_bucketed_equals_broadcast(spark):
+    """The shuffle-on-block interval join must equal the broadcast
+    BETWEEN join for arbitrary brackets (overlapping, touching block
+    boundaries, width < block, width >> block)."""
+    import numpy as np
+    from spatialsketch_spark.pipeline.temporal import range_join_bucketed
+    rng = np.random.default_rng(13)
+    ev = spark.createDataFrame(
+        [(int(t), 1) for t in rng.integers(0, 5000, 800)],
+        "ts LONG, value LONG")
+    rows = []
+    for b in range(30):
+        lo = int(rng.integers(0, 4800))
+        hi = lo + int(rng.integers(0, 900))
+        rows.append((b, lo, hi))
+    rows += [(90, 1024, 1024), (91, 0, 5000), (92, 1023, 1025)]
+    br = spark.createDataFrame(rows, "bid LONG, lo LONG, hi LONG")
+    want = sorted((r["bid"], r["ts"]) for r in
+                  range_join(ev, br).select("bid", "ts").collect())
+    for block in (1, 7, 256, 10000):
+        got = sorted((r["bid"], r["ts"]) for r in
+                     range_join_bucketed(ev, br, block=block)
+                     .select("bid", "ts").collect())
+        assert got == want, block
