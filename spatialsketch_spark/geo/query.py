@@ -253,18 +253,50 @@ class SpatialSketchEngine:
                                  q.qkind, q.item, q.item_end, q.t0))
         return rows
 
+    # up to this many rects the cover is expanded on the DRIVER (the
+    # reference's query planning is driver-side too): the batched numpy
+    # expansion costs ~30 us/rect, far below the fixed cost of the
+    # distributed expansion job it replaces (~1 s at any size)
+    DRIVER_COVER_RECTS = 8192
+
     def _cover_df(self, queries: list[QuerySpec]):
-        """Cover DataFrame. Small batches: computed on the driver (the
-        reference's query planning is driver-side too). Large batches:
-        the per-query bit arithmetic is fanned out via mapInPandas so
-        query *throughput* scales with executors, not driver cores."""
+        """Cover DataFrame. Small/medium batches: computed on the
+        driver — numpy cross-product covers when no grids are dropped,
+        the effective_cover rewrite otherwise. Very large batches: the
+        per-query bit arithmetic is fanned out via mapInPandas so query
+        *throughput* scales with executors, not driver cores."""
         spark = self.store.spark
         cfg = self.store.cfg
-        if len(queries) < 64:
-            rows = self.cover_rows(queries)
-            cover_pdf = pd.DataFrame(
-                rows, columns=["qid", "grid_key", "cell", "coverage",
-                               "qkind", "item", "item_end", "t0"])
+        n_rects = sum(len(q.ranges) for q in queries)
+        if n_rects <= self.DRIVER_COVER_RECTS:
+            if not cfg.dropped_grids:
+                from ..core.dyadic import cover_2d_np
+                rects, meta = [], []
+                for q in queries:
+                    for r in q.ranges:
+                        rects.append(r)
+                        meta.append((q.qid, q.qkind, q.item,
+                                     q.item_end, q.t0))
+                ridx, kx, ky, cx, cy, cov = cover_2d_np(
+                    rects, cfg.levels - 1, self.store.min_level)
+                meta_pdf = pd.DataFrame(
+                    meta, columns=["qid", "qkind", "item", "item_end",
+                                   "t0"])
+                cover_pdf = pd.DataFrame({
+                    "qid": meta_pdf["qid"].to_numpy()[ridx],
+                    "grid_key": (kx + ky * cfg.levels).astype("int32"),
+                    "cell": cx * cfg.n + cy,
+                    "coverage": cov,
+                    "qkind": meta_pdf["qkind"].to_numpy()[ridx],
+                    "item": meta_pdf["item"].to_numpy()[ridx],
+                    "item_end": meta_pdf["item_end"].to_numpy()[ridx],
+                    "t0": meta_pdf["t0"].to_numpy()[ridx],
+                })
+            else:
+                rows = self.cover_rows(queries)
+                cover_pdf = pd.DataFrame(
+                    rows, columns=["qid", "grid_key", "cell", "coverage",
+                                   "qkind", "item", "item_end", "t0"])
             return spark.createDataFrame(cover_pdf, schema=COVER_SCHEMA)
         # distributed: ship (qid, rect, params) rows, expand per partition
         rect_rows = []
@@ -349,15 +381,19 @@ class SpatialSketchEngine:
 
     def _matched(self, queries: list[QuerySpec]):
         cover = self._cover_df(queries)
+        n_rects = sum(len(q.ranges) for q in queries)
         if len(queries) < 64:
+            # precise grid_key pruning list, driver-computed
             needed = sorted({self.store.cfg.grid_key(kx, ky)
                              for q in queries
                              for kx, ky, _, _, _ in self._query_grids(q)})
         else:
+            # medium/large batches touch essentially every live grid;
+            # recomputing per-query covers just to prune is pure waste
             from .build import live_grids
             needed = sorted(self.store.cfg.grid_key(kx, ky) for kx, ky in
                             live_grids(self.store.cfg, self.store.min_level))
-        if (len(queries) < 64
+        if (n_rects <= self.DRIVER_COVER_RECTS
                 or self._estimate_cover_rows(queries)
                 <= self.BROADCAST_COVER_ROWS):
             # broadcast the cover -> zero shuffle on the sketch side;
