@@ -365,6 +365,53 @@ class ECMKernel(BaseKernel):
         self.d = int(depth)
         self.k = int(k)
         self.coeffs = coefficients(seed + 303, self.d)
+        # per-arrival-count snapshots of the unit-weight EH shape
+        # (counts per power-of-two size class); index m -> tuple
+        self._unit_snap: list[tuple] = [()]
+
+    # -- unit-weight fast path ------------------------------------------
+    # For a stream of m unit arrivals the EH bucket structure depends
+    # ONLY on m: insert adds a size-1 bucket and the cascade merges the
+    # two oldest of any class exceeding k+1, so the per-class counts
+    # follow a counter recurrence and every bucket covers a contiguous
+    # arrival range. We snapshot counts per class for each m once, then
+    # materialize any substream's histogram by slicing its sorted ts
+    # array — per-SUBSTREAM python instead of per-event x per-row.
+    _UNIT_FOLD_MAX = 2_000_000
+
+    def _unit_counts(self, m: int) -> tuple:
+        snap = self._unit_snap
+        if m < len(snap):
+            return snap[m]
+        cur = list(snap[-1])
+        for _ in range(len(snap), m + 1):
+            if not cur:
+                cur = [0]
+            cur[0] += 1
+            j = 0
+            while cur[j] > self.k + 1:
+                cur[j] -= 2
+                if j + 1 == len(cur):
+                    cur.append(0)
+                cur[j + 1] += 1
+                j += 1
+            snap.append(tuple(cur))
+        return snap[m]
+
+    def _eh_from_sorted_unit(self, ts_arr) -> list:
+        """EH for a ts-ascending unit-weight substream — identical to
+        folding _eh_insert over it (asserted exhaustively in tests)."""
+        m = len(ts_arr)
+        counts = self._unit_counts(m)
+        eh = []
+        e = m
+        for cls, cnt in enumerate(counts):
+            s = 1 << cls
+            for _ in range(cnt):
+                eh.append([float(s), int(ts_arr[e - s]),
+                           int(ts_arr[e - 1])])
+                e -= s
+        return eh
 
     def _eh_insert(self, eh: list, t: int, weight: float = 1.0):
         eh.insert(0, [weight, t, t])
@@ -392,6 +439,28 @@ class ECMKernel(BaseKernel):
             o = np.argsort(t, kind="stable")       # timestamp-ordered insert
             it, va, t = it[o], va[o], t[o]
             h = hash_items(it, self.coeffs, self.w)   # (d, n)
+            m_total = len(it)
+            # the fold pays one python round per (row, slot) SUBSTREAM;
+            # it wins only when substreams are long (hot coarse-grid
+            # cells — exactly where the per-event loop explodes). Cold
+            # cells with a handful of events keep the trivial loop.
+            if (4 * self.d * self.w <= m_total <= self._UNIT_FOLD_MAX
+                    and bool(np.all(va == 1))):
+                # unit-weight fold: one slice per (row, slot) substream
+                ehs = []
+                for r in range(self.d):
+                    row = [[] for _ in range(self.w)]
+                    order2 = np.argsort(h[r], kind="stable")
+                    ss = h[r][order2]
+                    ts2 = t[order2]
+                    slots, starts = np.unique(ss, return_index=True)
+                    b2 = np.append(starts, m_total)
+                    for ui in range(len(slots)):
+                        row[int(slots[ui])] = self._eh_from_sorted_unit(
+                            ts2[b2[ui]:b2[ui + 1]])
+                    ehs.append(row)
+                states.append(ehs)
+                continue
             ehs = [[[] for _ in range(self.w)] for _ in range(self.d)]
             for j in range(len(it)):
                 tv = int(t[j])

@@ -305,3 +305,43 @@ def test_elastic_same_budget_vs_cm():
     exact_top = sum(1 for it in top[:10]
                     if es.query_item(es_sts[0], int(it)) == int(truth[it]))
     assert exact_top >= 6, exact_top
+
+
+def test_ecm_unit_fold_equals_insert_fold():
+    """The closed-form unit-weight EH fold must produce bit-identical
+    bucket structures to the per-event _eh_insert fold, across ks,
+    stream lengths and hash collision patterns."""
+    import numpy as np
+    for k in (1, 2, 8, 64):
+        kern = ECMKernel(width=8, depth=3, k=k, seed=7)
+        rng = np.random.default_rng(41 + k)
+        for n in (1, 2, 7, 100, 1003):
+            items = rng.integers(0, 50, n).astype(np.int64)
+            ts = np.sort(rng.integers(0, 10 * n, n)).astype(np.int64)
+            cells = np.zeros(n, dtype=np.int64)
+            ones = np.ones(n, dtype=np.int64)
+            _, fast = kern.build_grouped(cells, items, ones, ts)
+            # force the per-event path by temporarily lowering the cap
+            cap = ECMKernel._UNIT_FOLD_MAX
+            ECMKernel._UNIT_FOLD_MAX = 0
+            try:
+                _, slow = kern.build_grouped(cells, items, ones, ts)
+            finally:
+                ECMKernel._UNIT_FOLD_MAX = cap
+            assert fast[0] == slow[0], (k, n)
+
+
+def test_ecm_nonunit_values_fall_back():
+    import numpy as np
+    kern = ECMKernel(width=4, depth=2, k=2, seed=7)
+    n = 200
+    rng = np.random.default_rng(3)
+    items = rng.integers(0, 9, n).astype(np.int64)
+    ts = np.arange(n, dtype=np.int64)
+    vals = rng.integers(1, 4, n).astype(np.int64)
+    cells = np.zeros(n, dtype=np.int64)
+    _, st = kern.build_grouped(cells, items, vals, ts)
+    # total mass conserved per row
+    for r in range(kern.d):
+        tot = sum(b[0] for slot in st[0][r] for b in slot)
+        assert tot == vals.sum()
