@@ -62,6 +62,14 @@ def q_fingerprint(spark, sf_dir):
     return text.doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_bpe_tokens(spark, sf_dir):
+    return text.bpe_token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_rolling_fp(spark, sf_dir):
+    return text.rolling_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=5) \
         .orderBy("qid", "rank")
@@ -217,6 +225,8 @@ PIPELINE_GATE = {
     "doc_quality": (q_quality, text.oracle_quality_score),
     "doc_lang_id": (q_lang_id, text.oracle_lang_id),
     "doc_fingerprint": (q_fingerprint, text.oracle_doc_fingerprint),
+    "doc_bpe_tokens": (q_bpe_tokens, text.oracle_bpe_token_count),
+    "doc_rolling_fp": (q_rolling_fp, text.oracle_rolling_fingerprint),
     "emb_cosine_topk": (q_cosine_topk,
                         lambda: similarity.oracle_cosine_topk(EMB_QUERY_IDS, 5)),
     "emb_lsh_topk": (q_lsh_topk,

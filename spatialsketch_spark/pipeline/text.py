@@ -97,6 +97,60 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
                     F.col("fingerprint").cast("bigint")))
 
 
+# BPE-ish tokenizer pattern (GPT-2-style shape, ASCII on normalized
+# text): optional-apostrophe letter runs | digit runs | single other
+# char. No lookarounds, so Java regex (Spark) and RE2 (DuckDB) agree —
+# both use leftmost-first alternation.
+BPE_PATTERN = "'?[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """Sub-word-ish token counting: whitespace tokens AND the BPE-ish
+    regex token count (digits split from letters, punctuation
+    tokenized singly — the pre-tokenization shape BPE vocabularies
+    assume). -> (doc_id, n_ws_tokens, n_bpe_tokens)."""
+    d = _with_words(docs)
+    return d.select(
+        F.col("doc_id").cast("bigint"),
+        F.size(F.col("_words")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("_norm"), F.lit(BPE_PATTERN), 0))
+        .cast("bigint").alias("n_bpe_tokens"))
+
+
+ROLL_W = 4       # rolling window width (tokens)
+ROLL_B = 131     # polynomial base
+
+
+def rolling_fingerprint(docs: DataFrame, w: int = ROLL_W,
+                        base: int = ROLL_B) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint (the winnowing
+    primitive): hash every w-token window polynomially, keep the MIN
+    window hash as the doc fingerprint (-1 for docs shorter than w
+    tokens). The unrolled fixed-width polynomial keeps the arithmetic
+    pure int64 and bit-identical in DuckDB.
+    -> (doc_id, min_window_fp)."""
+    d = _with_words(docs)
+    whs = F.transform(F.col("_words"),
+                      lambda x: word_hash_col(x) % FP_MOD)
+    d = d.withColumn("_whs", whs)
+    pw = [pow(base, w - 1 - i, FP_MOD) for i in range(w)]
+
+    def window_fp(j):
+        # j is 1-based window start inside the _whs array
+        acc = None
+        for i in range(w):
+            term = F.element_at("_whs", j + i) * F.lit(pw[i])
+            acc = term if acc is None else acc + term
+        return acc % FP_MOD
+
+    n = F.size(F.col("_whs"))
+    fps = F.transform(F.sequence(F.lit(1), n - (w - 1)), window_fp)
+    return d.select(
+        F.col("doc_id").cast("bigint"),
+        F.when(n >= w, F.array_min(fps)).otherwise(F.lit(-1))
+        .cast("bigint").alias("min_window_fp"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ---------------------------------------------------------------------------
@@ -153,6 +207,39 @@ def oracle_lang_id() -> str:
 WITH t AS (SELECT doc_id, lang, {_WORDS} AS words FROM documents)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {pred} AS predicted_lang, lang
 FROM t ORDER BY doc_id
+"""
+
+
+def oracle_bpe_token_count() -> str:
+    pat_sql = BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len({_WORDS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all({_NORM}, '{pat_sql}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def oracle_rolling_fingerprint(w: int = ROLL_W, base: int = ROLL_B) -> str:
+    pw = [pow(base, w - 1 - i, FP_MOD) for i in range(w)]
+    terms = " + ".join(
+        f"((('0x' || substr(md5(whs[j + {i}]), 1, 15))::BIGINT) "
+        f"% {FP_MOD}) * {pw[i]}"
+        for i in range(w))
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS whs FROM documents),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(whs) >= {w} THEN
+           list_min(list_transform(range(1, len(whs) - {w - 2}),
+                                   j -> ({terms}) % {FP_MOD}))
+         ELSE -1 END AS min_window_fp
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min_window_fp AS BIGINT) AS min_window_fp
+FROM fps ORDER BY doc_id
 """
 
 

@@ -158,3 +158,29 @@ def test_exact_dedup_survivors(spark, docs):
     d = dedup.exact_dedup(docs)
     assert d.agg(F.sum("n_dups")).collect()[0][0] == docs.count()
     assert d.count() == d.select("text_hash").distinct().count()
+
+
+def test_rolling_fingerprint_short_docs(spark):
+    """Docs shorter than the window emit the -1 sentinel; equal docs
+    get equal fingerprints; different word order changes them."""
+    from spatialsketch_spark.pipeline import text
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c d e"), (2, "a b c d e"),
+         (3, "e d c b a"), (4, "")],
+        "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["min_window_fp"]
+           for r in text.rolling_fingerprint(df, w=4).collect()}
+    assert got[0] == -1 and got[4] == -1
+    assert got[1] == got[2] and got[1] != got[3]
+
+
+def test_bpe_token_count_splits(spark):
+    from spatialsketch_spark.pipeline import text
+    df = spark.createDataFrame(
+        [(0, "ab12cd, don't stop!"), (1, "hello world")],
+        "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in text.bpe_token_count(df).collect()}
+    # ab12cd, don't stop! -> ab|12|cd|,|don|'t|stop|! = 8 bpe tokens
+    assert got[0] == (3, 8), got
+    assert got[1] == (2, 2)
