@@ -159,6 +159,23 @@ ORDER BY ts
 """
 
 
+def q_asof_join_bucketed(spark, sf_dir):
+    """Same as-of semantics answered by the skew-bounded epoch-bucketed
+    construction — oracle identical to tmp_asof_join."""
+    from pyspark.sql import functions as F
+    ev = _geo_ev(spark, sf_dir)
+    left = ev.where(F.col("ts") % 13 == 0).select("ts", "item")
+    right = ev.where(F.col("ts") % 7 == 0) \
+        .select("item", F.col("ts"), F.col("ts").alias("rts"))
+    out = temporal.asof_join_bucketed(left, right, epoch_width=997,
+                                      key="item", ts="ts",
+                                      right_val="rts")
+    return (out.select("ts", "item",
+                       F.coalesce("rts", F.lit(-1)).cast("bigint")
+                       .alias("calib_ts"))
+            .orderBy("ts"))
+
+
 def q_range_join(spark, sf_dir):
     from pyspark.sql import functions as F
     ev = _geo_ev(spark, sf_dir)
@@ -213,6 +230,7 @@ FROM geo GROUP BY 1 ORDER BY w_start
 
 PIPELINE_GATE = {
     "tmp_asof_join": (q_asof_join, oracle_asof_join),
+    "tmp_asof_join_bucketed": (q_asof_join_bucketed, oracle_asof_join),
     "tmp_range_join": (q_range_join, oracle_range_join),
     "tmp_range_join_bucketed": (q_range_join_bucketed, oracle_range_join),
     "tmp_time_rollup": (q_time_rollup, oracle_time_rollup),

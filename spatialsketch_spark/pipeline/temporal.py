@@ -50,6 +50,66 @@ def range_join(events: DataFrame, brackets: DataFrame,
     return events.join(F.broadcast(brackets), cond, "inner")
 
 
+def asof_join_bucketed(left: DataFrame, right: DataFrame,
+                       epoch_width: int, key: str = "item",
+                       ts: str = "ts", right_val: str = "rts"
+                       ) -> DataFrame:
+    """Skew-bounded as-of join — same semantics as ``asof_join`` (equal
+    output asserted in tests; gated against the same DuckDB ASOF JOIN
+    oracle), but no partition ever holds a whole hot key's history:
+
+    1. within-(key, epoch) pass: the union + windowed-last construction
+       partitioned by (key, floor(ts/epoch_width)) — partition size is
+       bounded by one key's traffic in ONE epoch;
+    2. cross-epoch fallback: rows with no right match inside their
+       epoch take the last right value of the latest EARLIER epoch,
+       computed from the per-(key, epoch) reduction (one row per
+       touched epoch — orders of magnitude smaller than the input) via
+       a windowed cumulative-last shifted by one epoch.
+
+    Correctness: any right row in an earlier epoch has ts < the left
+    row's epoch start <= left ts, so the latest such row is exactly the
+    as-of fallback; rights inside the epoch are handled by pass 1 with
+    the same >=-tie ordering as asof_join."""
+    ep = lambda c: F.floor(F.col(c) / epoch_width)  # noqa: E731
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1)).withColumn("_ep", ep(ts))
+    r = (right.select(F.col(key), F.col(ts), F.col(right_val))
+         .withColumn("_side", F.lit(0)).withColumn("_ep", ep(ts)))
+    for c in lcols:
+        if c not in (key, ts) and c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    if right_val not in l.columns:
+        l = l.withColumn(right_val, F.lit(None))
+    u = l.unionByName(r.select(l.columns))
+    w1 = (Window.partitionBy(key, "_ep")
+          .orderBy(F.col(ts).asc(), F.col("_side").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    in_epoch = (u.withColumn("_rv", F.last(right_val,
+                                           ignorenulls=True).over(w1))
+                .where(F.col("_side") == 1))
+    # per-(key, epoch) last right value; the fallback timeline must
+    # contain EVERY touched epoch — right-only epochs carry the value
+    # forward, left-only epochs are probes with no value of their own
+    ep_last = (r.groupBy(key, "_ep")
+               .agg(F.max(F.struct(F.col(ts), F.col(right_val)))
+                    .alias("_m"))
+               .select(key, "_ep", F.col(f"_m.{right_val}").alias("_epv")))
+    left_only = (in_epoch.select(key, "_ep").distinct()
+                 .join(ep_last.select(key, "_ep"), [key, "_ep"],
+                       "left_anti")
+                 .withColumn("_epv", F.lit(None)))
+    timeline = ep_last.unionByName(left_only.select(key, "_ep", "_epv"))
+    w2 = (Window.partitionBy(key).orderBy(F.col("_ep").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    fallback = timeline.select(
+        key, "_ep",
+        F.last("_epv", ignorenulls=True).over(w2).alias("_fb"))
+    return (in_epoch.join(fallback, [key, "_ep"], "left")
+            .select(*lcols,
+                    F.coalesce("_rv", "_fb").alias(right_val)))
+
+
 def range_join_bucketed(events: DataFrame, brackets: DataFrame,
                         block: int, col: str = "ts", lo: str = "lo",
                         hi: str = "hi") -> DataFrame:

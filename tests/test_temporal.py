@@ -94,3 +94,33 @@ def test_range_join_bucketed_equals_broadcast(spark):
                      range_join_bucketed(ev, br, block=block)
                      .select("bid", "ts").collect())
         assert got == want, block
+
+
+def test_asof_bucketed_equals_plain(spark):
+    """Epoch-bucketed as-of must equal the plain windowed as-of for
+    arbitrary epoch widths — including right-only epochs (value carried
+    across empty gaps), left-only epochs, equal-ts ties, and a hot key
+    holding most of the traffic."""
+    import numpy as np
+    from spatialsketch_spark.pipeline.temporal import (
+        asof_join, asof_join_bucketed)
+    rng = np.random.default_rng(17)
+    n = 1200
+    # hot key 0 gets ~70% of rows
+    keys = np.where(rng.random(n) < 0.7, 0, rng.integers(1, 6, n))
+    lts = rng.integers(0, 10000, n)
+    left = spark.createDataFrame(
+        [(int(i), f"k{k}", int(t)) for i, (k, t) in
+         enumerate(zip(keys, lts))],
+        "id LONG, item STRING, ts LONG")
+    rkeys = np.where(rng.random(300) < 0.7, 0, rng.integers(1, 6, 300))
+    rts_ = rng.integers(0, 10000, 300)
+    right = spark.createDataFrame(
+        [(f"k{k}", int(t), int(t) * 10) for k, t in zip(rkeys, rts_)],
+        "item STRING, ts LONG, rts LONG")
+    want = sorted((r["id"], r["rts"]) for r in
+                  asof_join(left, right).collect())
+    for width in (1, 37, 1000, 100000):
+        got = sorted((r["id"], r["rts"]) for r in
+                     asof_join_bucketed(left, right, width).collect())
+        assert got == want, width
