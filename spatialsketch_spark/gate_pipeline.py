@@ -104,6 +104,16 @@ def q_media_features(spark, sf_dir):
     return media.extract_features(m).orderBy("doc_id")
 
 
+def q_media_resize(spark, sf_dir):
+    m = media.synth_media_table(_docs(spark, sf_dir))
+    return media.resize_media(m).orderBy("doc_id")
+
+
+def q_media_frames(spark, sf_dir):
+    m = media.synth_media_table(_docs(spark, sf_dir))
+    return media.frame_sample(m).orderBy("doc_id", "frame_idx")
+
+
 def q_rel_pricing(spark, sf_dir):
     return relational.pricing_summary(spark, sf_dir)
 
@@ -252,6 +262,8 @@ PIPELINE_GATE = {
     "emb_lsh_dups": (q_lsh_dups,
                      lambda: similarity.oracle_cosine_dup_pairs(0.3)),
     "media_features": (q_media_features, media.oracle_media_features),
+    "media_resize": (q_media_resize, media.oracle_resize_media),
+    "media_frames": (q_media_frames, media.oracle_frame_sample),
     "rel_pricing_summary": (q_rel_pricing, relational.oracle_pricing_summary),
     "rel_orders_by_nation": (q_rel_nations, relational.oracle_orders_by_nation),
     "rel_window_topk": (q_rel_window,

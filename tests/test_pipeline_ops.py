@@ -184,3 +184,17 @@ def test_bpe_token_count_splits(spark):
     # ab12cd, don't stop! -> ab|12|cd|,|don|'t|stop|! = 8 bpe tokens
     assert got[0] == (3, 8), got
     assert got[1] == (2, 2)
+
+
+def test_media_resize_and_frames(spark, docs):
+    from spatialsketch_spark.pipeline import media
+    m = media.synth_media_table(docs.limit(6))
+    rz = media.resize_media(m, out_len=8).collect()
+    assert all(len(r["resized_hex"]) == 16 for r in rz)  # 8 bytes hex
+    fr = media.frame_sample(m, frame_len=4, stride=2).collect()
+    # 16-byte blobs -> frames 0 and 2 sampled per doc
+    per_doc = {}
+    for r in fr:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 2] for v in per_doc.values())
+    assert all(len(r["frame_hex"]) == 8 for r in fr)
