@@ -213,3 +213,25 @@ def test_trunc_points_pinned(spark):
     assert got[0] == 1
     assert got[1] == 7 + int(0.5 * 1.0 * 5)
     assert got[2] == 1
+
+
+def test_bucketed_join_fallback_matches_broadcast(spark, events, exact_store):
+    """Force the giant-cover fallback (shuffle join against the
+    (grid_key, cell)-bucketed sketch cache) and assert it answers
+    exactly like the broadcast path."""
+    eng = SpatialSketchEngine(exact_store)
+    qs = [QuerySpec(i, [(i % 8, (i * 3) % 8, 32 + i % 16, 40 + i % 8)],
+                    "count") for i in range(96)]
+    want = sorted((r["qid"], r["est"])
+                  for r in eng.query(qs).collect())
+    drv, bc = (SpatialSketchEngine.DRIVER_COVER_RECTS,
+               SpatialSketchEngine.BROADCAST_COVER_ROWS)
+    SpatialSketchEngine.DRIVER_COVER_RECTS = 0
+    SpatialSketchEngine.BROADCAST_COVER_ROWS = 0
+    try:
+        got = sorted((r["qid"], r["est"])
+                     for r in eng.query(qs).collect())
+    finally:
+        SpatialSketchEngine.DRIVER_COVER_RECTS = drv
+        SpatialSketchEngine.BROADCAST_COVER_ROWS = bc
+    assert got == want
