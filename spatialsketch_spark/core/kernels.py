@@ -158,29 +158,44 @@ class CMKernel(BaseKernel):
     _MAGIC_D = b"CMD\x00\x00\x00\x00\x00"
     _MAGIC_S = b"CMS\x00\x00\x00\x00\x00"
 
+    def _check_shape(self, blob: bytes):
+        """Payloads carry their (d, w); a mismatch means a snapshot
+        built under a different eps/delta is being read — fail loudly
+        instead of silently scattering counters into the wrong layout."""
+        d = int(np.frombuffer(blob, np.int64, 1, 8)[0])
+        w = int(np.frombuffer(blob, np.int64, 1, 16)[0])
+        if d != self.d or w != self.w:
+            raise ValueError(
+                f"CM payload shape ({d},{w}) does not match this "
+                f"kernel's ({self.d},{self.w}) — the sketch snapshot "
+                "was built with a different eps/delta config")
+
     def serialize(self, state) -> bytes:
         """Sparse encoding when the counter matrix is mostly zero (the
         common case for fine-grid cells with a handful of events) —
         ~10x smaller payloads than the dense (d, w) array. Raw int64
         buffers, not pickle: the query path pays one deserialize per
-        matched cover cell."""
+        matched cover cell. Header: magic, d, w [, nnz]."""
         flat = np.ascontiguousarray(state, np.int64).ravel()
+        shape = np.array([self.d, self.w], dtype=np.int64).tobytes()
         nz = np.flatnonzero(flat)
         if len(nz) * 2 < flat.size:
-            return b"".join((self._MAGIC_S,
+            return b"".join((self._MAGIC_S, shape,
                              np.int64(len(nz)).tobytes(),
                              nz.astype(np.int64).tobytes(),
                              flat[nz].tobytes()))
-        return self._MAGIC_D + flat.tobytes()
+        return self._MAGIC_D + shape + flat.tobytes()
 
     def deserialize(self, blob: bytes):
         if blob[:8] == self._MAGIC_D:
+            self._check_shape(blob)
             return np.frombuffer(blob, np.int64, self.d * self.w,
-                                 8).reshape(self.d, self.w)
+                                 24).reshape(self.d, self.w)
         if blob[:8] == self._MAGIC_S:
-            nnz = int(np.frombuffer(blob, np.int64, 1, 8)[0])
-            idx = np.frombuffer(blob, np.int64, nnz, 16)
-            vals = np.frombuffer(blob, np.int64, nnz, 16 + 8 * nnz)
+            self._check_shape(blob)
+            nnz = int(np.frombuffer(blob, np.int64, 1, 24)[0])
+            idx = np.frombuffer(blob, np.int64, nnz, 32)
+            vals = np.frombuffer(blob, np.int64, nnz, 32 + 8 * nnz)
             out = np.zeros(self.d * self.w, dtype=np.int64)
             out[idx] = vals
             return out.reshape(self.d, self.w)
@@ -199,9 +214,11 @@ class CMKernel(BaseKernel):
         flat = out.reshape(len(payloads), self.d * self.w)
         for i, blob in enumerate(payloads):
             if blob[:8] == self._MAGIC_S:
-                nnz = int(np.frombuffer(blob, np.int64, 1, 8)[0])
-                idx = np.frombuffer(blob, np.int64, nnz, 16)
-                flat[i, idx] = np.frombuffer(blob, np.int64, nnz, 16 + 8 * nnz)
+                self._check_shape(blob)
+                nnz = int(np.frombuffer(blob, np.int64, 1, 24)[0])
+                idx = np.frombuffer(blob, np.int64, nnz, 32)
+                flat[i, idx] = np.frombuffer(blob, np.int64, nnz,
+                                             32 + 8 * nnz)
             else:
                 flat[i, :] = self.deserialize(blob).ravel()
         return out
@@ -365,9 +382,11 @@ class ECMKernel(BaseKernel):
         self.d = int(depth)
         self.k = int(k)
         self.coeffs = coefficients(seed + 303, self.d)
-        # per-arrival-count snapshots of the unit-weight EH shape
-        # (counts per power-of-two size class); index m -> tuple
-        self._unit_snap: list[tuple] = [()]
+        # sparse memo of unit-weight EH shapes: only the substream
+        # lengths actually requested are retained (a snapshot for EVERY
+        # m would cost O(m log m) memory — ~1 GB near the fold cap)
+        self._unit_memo: dict[int, tuple] = {0: ()}
+        self._unit_keys: list[int] = [0]
 
     # -- unit-weight fast path ------------------------------------------
     # For a stream of m unit arrivals the EH bucket structure depends
@@ -380,11 +399,14 @@ class ECMKernel(BaseKernel):
     _UNIT_FOLD_MAX = 2_000_000
 
     def _unit_counts(self, m: int) -> tuple:
-        snap = self._unit_snap
-        if m < len(snap):
-            return snap[m]
-        cur = list(snap[-1])
-        for _ in range(len(snap), m + 1):
+        got = self._unit_memo.get(m)
+        if got is not None:
+            return got
+        import bisect
+        i = bisect.bisect_right(self._unit_keys, m) - 1
+        base = self._unit_keys[i]
+        cur = list(self._unit_memo[base])
+        for _ in range(base, m):
             if not cur:
                 cur = [0]
             cur[0] += 1
@@ -395,8 +417,10 @@ class ECMKernel(BaseKernel):
                     cur.append(0)
                 cur[j + 1] += 1
                 j += 1
-            snap.append(tuple(cur))
-        return snap[m]
+        t = tuple(cur)
+        self._unit_memo[m] = t
+        bisect.insort(self._unit_keys, m)
+        return t
 
     def _eh_from_sorted_unit(self, ts_arr) -> list:
         """EH for a ts-ascending unit-weight substream — identical to

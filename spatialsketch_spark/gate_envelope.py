@@ -110,7 +110,8 @@ def q_env_freq_cm(spark, sf_dir) -> DataFrame:
           for i, (r, it, _) in enumerate(CM_PROBES)]
     est = eng.query(qs)
     truth = _truth(spark, sf_dir, CM_PROBES)
-    n_stream = derive_geo_events(spark, sf_dir, N).count()
+    # stream mass from the build manifest (same events) — no extra scan
+    n_stream = st.manifest["input_fingerprint"]["n_events"]
     margin = int(0.05 * n_stream) + 1
     return _ok(est, truth,
                (F.col("est") >= F.col("truth"))

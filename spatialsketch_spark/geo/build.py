@@ -334,10 +334,20 @@ class SketchStore:
         try:
             st = cls.load(spark, path, cfg, kind)
             m = st.manifest
+            mc = m.get("cfg", {})
+            # pin EVERY parameter that changes payload layout or hash
+            # coefficients — a snapshot built at different eps/delta has
+            # differently-shaped CM counters, and the raw-buffer codec
+            # would reshape them silently instead of failing loudly
             if (m.get("kind") == kind and m.get("min_level") == min_level
-                    and m.get("cfg", {}).get("n") == cfg.n
-                    and m.get("cfg", {}).get("exact") == cfg.exact
-                    and m.get("cfg", {}).get("seed") == cfg.seed
+                    and mc.get("n") == cfg.n
+                    and mc.get("exact") == cfg.exact
+                    and mc.get("seed") == cfg.seed
+                    and mc.get("eps") == cfg.eps
+                    and mc.get("delta") == cfg.delta
+                    and mc.get("item_domain") == cfg.item_domain
+                    and sorted(map(tuple, mc.get("dropped_grids", [])))
+                    == sorted(cfg.dropped_grids)
                     and m.get("input_fingerprint")
                     == cls.fingerprint_events(events)):
                 return st

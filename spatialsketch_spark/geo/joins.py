@@ -157,7 +157,10 @@ def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
             qx, qy = pending[q]
             qtx, qty = qx >> tile_level, qy >> tile_level
             rows = per_q.get(q, [])
-            kth_ok = len(rows) >= k and rows[-1]["dist2"] < bound2
+            # collect() row order within a qid is not contractual —
+            # take the true k-th distance as the max over the top-k set
+            kth_ok = (len(rows) >= k
+                      and max(rw["dist2"] for rw in rows) < bound2)
             if not kth_ok:
                 # ring r covers every event tile -> candidates are total
                 # (brute-force equivalence: the exactness fallback)

@@ -393,9 +393,10 @@ class SpatialSketchEngine:
             from .build import live_grids
             needed = sorted(self.store.cfg.grid_key(kx, ky) for kx, ky in
                             live_grids(self.store.cfg, self.store.min_level))
-        if (n_rects <= self.DRIVER_COVER_RECTS
-                or self._estimate_cover_rows(queries)
-                <= self.BROADCAST_COVER_ROWS):
+        # broadcast strictly by estimated cover SIZE — how the cover was
+        # built (driver vs distributed) must not bypass the ~200 MB
+        # broadcast ceiling (8192 full-span rects can expand past 4M rows)
+        if self._estimate_cover_rows(queries) <= self.BROADCAST_COVER_ROWS:
             # broadcast the cover -> zero shuffle on the sketch side;
             # the broadcast exchange is canonically identical across the
             # per-qkind consumer branches, so ReuseExchange materializes

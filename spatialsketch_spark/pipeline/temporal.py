@@ -88,10 +88,14 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame,
     in_epoch = (u.withColumn("_rv", F.last(right_val,
                                            ignorenulls=True).over(w1))
                 .where(F.col("_side") == 1))
-    # per-(key, epoch) last right value; the fallback timeline must
-    # contain EVERY touched epoch — right-only epochs carry the value
-    # forward, left-only epochs are probes with no value of their own
-    ep_last = (r.groupBy(key, "_ep")
+    # per-(key, epoch) last NON-NULL right value (asof_join's
+    # last(ignorenulls) skips null right values, so a null-valued max-ts
+    # row must not shadow an earlier non-null one); the fallback
+    # timeline must contain EVERY touched epoch — right-only epochs
+    # carry the value forward, left-only epochs are probes with no
+    # value of their own
+    ep_last = (r.where(F.col(right_val).isNotNull())
+               .groupBy(key, "_ep")
                .agg(F.max(F.struct(F.col(ts), F.col(right_val)))
                     .alias("_m"))
                .select(key, "_ep", F.col(f"_m.{right_val}").alias("_epv")))

@@ -235,3 +235,22 @@ def test_bucketed_join_fallback_matches_broadcast(spark, events, exact_store):
         SpatialSketchEngine.DRIVER_COVER_RECTS = drv
         SpatialSketchEngine.BROADCAST_COVER_ROWS = bc
     assert got == want
+
+
+def test_store_resume_rejects_config_change(spark, events, tmp_path):
+    """A snapshot built at one eps/delta must NOT be served for a
+    different config (payload layouts differ); build_or_load rebuilds."""
+    p = str(tmp_path / "store_cfg")
+    cfg1 = SketchConfig.realistic(n=N, eps=0.1, delta=0.05,
+                                  item_domain=ITEM_DOMAIN)
+    s1 = SketchStore.build_or_load(spark, events, cfg1, "cm", 2, p)
+    w1 = s1.manifest["metrics"]["build_wall_s"]
+    cfg2 = SketchConfig.realistic(n=N, eps=0.05, delta=0.05,
+                                  item_domain=ITEM_DOMAIN)
+    s2 = SketchStore.build_or_load(spark, events, cfg2, "cm", 2, p)
+    # rebuilt (fresh manifest), and estimates sane under the new config
+    assert s2.manifest["cfg"]["eps"] == 0.05
+    eng = SpatialSketchEngine(s2)
+    est = eng.query([QuerySpec(0, [(0, 0, 63, 63)], "freq", item=3)]) \
+        .collect()[0]["est"]
+    assert est >= truth_count(events, [(0, 0, 63, 63)], item=3)

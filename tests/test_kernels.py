@@ -345,3 +345,19 @@ def test_ecm_nonunit_values_fall_back():
     for r in range(kern.d):
         tot = sum(b[0] for slot in st[0][r] for b in slot)
         assert tot == vals.sum()
+
+
+def test_cm_codec_rejects_shape_mismatch():
+    """A payload from a different eps/delta config must raise, not
+    silently scatter counters into the wrong layout."""
+    a = CMKernel(width=28, depth=3, seed=7)
+    b = CMKernel(width=55, depth=4, seed=7)
+    dense = np.arange(28 * 3, dtype=np.int64).reshape(3, 28)
+    sparse = np.zeros((3, 28), dtype=np.int64)
+    sparse[1, 5] = 9
+    for st in (dense, sparse):
+        blob = a.serialize(st)
+        with pytest.raises(ValueError):
+            b.deserialize(blob)
+        with pytest.raises(ValueError):
+            b.deserialize_batch([a.serialize(sparse)])

@@ -124,3 +124,22 @@ def test_asof_bucketed_equals_plain(spark):
         got = sorted((r["id"], r["rts"]) for r in
                      asof_join_bucketed(left, right, width).collect())
         assert got == want, width
+
+
+def test_asof_bucketed_null_right_values(spark):
+    """last(ignorenulls) semantics: a NULL-valued later right row must
+    not shadow an earlier non-null value — in either pass."""
+    from spatialsketch_spark.pipeline.temporal import (
+        asof_join, asof_join_bucketed)
+    left = spark.createDataFrame(
+        [(0, "a", 25), (1, "a", 35), (2, "b", 25)],
+        "id LONG, item STRING, ts LONG")
+    right = spark.createDataFrame(
+        [("a", 10, 100), ("a", 20, None), ("b", 5, None)],
+        "item STRING, ts LONG, rts LONG")
+    want = sorted((r["id"], r["rts"]) for r in
+                  asof_join(left, right).collect())
+    for width in (7, 15, 1000):
+        got = sorted((r["id"], r["rts"]) for r in
+                     asof_join_bucketed(left, right, width).collect())
+        assert got == want, (width, got, want)
