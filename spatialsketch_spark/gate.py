@@ -291,7 +291,25 @@ def q_polygon_count_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle emits the constant 1 — hash-equal iff every estimate is
     inside its envelope. truth is computed by the same raw-event
     aggregation that geo_polygon_count proves equal to DuckDB."""
-    eng = _engine(spark, sf_dir)
+    return _frac_envelope(spark, sf_dir, _engine(spark, sf_dir))
+
+
+def q_polygon_count_frac_dyn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two SURVEY §7 'hard parts' COMBINED: fractional coverage AND
+    dropped grids — the query-side cover rewrite must subdivide dropped
+    cells while floor-level fractional elements stay answerable (the
+    drop policy never drops the floor grid). Same envelope flag, same
+    literal-1s oracle."""
+    from .geo.query import SpatialSketchEngine
+    st = _STORES[(sf_dir, N, MIN_LEVEL, "exact-dyn")] \
+        if (sf_dir, N, MIN_LEVEL, "exact-dyn") in _STORES else None
+    if st is None:
+        q_polygon_count_dynsketch(spark, sf_dir)       # builds + caches
+        st = _STORES[(sf_dir, N, MIN_LEVEL, "exact-dyn")]
+    return _frac_envelope(spark, sf_dir, SpatialSketchEngine(st))
+
+
+def _frac_envelope(spark: SparkSession, sf_dir: str, eng) -> DataFrame:
     st = eng.store
     shapes_ranges = [shape_to_ranges(POLY_FRAC)] + [
         [(int(x1 + 0.5), int(y1 + 0.5), int(x2 - 0.5), int(y2 - 0.5))]
@@ -553,6 +571,8 @@ GATE_QUERIES = {
     "geo_window_count_merge": (q_window_count_merge, oracle_window_count),
     "geo_polygon_count_frac": (q_polygon_count_frac,
                                oracle_polygon_count_frac),
+    "geo_polygon_count_frac_dyn": (q_polygon_count_frac_dyn,
+                                   oracle_polygon_count_frac),
     "geo_item_range_freq": (q_item_range_freq, oracle_item_range_freq),
     "geo_item_range_dcm": (q_item_range_dcm, oracle_item_range_freq),
     "geo_span_rollup": (q_span_rollup, oracle_span_rollup),
