@@ -254,3 +254,24 @@ def test_store_resume_rejects_config_change(spark, events, tmp_path):
     est = eng.query([QuerySpec(0, [(0, 0, 63, 63)], "freq", item=3)]) \
         .collect()[0]["est"]
     assert est >= truth_count(events, [(0, 0, 63, 63)], item=3)
+
+
+def test_mixed_batch_fused_equals_separate(spark, events, exact_store):
+    """Mixed count+freq batches take the fused single-consumer path;
+    answers must equal issuing the classes separately."""
+    eng = SpatialSketchEngine(exact_store)
+    mixed = []
+    for i in range(8):
+        r = [(i, i, 40 + i, 50 - i)]
+        mixed.append(QuerySpec(2 * i, r, "count"))
+        mixed.append(QuerySpec(2 * i + 1, r, "freq", item=i % 5))
+    fused = {r["qid"]: r["est"] for r in eng.query(mixed).collect()}
+    cnt_only = {r["qid"]: r["est"]
+                for r in eng.query([q for q in mixed
+                                    if q.qkind == "count"]).collect()}
+    frq_only = {r["qid"]: r["est"]
+                for r in eng.query([q for q in mixed
+                                    if q.qkind == "freq"]).collect()}
+    for q in mixed:
+        want = (cnt_only if q.qkind == "count" else frq_only)[q.qid]
+        assert fused[q.qid] == want, q.qid
