@@ -21,4 +21,29 @@ sketch table, and everything crossing the JVM/Python boundary moves in
 Arrow batches (no per-row Python).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Public API: the names a reference user drives the engine through.
+# (Heavy imports stay lazy — pulling in pyspark at package import time
+# would slow bare kernel/unit use.)
+__all__ = [
+    "SketchConfig", "get_spark",
+    "SketchStore", "SpatialSketchEngine", "QuerySpec", "Shape",
+    "build_sketch_df",
+]
+
+
+def __getattr__(name):
+    if name in ("SketchConfig", "get_spark"):
+        from . import config
+        return getattr(config, name)
+    if name in ("SketchStore", "build_sketch_df"):
+        from .geo import build
+        return getattr(build, name)
+    if name in ("SpatialSketchEngine", "QuerySpec"):
+        from .geo import query
+        return getattr(query, name)
+    if name == "Shape":
+        from .core.partitioner import Shape
+        return Shape
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
