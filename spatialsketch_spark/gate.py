@@ -300,13 +300,10 @@ def q_polygon_count_frac_dyn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells while floor-level fractional elements stay answerable (the
     drop policy never drops the floor grid). Same envelope flag, same
     literal-1s oracle."""
-    from .geo.query import SpatialSketchEngine
-    st = _STORES[(sf_dir, N, MIN_LEVEL, "exact-dyn")] \
-        if (sf_dir, N, MIN_LEVEL, "exact-dyn") in _STORES else None
-    if st is None:
+    key = (sf_dir, N, MIN_LEVEL, "exact-dyn")
+    if _STORES.get(key) is None:
         q_polygon_count_dynsketch(spark, sf_dir)       # builds + caches
-        st = _STORES[(sf_dir, N, MIN_LEVEL, "exact-dyn")]
-    return _frac_envelope(spark, sf_dir, SpatialSketchEngine(st))
+    return _frac_envelope(spark, sf_dir, SpatialSketchEngine(_STORES[key]))
 
 
 def _frac_envelope(spark: SparkSession, sf_dir: str, eng) -> DataFrame:

@@ -482,24 +482,7 @@ class SpatialSketchEngine:
         # ReuseExchange materializes it once per batch.
         m_all = self._matched(queries)
         parts = []
-        if counts and additive:
-            # mixed batch: ONE fused consumer — count rows ride the
-            # additive mapInPandas answered from val_sum with their
-            # payload NULLed (no blob crosses Arrow for them); saves a
-            # whole consumer job per batch vs separate branches
-            m = m_all.where(F.col("qkind").isin(
-                "count", "freq", "range_freq", "window")).select(
-                "qid", "coverage", "qkind", "item", "item_end", "t0",
-                "val_sum",
-                F.when(F.col("qkind") == "count", F.lit(None))
-                .otherwise(F.col("payload")).alias("payload"))
-            partial = m.mapInPandas(
-                _additive_estimator(self.store.cfg, self.store.kind,
-                                    with_counts=True),
-                schema=RESULT_SCHEMA)
-            parts.append(partial.groupBy("qid").agg(
-                F.sum("est").cast("bigint").alias("est")))
-        elif counts:
+        if counts and not additive:
             # count-only batch: pure JVM, payload never read
             m = m_all.where(F.col("qkind") == "count")
             parts.append(
@@ -507,12 +490,22 @@ class SpatialSketchEngine:
                     F.sum(F.floor(F.col("coverage") * F.col("val_sum")))
                     .cast("bigint").alias("est")))
         elif additive:
-            m = m_all.where(F.col("qkind").isin(
-                "freq", "range_freq", "window")).select(
+            # one consumer for additive rows — and, in MIXED batches,
+            # for count rows too: they are answered from val_sum inside
+            # the same mapInPandas with their payload NULLed before the
+            # Arrow transfer (no blob crosses for them), saving a whole
+            # consumer job per batch vs separate branches
+            with_counts = bool(counts)
+            kinds = ["freq", "range_freq", "window"] + (
+                ["count"] if with_counts else [])
+            m = m_all.where(F.col("qkind").isin(kinds)).select(
                 "qid", "coverage", "qkind", "item", "item_end", "t0",
-                "payload")
+                "val_sum",
+                F.when(F.col("qkind") == "count", F.lit(None))
+                .otherwise(F.col("payload")).alias("payload"))
             partial = m.mapInPandas(
-                _additive_estimator(self.store.cfg, self.store.kind),
+                _additive_estimator(self.store.cfg, self.store.kind,
+                                    with_counts=with_counts),
                 schema=RESULT_SCHEMA)
             parts.append(partial.groupBy("qid").agg(
                 F.sum("est").cast("bigint").alias("est")))

@@ -11,9 +11,12 @@ from spatialsketch_spark.core.kernels import ECMKernel
 
 
 @settings(max_examples=60, deadline=None)
-@given(k=st.integers(1, 12), n=st.integers(1, 400),
-       width=st.integers(1, 6), data=st.data())
-def test_ecm_unit_fold_equals_insert_fold_property(k, n, width, data):
+@given(k=st.integers(1, 12), width=st.integers(1, 6), data=st.data())
+def test_ecm_unit_fold_equals_insert_fold_property(k, width, data):
+    # the fold engages only at m >= 4 * depth * width — draw n above
+    # that so every example actually exercises _eh_from_sorted_unit
+    # (shorter streams are covered by the unit test's small-n cases)
+    n = data.draw(st.integers(8 * width, 400))
     seed = data.draw(st.integers(0, 2 ** 16))
     kern_fast = ECMKernel(width=width, depth=2, k=k, seed=7)
     kern_slow = ECMKernel(width=width, depth=2, k=k, seed=7)
