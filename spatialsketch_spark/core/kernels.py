@@ -567,6 +567,14 @@ class ElasticKernel(BaseKernel):
       ECM fold, merge is deterministic and commutative (canonical
       ordering) though not bit-identical to single-stream insertion
       order — estimates keep the never-underestimate property.
+
+    Cost note: insertion is inherently sequential (eviction state
+    depends on arrival order), so the build is a per-event python loop
+    bounded per cell — the same class the reference's C++ insert is.
+    Unlike ECM there is no closed form (the heavy part is
+    data-dependent); a hot coarse cell pays O(events) dict ops. The
+    map-side-combined build bounds any cell to one partition's events
+    before merge, which is the structural mitigation.
     """
 
     kind = "elastic"
