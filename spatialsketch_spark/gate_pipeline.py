@@ -70,6 +70,11 @@ def q_rolling_fp(spark, sf_dir):
     return text.rolling_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_winnow_pairs(spark, sf_dir):
+    return text.winnow_candidate_pairs(_docs(spark, sf_dir)) \
+        .orderBy("doc_a", "doc_b")
+
+
 def q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=5) \
         .orderBy("qid", "rank")
@@ -255,6 +260,7 @@ PIPELINE_GATE = {
     "doc_fingerprint": (q_fingerprint, text.oracle_doc_fingerprint),
     "doc_bpe_tokens": (q_bpe_tokens, text.oracle_bpe_token_count),
     "doc_rolling_fp": (q_rolling_fp, text.oracle_rolling_fingerprint),
+    "doc_winnow_pairs": (q_winnow_pairs, text.oracle_winnow_pairs),
     "emb_cosine_topk": (q_cosine_topk,
                         lambda: similarity.oracle_cosine_topk(EMB_QUERY_IDS, 5)),
     "emb_lsh_topk": (q_lsh_topk,

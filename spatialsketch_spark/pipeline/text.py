@@ -151,6 +151,69 @@ def rolling_fingerprint(docs: DataFrame, w: int = ROLL_W,
         .cast("bigint").alias("min_window_fp"))
 
 
+WINNOW_G = 3     # guarantee window (in rolling-hash positions)
+
+
+def _window_hash_array(w: int, base: int):
+    """Column expr: array of Rabin-Karp hashes over w-token windows of
+    the bound ``_whs`` word-hash array (unrolled fixed-width poly —
+    pure int64, bit-identical in DuckDB)."""
+    pw = [pow(base, w - 1 - i, FP_MOD) for i in range(w)]
+
+    def window_fp(j):
+        acc = None
+        for i in range(w):
+            term = F.element_at("_whs", j + i) * F.lit(pw[i])
+            acc = term if acc is None else acc + term
+        return acc % FP_MOD
+
+    n = F.size(F.col("_whs"))
+    return F.transform(F.sequence(F.lit(1), n - (w - 1)), window_fp)
+
+
+def winnow_fingerprints(docs: DataFrame, w: int = ROLL_W,
+                        g: int = WINNOW_G, base: int = ROLL_B
+                        ) -> DataFrame:
+    """Winnowing (the MOSS document-fingerprinting scheme): take the
+    MINIMUM rolling hash in every g-window over the w-token rolling
+    hashes and keep the distinct set. Guarantee: any shared token run
+    of length >= g + w - 1 produces a shared fingerprint — the local
+    version of the global min the rolling_fingerprint op keeps.
+    -> exploded (doc_id, fp), one row per selected fingerprint."""
+    d = _with_words(docs)
+    whs = F.transform(F.col("_words"),
+                      lambda x: word_hash_col(x) % FP_MOD)
+    d = d.withColumn("_whs", whs) \
+         .withColumn("_fps", _window_hash_array(w, base))
+    n = F.size(F.col("_fps"))
+    sel = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n - (g - 1)),
+        lambda j: F.array_min(F.slice(F.col("_fps"), j, g))))
+    return (d.where(n >= g)
+            .select(F.col("doc_id").cast("bigint"),
+                    F.explode(sel).alias("fp")))
+
+
+def winnow_candidate_pairs(docs: DataFrame, w: int = ROLL_W,
+                           g: int = WINNOW_G, min_shared: int = 2
+                           ) -> DataFrame:
+    """Near-dup candidates by shared winnowed fingerprints — an
+    inverted-index equi-join on fingerprints (bounded by fingerprint
+    collisions, never all-pairs), the standard MOSS candidate
+    generator. -> (doc_a, doc_b, shared) with shared >= min_shared."""
+    fps = winnow_fingerprints(docs, w, g)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (a.join(b, ["fp"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("shared"))
+            .where(F.col("shared") >= min_shared)
+            .select(F.col("doc_a").cast("bigint"),
+                    F.col("doc_b").cast("bigint"),
+                    F.col("shared").cast("bigint")))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ---------------------------------------------------------------------------
@@ -240,6 +303,39 @@ fps AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(min_window_fp AS BIGINT) AS min_window_fp
 FROM fps ORDER BY doc_id
+"""
+
+
+def oracle_winnow_pairs(w: int = ROLL_W, g: int = WINNOW_G,
+                        min_shared: int = 2,
+                        base: int = ROLL_B) -> str:
+    pw = [pow(base, w - 1 - i, FP_MOD) for i in range(w)]
+    terms = " + ".join(
+        f"((('0x' || substr(md5(whs[j + {i}]), 1, 15))::BIGINT) "
+        f"% {FP_MOD}) * {pw[i]}"
+        for i in range(w))
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS whs FROM documents),
+rolled AS (
+  SELECT doc_id,
+         list_transform(range(1, len(whs) - {w - 2}),
+                        j -> ({terms}) % {FP_MOD}) AS fps
+  FROM t WHERE len(whs) >= {w}
+),
+sel AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(fps) - {g - 2}),
+                                 j -> list_min(fps[j:j + {g - 1}]))) AS fp
+    FROM rolled WHERE len(fps) >= {g}
+  )
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+       CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+ORDER BY doc_a, doc_b
 """
 
 

@@ -198,3 +198,24 @@ def test_media_resize_and_frames(spark, docs):
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 2] for v in per_doc.values())
     assert all(len(r["frame_hex"]) == 8 for r in fr)
+
+
+def test_winnowing_guarantee(spark):
+    """Any shared token run of length >= g + w - 1 must yield a shared
+    winnowed fingerprint (the MOSS guarantee); unrelated docs share
+    none."""
+    from spatialsketch_spark.pipeline import text
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 >= g+w-1 = 6
+    docs = [(0, "xx yy " + shared_run + " qq"),
+            (1, shared_run + " aa bb cc"),
+            (2, "one two three four five six seven eight nine")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    pairs = {(r["doc_a"], r["doc_b"]): r["shared"] for r in
+             text.winnow_candidate_pairs(df, min_shared=1).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    fps = text.winnow_fingerprints(df).collect()
+    per_doc = {}
+    for r in fps:
+        per_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert per_doc[0] & per_doc[1]
