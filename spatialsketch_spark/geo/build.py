@@ -314,18 +314,23 @@ class SketchStore:
     @staticmethod
     def fingerprint_events(events: DataFrame) -> dict:
         """Partitioning-invariant input identity: row count, ts range,
-        and an order-invariant XOR of per-row xxhash64. Recorded in the
+        and an order-invariant SUM of per-row xxhash64 (accumulated in
+        decimal(38,0) so it never overflows, then reduced mod 2^64).
+        Sum, not XOR: XOR of per-row hashes cancels pairwise, so two
+        inputs differing only in which rows are duplicated would
+        collide — sum is multiplicity-sensitive. Recorded in the
         manifest and compared on resume so a stale snapshot built from
         *different data* is never silently served."""
         fp = events.agg(
             F.count("*").alias("n"), F.min("ts").alias("tmin"),
             F.max("ts").alias("tmax"),
-            F.bit_xor(F.xxhash64("ts", "item", "x", "y", "value"))
-            .alias("xh")).collect()[0]
+            F.sum(F.xxhash64("ts", "item", "x", "y", "value")
+                  .cast("decimal(38,0)")).alias("sh")).collect()[0]
         return {"n_events": int(fp["n"]),
                 "min_ts": int(fp["tmin"]) if fp["tmin"] is not None else None,
                 "max_ts": int(fp["tmax"]) if fp["tmax"] is not None else None,
-                "xor_hash": int(fp["xh"]) if fp["xh"] is not None else None}
+                "sum_hash": int(fp["sh"]) % (1 << 64)
+                if fp["sh"] is not None else None}
 
     @classmethod
     def build_or_load(cls, spark: SparkSession, events: DataFrame,

@@ -72,58 +72,57 @@ def _estimate_one(kernel, pdf: pd.DataFrame) -> int:
     t0 = int(pdf["t0"].iloc[0])
     states = [kernel.deserialize(b) for b in pdf["payload"]]
     covs = pdf["coverage"].to_numpy()
-    if True:
-        if qkind == "count":
-            # region total (no item predicate) — exact from any kernel
-            # exposing query_total (reference 'Count' synopsis, Table 3a)
-            est = 0
-            for st, cov in zip(states, covs):
-                est += int(cov * kernel.query_total(st))
-        elif qkind in ("freq", "window"):
-            tt = t0 if (qkind == "window" and t0 >= 0) else None
-            ie = item_end if item_end >= 0 else None
-            est = 0
-            for st, cov in zip(states, covs):
-                e = kernel.query_item(st, item, ie, tt)
-                est += int(cov * e)           # trunc per sub-query (:766)
-        elif qkind == "range_freq":
-            est = 0
-            for st, cov in zip(states, covs):
-                if kernel.kind == "dcm":
-                    e = kernel.query_range(st, item, item_end)
-                else:
-                    e = kernel.query_item(st, item, item_end)
-                est += int(cov * e)
-        elif qkind == "distinct":
-            if kernel.kind == "exact":
-                allitems = np.unique(np.concatenate(
-                    [kernel.distinct_items(st) for st in states]))
-                est = int(len(allitems))
-            else:                              # FM: OR-merge then estimate
-                est = int(round(kernel.estimate(kernel.merge(states))))
-        elif qkind == "member":
-            hit = any(kernel.member(st, item) for st in states)
-            est = 1 if hit else 0
-        elif qkind == "window_merge":
-            # reference ECM_merge mode (SpatialSketch.cpp:1175-1221):
-            # merge the cover cells' histograms first (MergeECM arrival
-            # reconstruction), then one HistSum min-over-rows
-            merged = states[0] if len(states) == 1 else kernel.merge(states)
-            est = kernel.query_item(merged, item,
-                                    item_end if item_end >= 0 else None,
-                                    t0 if t0 >= 0 else None)
-        elif qkind == "l2":
-            if kernel.kind == "exact":
-                parts = [kernel.query_l2_counts(st) for st in states]
-                allit = np.concatenate([p["items"] for p in parts])
-                allct = np.concatenate([p["counts"] for p in parts])
-                uc, inv = np.unique(allit, return_inverse=True)
-                cnt = int_group_sum(inv, allct, len(uc))
-                est = int((cnt ** 2).sum())
-            else:                              # CM: merge counters, L2 min-row
-                est = int(kernel.l2_estimate(kernel.merge(states)))
-        else:
-            raise ValueError(f"unknown qkind {qkind!r}")
+    if qkind == "count":
+        # region total (no item predicate) — exact from any kernel
+        # exposing query_total (reference 'Count' synopsis, Table 3a)
+        est = 0
+        for st, cov in zip(states, covs):
+            est += int(cov * kernel.query_total(st))
+    elif qkind in ("freq", "window"):
+        tt = t0 if (qkind == "window" and t0 >= 0) else None
+        ie = item_end if item_end >= 0 else None
+        est = 0
+        for st, cov in zip(states, covs):
+            e = kernel.query_item(st, item, ie, tt)
+            est += int(cov * e)           # trunc per sub-query (:766)
+    elif qkind == "range_freq":
+        est = 0
+        for st, cov in zip(states, covs):
+            if kernel.kind == "dcm":
+                e = kernel.query_range(st, item, item_end)
+            else:
+                e = kernel.query_item(st, item, item_end)
+            est += int(cov * e)
+    elif qkind == "distinct":
+        if kernel.kind == "exact":
+            allitems = np.unique(np.concatenate(
+                [kernel.distinct_items(st) for st in states]))
+            est = int(len(allitems))
+        else:                              # FM: OR-merge then estimate
+            est = int(round(kernel.estimate(kernel.merge(states))))
+    elif qkind == "member":
+        hit = any(kernel.member(st, item) for st in states)
+        est = 1 if hit else 0
+    elif qkind == "window_merge":
+        # reference ECM_merge mode (SpatialSketch.cpp:1175-1221):
+        # merge the cover cells' histograms first (MergeECM arrival
+        # reconstruction), then one HistSum min-over-rows
+        merged = states[0] if len(states) == 1 else kernel.merge(states)
+        est = kernel.query_item(merged, item,
+                                item_end if item_end >= 0 else None,
+                                t0 if t0 >= 0 else None)
+    elif qkind == "l2":
+        if kernel.kind == "exact":
+            parts = [kernel.query_l2_counts(st) for st in states]
+            allit = np.concatenate([p["items"] for p in parts])
+            allct = np.concatenate([p["counts"] for p in parts])
+            uc, inv = np.unique(allit, return_inverse=True)
+            cnt = int_group_sum(inv, allct, len(uc))
+            est = int((cnt ** 2).sum())
+        else:                              # CM: merge counters, L2 min-row
+            est = int(kernel.l2_estimate(kernel.merge(states)))
+    else:
+        raise ValueError(f"unknown qkind {qkind!r}")
     return int(est)
 
 
@@ -137,7 +136,15 @@ def _additive_batch_ests(kernel, pdf: pd.DataFrame) -> np.ndarray:
     payloads = pdf["payload"]
     n = len(pdf)
     if kernel.kind == "cm":
-        # engine validation guarantees every row is a point-freq probe
+        # mirror CMKernel.query_item's guards so a malformed QuerySpec
+        # fails loudly on the batch path too, not just the scalar one
+        bad_range = (iends >= 0) & (iends != items)
+        if bad_range.any():
+            raise ValueError("CM answers point frequencies only; item "
+                             "ranges need a 'dcm' (or exact-mode) store")
+        if (t0s > 0).any():
+            raise ValueError("CM has no time dimension; window queries "
+                             "need an 'ecm' (or exact-mode) store")
         counters = kernel.deserialize_batch(payloads)
         return kernel.query_items_batch(counters, items)
     if kernel.kind == "exact":

@@ -94,6 +94,11 @@ def resize_media(media: DataFrame, out_len: int = 8) -> DataFrame:
             hexes = []
             for b in pdf["media"]:
                 a = decode_media(bytes(b), "", fake=True)
+                if len(a) == 0:
+                    # zero-length blob: nothing to sample — emit empty
+                    # hex instead of indexing an empty array
+                    hexes.append("")
+                    continue
                 idx = (np.arange(out_len) * len(a)) // out_len
                 hexes.append(bytes(a[idx]).hex())
             yield pd.DataFrame({

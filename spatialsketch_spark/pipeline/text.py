@@ -168,7 +168,11 @@ def _window_hash_array(w: int, base: int):
         return acc % FP_MOD
 
     n = F.size(F.col("_whs"))
-    return F.transform(F.sequence(F.lit(1), n - (w - 1)), window_fp)
+    arr = F.transform(F.sequence(F.lit(1), n - (w - 1)), window_fp)
+    # lazy CASE guard (same idiom as rolling_fingerprint): for docs with
+    # fewer than w tokens the sequence would DESCEND (1, 0, -1, ...) and
+    # element_at would throw on index <= 0 — emit an empty array instead
+    return F.when(n >= w, arr).otherwise(F.array().cast("array<bigint>"))
 
 
 def winnow_fingerprints(docs: DataFrame, w: int = ROLL_W,

@@ -275,3 +275,45 @@ def test_mixed_batch_fused_equals_separate(spark, events, exact_store):
     for q in mixed:
         want = (cnt_only if q.qkind == "count" else frq_only)[q.qid]
         assert fused[q.qid] == want, q.qid
+
+
+def test_fingerprint_multiplicity_sensitive(spark, events):
+    """Two inputs with the same row count / ts range but different
+    duplicate multiplicity must fingerprint differently (XOR of per-row
+    hashes cancels pairwise; the sum-based fingerprint must not)."""
+    base = events.limit(4).cache()
+    rows = base.collect()
+    assert len(rows) == 4
+    a = spark.createDataFrame([rows[0], rows[0], rows[1], rows[2], rows[3]],
+                              base.schema)
+    b = spark.createDataFrame([rows[0], rows[1], rows[1], rows[2], rows[3]],
+                              base.schema)
+    fa = SketchStore.fingerprint_events(a)
+    fb = SketchStore.fingerprint_events(b)
+    assert fa["n_events"] == fb["n_events"]
+    assert fa["sum_hash"] != fb["sum_hash"]
+
+
+def test_cm_batch_path_rejects_malformed_specs(spark):
+    """The vectorized CM batch estimator enforces the same guards as
+    the scalar kernel: item ranges and window t0 fail loudly."""
+    import pandas as pd
+    from spatialsketch_spark.core.kernels import make_kernel
+    from spatialsketch_spark.geo.query import _additive_batch_ests
+    cfg = SketchConfig(n=N, eps=0.1, delta=0.05, item_domain=ITEM_DOMAIN)
+    kernel = make_kernel("cm", cfg)
+    _, states = kernel.build_grouped(
+        np.zeros(1, np.int64), np.array([7], np.int64),
+        np.array([1], np.int64), np.array([0], np.int64))
+    payload = kernel.serialize(states[0])
+
+    def pdf(item, item_end, t0):
+        return pd.DataFrame({"item": [item], "item_end": [item_end],
+                             "t0": [t0], "payload": [payload],
+                             "qkind": ["freq"]})
+
+    assert _additive_batch_ests(kernel, pdf(7, -1, -1))[0] == 1
+    with pytest.raises(ValueError, match="point frequencies"):
+        _additive_batch_ests(kernel, pdf(7, 9, -1))
+    with pytest.raises(ValueError, match="time dimension"):
+        _additive_batch_ests(kernel, pdf(7, -1, 5))

@@ -219,3 +219,32 @@ def test_winnowing_guarantee(spark):
     for r in fps:
         per_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert per_doc[0] & per_doc[1]
+
+
+def test_winnow_short_docs(spark):
+    """Docs shorter than the rolling window w (incl. empty) must not
+    crash the job (the descending F.sequence -> element_at index <= 0
+    failure): they simply emit no fingerprints and no pairs."""
+    from spatialsketch_spark.pipeline import text
+    run = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [(0, ""), (1, "a"), (2, "a b c"), (3, run), (4, run)],
+        "doc_id LONG, text STRING")
+    fps = text.winnow_fingerprints(df).collect()
+    assert {r["doc_id"] for r in fps} == {3, 4}
+    pairs = text.winnow_candidate_pairs(df, min_shared=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(3, 4)}
+
+
+def test_resize_media_empty_blob(spark):
+    """A zero-length media blob yields an empty resized payload, not an
+    IndexError that kills the Arrow batch."""
+    from spatialsketch_spark.pipeline import media
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(b"")),
+         (1, "audio", bytearray(b"\x01\x02\x03"))],
+        "doc_id LONG, kind STRING, media BINARY")
+    rows = {r["doc_id"]: r["resized_hex"]
+            for r in media.resize_media(df, out_len=4).collect()}
+    assert rows[0] == ""
+    assert len(rows[1]) == 8  # 4 bytes hex-encoded
