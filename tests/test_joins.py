@@ -121,3 +121,36 @@ def test_knn_k_exceeds_events(spark):
     got = knn_join(ev, pts, k=50).collect()
     assert len(got) == 7
     assert sorted(r["rank"] for r in got) == list(range(1, 8))
+
+
+def test_knn_driver_materialization(spark):
+    """The ring loop must never pull result rows to the driver: the
+    only driver materializations during knn_join are the one-row event
+    extent and per-round scalar emptiness checks (VERDICT r2 item 1 —
+    the old loop collected k rows per query per round)."""
+    from pyspark.sql import DataFrame
+    ev = derive_geo_events(spark, SF_UNIT, N).cache()
+    pts = [(q, (q * 97) % 4096, (q * 53) % 4096) for q in range(40)]
+    counts = {"rows": 0, "calls": 0}
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        counts["calls"] += 1
+        counts["rows"] += len(rows)
+        return rows
+
+    DataFrame.collect = counting_collect
+    try:
+        out = knn_join(ev, pts, k=5)
+    finally:
+        DataFrame.collect = orig
+    # one extent row + at most one unresolved-flag row per query per
+    # round — never anything proportional to k * |queries| result rows
+    assert counts["rows"] <= 1 + 2 * len(pts), counts
+    assert counts["rows"] < 5 * len(pts), counts
+    got = out.collect()
+    assert len(got) == 5 * len(pts)
+    brute = sorted(tuple(r) for r in
+                   knn_join(ev, pts, k=5, method="brute").collect())
+    assert sorted(tuple(r) for r in got) == brute

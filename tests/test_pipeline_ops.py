@@ -248,3 +248,25 @@ def test_resize_media_empty_blob(spark):
             for r in media.resize_media(df, out_len=4).collect()}
     assert rows[0] == ""
     assert len(rows[1]) == 8  # 4 bytes hex-encoded
+
+
+def test_lsh_bucketed_relation_cached(spark, emb):
+    """The bucketed LSH relation feeds both self-join sides and repeat
+    gate runs: _bucketed_quantized must return one cached relation, so
+    each consumer reads InMemoryTableScan instead of re-running the
+    mapInPandas bucketing."""
+    from spatialsketch_spark.pipeline import similarity as sim
+    sim._BT_CACHE.clear()
+    bt1 = sim._bucketed_quantized(emb, 8, 2)
+    bt2 = sim._bucketed_quantized(emb, 8, 2)
+    assert bt1 is bt2
+    assert sim._bucketed_quantized(emb, 4, 2) is not bt1
+    plan = (sim.lsh_topk(emb, [0, 1], k=3, n_tables=8, planes_per_table=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    # eviction unpersists: fill past the LRU bound
+    for nt in (2, 3, 5, 6, 7):
+        sim._bucketed_quantized(emb, nt, 2)
+    assert len(sim._BT_CACHE) <= sim._BT_CACHE_MAX
+    assert not bt1.is_cached
+    sim._BT_CACHE.clear()
