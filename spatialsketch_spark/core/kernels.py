@@ -47,11 +47,30 @@ def _group_slices(cell_keys: np.ndarray):
     return order, uc, starts
 
 
+def _canon(obj):
+    """Canonicalize a kernel state for deterministic pickling: arrays
+    that went through pickle.loads carry dtype instances created with
+    copy=True (numpy's dtype.__reduce__), which are equal to but not
+    identical with the interned dtype singletons — pickle memoizes by
+    identity, so a merged-then-reserialized state would otherwise differ
+    byte-wise from a directly-built one with identical content (breaks
+    the merge_events bit-for-bit contract)."""
+    if isinstance(obj, np.ndarray) and obj.dtype.kind != "O":
+        return np.ascontiguousarray(obj).view(np.dtype(obj.dtype.str))
+    if isinstance(obj, dict):
+        return {k: _canon(v) for k, v in obj.items()}
+    if isinstance(obj, tuple):
+        return tuple(_canon(v) for v in obj)
+    if isinstance(obj, list):
+        return [_canon(v) for v in obj]
+    return obj
+
+
 class BaseKernel:
     kind = "base"
 
     def serialize(self, state) -> bytes:
-        return pickle.dumps(state, protocol=4)
+        return pickle.dumps(_canon(state), protocol=4)
 
     def deserialize(self, blob: bytes):
         return pickle.loads(blob)

@@ -556,6 +556,29 @@ ORDER BY tx, ty
 """
 
 
+def q_lonlat_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference lon/lat -> grid quantization (RealWorld.ipynb:720-721)
+    over the deterministic synthetic lon/lat stream, rolled up per
+    64-cell tile: cnt + sum(x) + sum(y) pin every event's quantized
+    cell against the DuckDB mirror."""
+    from .sources.geocells import derive_lonlat_events, lonlat_quantize
+    ll = derive_lonlat_events(spark, sf_dir)
+    q = lonlat_quantize(ll, N)
+    return (q.groupBy(F.shiftright("x", 6).alias("qx"),
+                      F.shiftright("y", 6).alias("qy"))
+            .agg(F.count("*").cast("bigint").alias("cnt"),
+                 F.sum("x").cast("bigint").alias("sx"),
+                 F.sum("y").cast("bigint").alias("sy"))
+            .select(F.col("qx").cast("bigint"), F.col("qy").cast("bigint"),
+                    "cnt", "sx", "sy")
+            .orderBy("qx", "qy"))
+
+
+def oracle_lonlat_quantize() -> str:
+    from .sources.geocells import oracle_lonlat_quantize_sql
+    return oracle_lonlat_quantize_sql(N, 6)
+
+
 GATE_QUERIES = {
     "geo_polygon_count": (q_polygon_count, oracle_polygon_count),
     "geo_polygon_count_dynsketch": (q_polygon_count_dynsketch,
@@ -577,6 +600,7 @@ GATE_QUERIES = {
     "geo_knn": (q_knn, oracle_knn),
     "geo_tile_cover": (q_tile_cover, oracle_tile_cover),
     "geo_tile_counts": (q_tile_counts, oracle_tile_counts),
+    "geo_lonlat_quantize": (q_lonlat_quantize, oracle_lonlat_quantize),
 }
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402

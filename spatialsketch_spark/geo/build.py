@@ -228,13 +228,14 @@ class SketchStore:
 
     def __init__(self, spark: SparkSession, df: DataFrame,
                  cfg: SketchConfig, kind: str, min_level: int,
-                 manifest: dict | None = None):
+                 manifest: dict | None = None, path: str | None = None):
         self.spark = spark
         self.df = df
         self.cfg = cfg
         self.kind = kind
         self.min_level = min_level
         self.manifest = manifest or {}
+        self.path = path
         self._bucketed = None
 
     def bucketed_df(self) -> DataFrame:
@@ -301,15 +302,20 @@ class SketchStore:
         if path:
             with open(f"{path}/manifest.json", "w") as f:
                 json.dump(manifest, f, indent=1, sort_keys=True)
-        return cls(spark, df, cfg, kind, min_level, manifest)
+        return cls(spark, df, cfg, kind, min_level, manifest, path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str,
              cfg: SketchConfig, kind: str) -> "SketchStore":
         with open(f"{path}/manifest.json") as f:
             manifest = json.load(f)
-        df = spark.read.parquet(f"{path}/sketch")
-        return cls(spark, df, cfg, kind, manifest["min_level"], manifest)
+        # data_dir defaults to 'sketch' (initial build); merge_events
+        # snapshots write sketch_s<seq> and repoint the manifest —
+        # Iceberg-snapshot semantics: old data dirs stay readable
+        df = spark.read.parquet(
+            f"{path}/{manifest.get('data_dir', 'sketch')}")
+        return cls(spark, df, cfg, kind, manifest["min_level"], manifest,
+                   path)
 
     @staticmethod
     def fingerprint_events(events: DataFrame) -> dict:
@@ -331,6 +337,94 @@ class SketchStore:
                 "max_ts": int(fp["tmax"]) if fp["tmax"] is not None else None,
                 "sum_hash": int(fp["sh"]) % (1 << 64)
                 if fp["sh"] is not None else None}
+
+    @staticmethod
+    def _combine_fingerprints(fa: dict, fb: dict) -> dict:
+        """Fingerprint of A ∪ B from the fingerprints of A and B — every
+        component is a commutative monoid (count sum, ts min/max, hash
+        sum mod 2^64), so an incremental snapshot can record the union
+        identity without rescanning the base input."""
+        def _mm(f, a, b):
+            vals = [v for v in (a, b) if v is not None]
+            return f(vals) if vals else None
+        return {
+            "n_events": fa["n_events"] + fb["n_events"],
+            "min_ts": _mm(min, fa["min_ts"], fb["min_ts"]),
+            "max_ts": _mm(max, fa["max_ts"], fb["max_ts"]),
+            "sum_hash": (fa["sum_hash"] + fb["sum_hash"]) % (1 << 64)
+            if fa["sum_hash"] is not None or fb["sum_hash"] is not None
+            else None,
+        }
+
+    def merge_events(self, new_events: DataFrame,
+                     mode: str = "zorder") -> "SketchStore":
+        """Incremental batch update — the table-level mirror of the
+        reference's continuous ``Update()`` (SpatialSketch.cpp:535-599)
+        and the MERGE INTO-style posture the Iceberg north rule names:
+        build the sketch DELTA from ``new_events`` only, monoid-merge it
+        into this snapshot's table, and write a NEW snapshot (data dir
+        ``sketch_s<seq>``, manifest repointed, parent recorded — old
+        snapshot dirs stay readable). Because every kernel's merge is a
+        commutative monoid, ``build(A).merge_events(B)`` equals
+        ``build(A ∪ B)`` bit-for-bit per kernel kind (asserted in
+        tests/test_geo_pipeline.py); the union input fingerprint is
+        combined arithmetically, so a later ``build_or_load`` over
+        A ∪ B serves the merged snapshot without a rebuild."""
+        t0 = time.time()
+        spark = self.spark
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        delta = build_sketch_df(new_events, self.cfg, self.kind,
+                                self.min_level, mode=mode)
+        merged = (self.df.unionByName(delta)
+                  .repartition(p, "grid_key", "cell")
+                  .mapInPandas(_merge_partitions(self.cfg, self.kind),
+                               schema=SKETCH_SCHEMA))
+        seq = int(self.manifest.get("snapshot_seq", 0)) + 1
+        if self.path:
+            data_dir = f"sketch_s{seq}"
+            merged.write.mode("overwrite").partitionBy("grid_key") \
+                  .parquet(f"{self.path}/{data_dir}")
+            merged = spark.read.parquet(f"{self.path}/{data_dir}")
+        else:
+            data_dir = None
+            merged = merged.cache()
+            merged.count()
+        delta_fp = self.fingerprint_events(new_events)
+        delta_lineage = [
+            {"partition": int(r["pid"]), "events": int(r["cnt"]),
+             "snapshot_seq": seq}
+            for r in new_events.groupBy(
+                F.spark_partition_id().alias("pid")).count()
+            .withColumnRenamed("count", "cnt").collect()
+        ]
+        stats = merged.agg(
+            F.count("*").alias("cells"),
+            F.sum("n_events").alias("merged_events")).collect()[0]
+        manifest = dict(self.manifest)
+        manifest["input_fingerprint"] = self._combine_fingerprints(
+            self.manifest["input_fingerprint"], delta_fp)
+        manifest["snapshot_seq"] = seq
+        manifest["parent_data_dir"] = self.manifest.get(
+            "data_dir", "sketch" if self.path else None)
+        manifest["lineage"] = (self.manifest.get("lineage", [])
+                               + sorted(delta_lineage,
+                                        key=lambda r: r["partition"]))
+        manifest["metrics"] = dict(self.manifest.get("metrics", {}))
+        manifest["metrics"].update({
+            "sketch_cells": int(stats["cells"]),
+            "merged_events": int(stats["merged_events"]),
+            "input_events": (self.manifest.get("metrics", {})
+                             .get("input_events", 0)
+                             + delta_fp["n_events"]),
+            f"merge_s{seq}_wall_s": round(time.time() - t0, 3),
+            f"merge_s{seq}_delta_events": delta_fp["n_events"],
+        })
+        if self.path:
+            manifest["data_dir"] = data_dir
+            with open(f"{self.path}/manifest.json", "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+        return SketchStore(spark, merged, self.cfg, self.kind,
+                           self.min_level, manifest, self.path)
 
     @classmethod
     def build_or_load(cls, spark: SparkSession, events: DataFrame,

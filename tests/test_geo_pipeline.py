@@ -317,3 +317,94 @@ def test_cm_batch_path_rejects_malformed_specs(spark):
         _additive_batch_ests(kernel, pdf(7, 9, -1))
     with pytest.raises(ValueError, match="time dimension"):
         _additive_batch_ests(kernel, pdf(7, -1, 5))
+
+
+def _store_rows(st):
+    return sorted(
+        (int(r["grid_key"]), int(r["cell"]), int(r["n_events"]),
+         int(r["val_sum"]), bytes(r["payload"]))
+        for r in st.df.collect())
+
+
+@pytest.mark.parametrize("kind", ["exact", "cm", "fm", "bf", "dcm"])
+def test_merge_events_equals_full_build(spark, events, kind):
+    """build(A).merge_events(B) == build(A ∪ B) bit-for-bit for every
+    kernel whose merge is a true monoid — the incremental-batch-update
+    contract (VERDICT r2 item 3). ECM and Elastic are covered by
+    test_merge_events_lossy_kinds: their merges are deterministic but
+    intentionally lossy (ECM_merge arrival reconstruction / Ostracism
+    rebuild), so bit-equality with a full build is not their contract —
+    same as the reference's ECM_merge mode."""
+    if kind == "exact":
+        cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    else:
+        cfg = SketchConfig.realistic(n=N, eps=0.1, delta=0.05,
+                                     item_domain=ITEM_DOMAIN)
+    a = events.where(F.col("ts") % 2 == 0)
+    b = events.where(F.col("ts") % 2 == 1)
+    full = SketchStore.build(spark, events, cfg, kind, 2)
+    inc = SketchStore.build(spark, a, cfg, kind, 2).merge_events(b)
+    assert _store_rows(full) == _store_rows(inc)
+    assert (inc.manifest["input_fingerprint"]
+            == SketchStore.fingerprint_events(events))
+
+
+@pytest.mark.parametrize("kind", ["ecm", "elastic"])
+def test_merge_events_lossy_kinds(spark, events, kind):
+    """ECM / Elastic merges are deterministic but lossy: merge_events
+    must be reproducible, keep the exact n_events / val_sum bookkeeping
+    of the full build, and stay inside the kernel's estimate envelope."""
+    cfg = SketchConfig.realistic(n=N, eps=0.1, delta=0.05,
+                                 item_domain=ITEM_DOMAIN)
+    a = events.where(F.col("ts") % 2 == 0)
+    b = events.where(F.col("ts") % 2 == 1)
+    base = SketchStore.build(spark, a, cfg, kind, 2)
+    inc1 = base.merge_events(b)
+    inc2 = base.merge_events(b)
+    assert _store_rows(inc1) == _store_rows(inc2)   # deterministic
+    full = SketchStore.build(spark, events, cfg, kind, 2)
+    counts = lambda st: sorted(
+        (int(r["grid_key"]), int(r["cell"]), int(r["n_events"]),
+         int(r["val_sum"])) for r in st.df.collect())
+    assert counts(full) == counts(inc1)             # bookkeeping exact
+    assert (inc1.manifest["input_fingerprint"]
+            == SketchStore.fingerprint_events(events))
+    # block-aligned at min_level=2 so coverage is integral (fractional
+    # coverage truncates and may legitimately undercount)
+    rng = [(8, 8, 55, 39)]
+    if kind == "elastic":
+        # never-underestimate survives the merge
+        eng = SpatialSketchEngine(inc1)
+        for item in (3, 7, 12):
+            est = eng.query([QuerySpec(0, rng, "freq", item=item)]) \
+                     .collect()[0]["est"]
+            assert est >= truth_count(events, rng, item=item)
+    else:
+        # merged-window estimate within the ECM envelope of a full build
+        q = [QuerySpec(0, rng, "window", item=3, t0=500)]
+        ef = SpatialSketchEngine(full).query(q).collect()[0]["est"]
+        ei = SpatialSketchEngine(inc1).query(q).collect()[0]["est"]
+        assert 0 <= ei <= max(4 * ef, 8)
+        assert ei >= ef / 4
+
+
+def test_merge_events_snapshot_resume(spark, events, tmp_path):
+    """A merged snapshot is served by build_or_load over the UNION
+    input without a rebuild (Iceberg-snapshot semantics: new data dir,
+    manifest repointed, parent dir kept), and queries over it match the
+    full build."""
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    p = str(tmp_path / "store")
+    a = events.where(F.col("ts") % 2 == 0)
+    b = events.where(F.col("ts") % 2 == 1)
+    s1 = SketchStore.build_or_load(spark, a, cfg, "exact", 2, p)
+    s2 = s1.merge_events(b)
+    assert s2.manifest["data_dir"] == "sketch_s1"
+    assert (tmp_path / "store" / "sketch").exists()   # parent kept
+    s3 = SketchStore.build_or_load(spark, events, cfg, "exact", 2, p)
+    # served, not rebuilt: the merge snapshot seq survives
+    assert s3.manifest.get("snapshot_seq") == 1
+    eng = SpatialSketchEngine(s3)
+    est = eng.query([QuerySpec(0, [(8, 8, 55, 39)], "count")]) \
+             .collect()[0]["est"]
+    assert est == truth_count(events, [(8, 8, 55, 39)])
