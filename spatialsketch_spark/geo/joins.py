@@ -88,16 +88,28 @@ def _knn_ranked(events: DataFrame, qp: DataFrame, k: int) -> DataFrame:
                     "ts", "dist2"))
 
 
+# below this many |events| x |queries| joined rows the brute window
+# join's single-job latency beats the ring loop's multi-round floor
+# (measured crossover, BASELINE.md round-3 table)
+KNN_BRUTE_CROSSOVER_ROWS = 100_000_000
+
+
 def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
-             k: int = 5, method: str = "ring", tile_level: int = 8,
+             k: int = 5, method: str = "auto", tile_level: int = 8,
              initial_ring: int = 2) -> DataFrame:
     """kNN join: for each (qid, qx, qy) find the k nearest events by
     squared euclidean distance, ties broken by ts (unique) — fully
     deterministic, integer-exact. -> (qid, rank, ts, dist2).
 
+    method='auto' (default): pick by the measured crossover — brute
+    when |events| * |queries| stays under KNN_BRUTE_CROSSOVER_ROWS
+    joined rows (one events.count() job; a cluster deployment would
+    read catalog stats instead), ring beyond it. Both methods are
+    exact and return identical rows (asserted in tests), so this is a
+    pure physical-plan choice.
     method='brute': unpruned events x queries window rank (the
     verifier; joined row count is |events| * |queries|).
-    method='ring' (default): tile-ring candidate pruning with a
+    method='ring': tile-ring candidate pruning with a
     provable-exactness stopping rule. Candidates for ring r are events
     within Chebyshev tile distance r of the query's tile; any event
     OUTSIDE ring r is at euclidean distance >= r*2^tile_level + 1, so a
@@ -111,6 +123,9 @@ def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
     spark = events.sparkSession
     qp_all = spark.createDataFrame(query_points,
                                    "qid BIGINT, qx BIGINT, qy BIGINT")
+    if method == "auto":
+        joined = events.count() * max(1, len(query_points))
+        method = "brute" if joined <= KNN_BRUTE_CROSSOVER_ROWS else "ring"
     if method == "brute":
         return _knn_ranked(events, qp_all, k)
     if method != "ring":

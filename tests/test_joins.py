@@ -87,7 +87,8 @@ def test_knn_ring_equals_brute(spark):
     ev = derive_geo_events(spark, SF_UNIT, N).cache()
     pts = [(0, 100, 100), (1, 2048, 2048), (2, 4095, 4095), (3, 0, 4095)]
     for k in (1, 5, 25):
-        ring = sorted(tuple(r) for r in knn_join(ev, pts, k=k).collect())
+        ring = sorted(tuple(r) for r in
+                      knn_join(ev, pts, k=k, method="ring").collect())
         brute = sorted(tuple(r) for r in
                        knn_join(ev, pts, k=k, method="brute").collect())
         assert ring == brute, k
@@ -109,7 +110,8 @@ def test_knn_ring_candidates_bounded(spark):
                      & (F.abs(F.col("ty") - F.col("qty")) <= r)).count()
     assert cand < n_ev * len(pts) / 10, (cand, n_ev * len(pts))
     # and the pruned result at that ring is still exact (k small)
-    ring = sorted(tuple(r_) for r_ in knn_join(ev, pts, k=3).collect())
+    ring = sorted(tuple(r_) for r_ in
+                  knn_join(ev, pts, k=3, method="ring").collect())
     brute = sorted(tuple(r_) for r_ in
                    knn_join(ev, pts, k=3, method="brute").collect())
     assert ring == brute
@@ -118,7 +120,7 @@ def test_knn_ring_candidates_bounded(spark):
 def test_knn_k_exceeds_events(spark):
     ev = derive_geo_events(spark, SF_UNIT, N).limit(7).cache()
     pts = [(0, 5, 5)]
-    got = knn_join(ev, pts, k=50).collect()
+    got = knn_join(ev, pts, k=50, method="ring").collect()
     assert len(got) == 7
     assert sorted(r["rank"] for r in got) == list(range(1, 8))
 
@@ -142,7 +144,7 @@ def test_knn_driver_materialization(spark):
 
     DataFrame.collect = counting_collect
     try:
-        out = knn_join(ev, pts, k=5)
+        out = knn_join(ev, pts, k=5, method="ring")
     finally:
         DataFrame.collect = orig
     # one extent row + at most one unresolved-flag row per query per
@@ -154,3 +156,17 @@ def test_knn_driver_materialization(spark):
     brute = sorted(tuple(r) for r in
                    knn_join(ev, pts, k=5, method="brute").collect())
     assert sorted(tuple(r) for r in got) == brute
+
+
+def test_knn_auto_method_selection(spark):
+    """method='auto' picks brute under the measured crossover and ring
+    above it — both exact, so only the plan differs."""
+    from spatialsketch_spark.geo import joins as J
+    ev = derive_geo_events(spark, SF_UNIT, N).cache()
+    pts = [(0, 100, 100), (1, 2048, 2048)]
+    auto = sorted(tuple(r) for r in knn_join(ev, pts, k=3).collect())
+    ring = sorted(tuple(r) for r in
+                  knn_join(ev, pts, k=3, method="ring").collect())
+    assert auto == ring
+    # crossover arithmetic: tiny product -> brute, huge -> ring
+    assert ev.count() * len(pts) <= J.KNN_BRUTE_CROSSOVER_ROWS
