@@ -351,7 +351,8 @@ class SketchStore:
             "n_events": fa["n_events"] + fb["n_events"],
             "min_ts": _mm(min, fa["min_ts"], fb["min_ts"]),
             "max_ts": _mm(max, fa["max_ts"], fb["max_ts"]),
-            "sum_hash": (fa["sum_hash"] + fb["sum_hash"]) % (1 << 64)
+            "sum_hash": ((fa["sum_hash"] or 0) + (fb["sum_hash"] or 0))
+            % (1 << 64)
             if fa["sum_hash"] is not None or fb["sum_hash"] is not None
             else None,
         }
@@ -370,6 +371,12 @@ class SketchStore:
         tests/test_geo_pipeline.py); the union input fingerprint is
         combined arithmetically, so a later ``build_or_load`` over
         A ∪ B serves the merged snapshot without a rebuild."""
+        if "input_fingerprint" not in self.manifest:
+            raise ValueError(
+                "merge_events needs a store built by SketchStore.build/"
+                "build_or_load — this store's manifest carries no input "
+                "fingerprint to combine (e.g. a streaming as_store() "
+                "view; compact() is the maintenance path there)")
         t0 = time.time()
         spark = self.spark
         p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -381,6 +388,23 @@ class SketchStore:
                                schema=SKETCH_SCHEMA))
         seq = int(self.manifest.get("snapshot_seq", 0)) + 1
         if self.path:
+            # optimistic concurrency (Iceberg commit semantics): the
+            # on-disk manifest must still be the snapshot this store
+            # was opened at — a second merge_events from the same stale
+            # base would otherwise recompute the same seq and OVERWRITE
+            # the first merge's data dir while its store still reads it
+            try:
+                with open(f"{self.path}/manifest.json") as f:
+                    disk = json.load(f)
+            except OSError:
+                disk = {}
+            if (disk.get("snapshot_seq", 0)
+                    != self.manifest.get("snapshot_seq", 0)):
+                raise ValueError(
+                    f"concurrent snapshot commit detected at {self.path}:"
+                    f" on-disk seq {disk.get('snapshot_seq', 0)} != this "
+                    f"store's seq {self.manifest.get('snapshot_seq', 0)} "
+                    "— reload the store and re-apply the delta")
             data_dir = f"sketch_s{seq}"
             merged.write.mode("overwrite").partitionBy("grid_key") \
                   .parquet(f"{self.path}/{data_dir}")

@@ -23,12 +23,16 @@ from pyspark.sql import DataFrame, SparkSession
 # Item domain: user_id < 256 in the synthetic testdata (checked in tests).
 ITEM_DOMAIN = 256
 
+# event_id is reduced mod {n} BEFORE the multiply: (e % n) * k ≡ e * k
+# (mod n), and the product then stays < n * k << 2^63 for ANY event_id —
+# the unreduced form would wrap silently in Spark (non-ANSI) but raise in
+# DuckDB past event_id ~3.5e9, breaking the shared-SQL-text parity.
 GEO_EVENTS_SQL_TMPL = """
 SELECT
   event_id                                               AS ts,
   user_id                                                AS item,
-  (event_id * 2654435761) % {n}                          AS x,
-  (event_id * 2246822519 + user_id * 97) % {n}           AS y,
+  ((event_id % {n}) * 2654435761) % {n}                  AS x,
+  ((event_id % {n}) * 2246822519 + user_id * 97) % {n}   AS y,
   CAST(1 AS BIGINT)                                      AS value
 FROM events
 """

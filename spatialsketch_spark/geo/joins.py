@@ -103,10 +103,12 @@ def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
 
     method='auto' (default): pick by the measured crossover — brute
     when |events| * |queries| stays under KNN_BRUTE_CROSSOVER_ROWS
-    joined rows (one events.count() job; a cluster deployment would
-    read catalog stats instead), ring beyond it. Both methods are
-    exact and return identical rows (asserted in tests), so this is a
-    pure physical-plan choice.
+    joined rows, ring beyond it. The size probe is a BOUNDED limit
+    count (scans at most crossover/|queries| + 1 rows, stopping early),
+    never a full table count — at 10^12 events the probe reads a few
+    partitions and picks ring. Both methods are exact and return
+    identical rows (asserted in tests), so this is a pure physical-plan
+    choice; a cluster deployment can override from catalog stats.
     method='brute': unpruned events x queries window rank (the
     verifier; joined row count is |events| * |queries|).
     method='ring': tile-ring candidate pruning with a
@@ -121,11 +123,18 @@ def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
     The joined row count is bounded by the hit tiles' population, not
     |events| * |queries| (asserted in tests/test_joins.py)."""
     spark = events.sparkSession
+    qids = [q for q, _, _ in query_points]
+    if len(set(qids)) != len(qids):
+        # a repeated qid would mix two points' candidates in one
+        # row_number window and rank neither correctly — reject upfront
+        raise ValueError("duplicate qid in query_points")
     qp_all = spark.createDataFrame(query_points,
                                    "qid BIGINT, qx BIGINT, qy BIGINT")
     if method == "auto":
-        joined = events.count() * max(1, len(query_points))
-        method = "brute" if joined <= KNN_BRUTE_CROSSOVER_ROWS else "ring"
+        thresh = KNN_BRUTE_CROSSOVER_ROWS // max(1, len(query_points))
+        # bounded probe: LIMIT stops the scan at thresh+1 rows
+        n_probe = events.limit(thresh + 1).count()
+        method = "brute" if n_probe <= thresh else "ring"
     if method == "brute":
         return _knn_ranked(events, qp_all, k)
     if method != "ring":
@@ -144,6 +153,20 @@ def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
     rounds: list[DataFrame] = []
     cached: list[DataFrame] = []
     r = max(1, initial_ring)
+    try:
+        out = _knn_ring_rounds(spark, ev_t, ext, pending, rounds, cached,
+                               r, k, tsz, tile_level)
+    finally:
+        # unpersist even when a round's job fails mid-loop — the
+        # per-round caches would otherwise pin executor storage for the
+        # session lifetime with no handle left to release them
+        for c in cached:
+            c.unpersist()
+    return out
+
+
+def _knn_ring_rounds(spark, ev_t, ext, pending, rounds, cached, r, k,
+                     tsz, tile_level):
     while pending:
         qp = spark.createDataFrame(
             pending, "qid BIGINT, qx BIGINT, qy BIGINT") \
@@ -197,11 +220,10 @@ def knn_join(events: DataFrame, query_points: list[tuple[int, int, int]],
     out = rounds[0]
     for extra in rounds[1:]:
         out = out.unionByName(extra)
-    out = out.select("qid", F.col("rank").cast("bigint").alias("rank"),
-                     "ts", "dist2").localCheckpoint(eager=True)
-    for c in cached:
-        c.unpersist()
-    return out
+    # eager checkpoint: materializes the result so the caller never
+    # recomputes through the caches the caller's finally unpersists
+    return out.select("qid", F.col("rank").cast("bigint").alias("rank"),
+                      "ts", "dist2").localCheckpoint(eager=True)
 
 
 def assign_tiles(events: DataFrame, tile_level: int) -> DataFrame:

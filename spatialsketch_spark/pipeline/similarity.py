@@ -132,28 +132,54 @@ _BT_CACHE_MAX = 4
 def _semantic_key(df: DataFrame):
     try:
         return df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:       # Spark Connect / API drift: no sharing
-        return id(df)
+    except Exception:       # Spark Connect / API drift: don't share —
+        return None         # id(df) could alias a recycled address
+
+
+def clear_lsh_cache() -> None:
+    """Drop every cached bucketed relation. Call after re-writing an
+    embeddings source IN PLACE: the cache is keyed by the analyzed plan
+    (path/schema), so an overwritten path would otherwise serve buckets
+    of the old data — the same staleness contract as Spark's own
+    .cache() over rewritten files."""
+    while _BT_CACHE:
+        _, df = _BT_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass            # owning session already stopped
 
 
 def _bucketed_quantized(emb: DataFrame, n_tables: int, planes_per_table: int,
                         seed: int = PLANE_SEED) -> DataFrame:
     """(vec_id, qv, n2, table, bucket) — one row per hash table.
-    Cached (see _BT_CACHE above)."""
-    key = (_semantic_key(emb), n_tables, planes_per_table, seed)
-    hit = _BT_CACHE.pop(key, None)
-    if hit is not None:
-        _BT_CACHE[key] = hit            # refresh LRU position
-        return hit
+    Cached (see _BT_CACHE above; clear_lsh_cache after in-place source
+    rewrites)."""
+    sk = _semantic_key(emb)
+    # id(session) in the key: semantic hashes can collide across
+    # sessions (same parquet path), and a cached DF bound to a stopped
+    # session must never be served to a new one
+    key = (id(emb.sparkSession), sk, n_tables, planes_per_table, seed)
+    if sk is not None:
+        hit = _BT_CACHE.pop(key, None)
+        if hit is not None:
+            _BT_CACHE[key] = hit        # refresh LRU position
+            return hit
     b = simhash_buckets(emb, n_tables, planes_per_table, seed)
     bt = (b.withColumn("qv", quantize(F.col("embedding")))
           .withColumn("n2", _norm2(F.col("qv")))
           .select("vec_id", "qv", "n2",
                   F.posexplode("buckets").alias("table", "bucket"))
           .cache())
+    if sk is None:
+        return bt           # unkeyable plan: per-call cache only
     _BT_CACHE[key] = bt
     while len(_BT_CACHE) > _BT_CACHE_MAX:
-        _BT_CACHE.pop(next(iter(_BT_CACHE))).unpersist()
+        evicted = _BT_CACHE.pop(next(iter(_BT_CACHE)))
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass            # owning session already stopped
     return bt
 
 

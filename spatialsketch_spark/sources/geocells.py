@@ -46,13 +46,18 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 # doubles (k / 2^20 has <= 20 significand bits; * 360 adds <= 9).
 _M = 1 << 20
 
+# event_id reduced mod {m} before the multiply: identical values (mod-
+# mult compatibility) and the product stays < 2^51 for any event_id —
+# the unreduced form would wrap in Spark but raise in DuckDB past
+# event_id ~3.5e9, breaking the shared-SQL-text parity.
 LONLAT_SQL_TMPL = """
 SELECT
   event_id                                                   AS ts,
   user_id                                                    AS item,
-  -180.0 + 360.0 * (((event_id * 2654435761) % {m}) / {m}.0) AS lon,
-  -90.0 + 180.0 * (((event_id * 2246822519 + user_id * 97)
-                    % {m}) / {m}.0)                          AS lat,
+  -180.0 + 360.0 * ((((event_id % {m}) * 2654435761) % {m})
+                    / {m}.0)                                 AS lon,
+  -90.0 + 180.0 * ((((event_id % {m}) * 2246822519
+                     + user_id * 97) % {m}) / {m}.0)         AS lat,
   CAST(1 AS BIGINT)                                          AS value
 FROM events
 """

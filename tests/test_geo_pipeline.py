@@ -408,3 +408,31 @@ def test_merge_events_snapshot_resume(spark, events, tmp_path):
     est = eng.query([QuerySpec(0, [(8, 8, 55, 39)], "count")]) \
              .collect()[0]["est"]
     assert est == truth_count(events, [(8, 8, 55, 39)])
+
+
+def test_combine_fingerprints_empty_side():
+    """Merging an empty batch (None ts/hash components) must be the
+    identity in either argument order, not a TypeError."""
+    fa = {"n_events": 5, "min_ts": 1, "max_ts": 9, "sum_hash": 123}
+    fb = {"n_events": 0, "min_ts": None, "max_ts": None, "sum_hash": None}
+    assert SketchStore._combine_fingerprints(fa, fb) == fa
+    assert SketchStore._combine_fingerprints(fb, fa) == fa
+
+
+def test_merge_events_concurrent_commit_rejected(spark, events, tmp_path):
+    """A second merge from the same stale base must not clobber the
+    first snapshot's data dir — optimistic concurrency on the on-disk
+    manifest seq."""
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    p = str(tmp_path / "store")
+    a = events.where(F.col("ts") % 3 == 0)
+    b = events.where(F.col("ts") % 3 == 1)
+    c = events.where(F.col("ts") % 3 == 2)
+    s = SketchStore.build_or_load(spark, a, cfg, "exact", 2, p)
+    s1 = s.merge_events(b)
+    with pytest.raises(ValueError, match="concurrent snapshot commit"):
+        s.merge_events(c)
+    s2 = s1.merge_events(c)     # fresh base: fine
+    assert s2.manifest["data_dir"] == "sketch_s2"
+    assert (s2.manifest["input_fingerprint"]
+            == SketchStore.fingerprint_events(events))
