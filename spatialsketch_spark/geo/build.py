@@ -300,15 +300,70 @@ class SketchStore:
             },
         }
         if path:
-            with open(f"{path}/manifest.json", "w") as f:
-                json.dump(manifest, f, indent=1, sort_keys=True)
+            manifest["snapshot_seq"] = 0
+            manifest["data_dir"] = "sketch"
+            cls._commit_manifest(path, manifest)
         return cls(spark, df, cfg, kind, min_level, manifest, path)
+
+    @staticmethod
+    def _commit_manifest(path: str, manifest: dict) -> None:
+        """Commit = write the immutable per-snapshot metadata file
+        (``manifest_s<seq>.json`` — the Iceberg metadata-log analogue,
+        one file per committed snapshot, never rewritten) then repoint
+        the current-pointer file ``manifest.json`` (the
+        version-hint/catalog analogue)."""
+        seq = int(manifest.get("snapshot_seq", 0))
+        with open(f"{path}/manifest_s{seq}.json", "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        with open(f"{path}/manifest.json", "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+
+    @classmethod
+    def snapshots(cls, path: str) -> list[dict]:
+        """Committed-snapshot history, oldest first — the time-travel
+        catalog (Iceberg ``table.snapshots()``). Each entry is the full
+        manifest committed at that seq; data dirs of old snapshots stay
+        readable, so any entry can be opened with ``load(at_seq=...)``.
+        Falls back to the single current manifest for stores written
+        before per-snapshot metadata existed."""
+        import re
+        try:
+            names = os.listdir(path)
+        except OSError:
+            return []
+        seqs = sorted(int(m.group(1)) for nm in names
+                      if (m := re.fullmatch(r"manifest_s(\d+)\.json", nm)))
+        out = []
+        for s in seqs:
+            with open(f"{path}/manifest_s{s}.json") as f:
+                out.append(json.load(f))
+        if not out and "manifest.json" in names:    # legacy layout
+            with open(f"{path}/manifest.json") as f:
+                out.append(json.load(f))
+        return out
 
     @classmethod
     def load(cls, spark: SparkSession, path: str,
-             cfg: SketchConfig, kind: str) -> "SketchStore":
-        with open(f"{path}/manifest.json") as f:
-            manifest = json.load(f)
+             cfg: SketchConfig, kind: str,
+             at_seq: int | None = None) -> "SketchStore":
+        """Open the current snapshot, or — time travel — the snapshot
+        committed at ``at_seq`` (Iceberg snapshot-id read). A
+        time-travelled store is a fully-usable read view; committing
+        from it is rejected by merge_events' optimistic-concurrency
+        check unless it IS the current snapshot."""
+        if at_seq is None:
+            with open(f"{path}/manifest.json") as f:
+                manifest = json.load(f)
+        else:
+            try:
+                with open(f"{path}/manifest_s{int(at_seq)}.json") as f:
+                    manifest = json.load(f)
+            except OSError as e:
+                have = [m.get("snapshot_seq", 0)
+                        for m in cls.snapshots(path)]
+                raise ValueError(
+                    f"no snapshot seq {at_seq} at {path}; committed "
+                    f"seqs: {have}") from e
         # data_dir defaults to 'sketch' (initial build); merge_events
         # snapshots write sketch_s<seq> and repoint the manifest —
         # Iceberg-snapshot semantics: old data dirs stay readable
@@ -373,10 +428,10 @@ class SketchStore:
         A ∪ B serves the merged snapshot without a rebuild."""
         if "input_fingerprint" not in self.manifest:
             raise ValueError(
-                "merge_events needs a store built by SketchStore.build/"
-                "build_or_load — this store's manifest carries no input "
-                "fingerprint to combine (e.g. a streaming as_store() "
-                "view; compact() is the maintenance path there)")
+                "merge_events needs a store whose manifest carries an "
+                "input fingerprint to combine (SketchStore.build/"
+                "build_or_load/load, a streaming as_store() view, or a "
+                "compact()ed streaming snapshot)")
         t0 = time.time()
         spark = self.spark
         p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -445,8 +500,7 @@ class SketchStore:
         })
         if self.path:
             manifest["data_dir"] = data_dir
-            with open(f"{self.path}/manifest.json", "w") as f:
-                json.dump(manifest, f, indent=1, sort_keys=True)
+            self._commit_manifest(self.path, manifest)
         return SketchStore(spark, merged, self.cfg, self.kind,
                            self.min_level, manifest, self.path)
 

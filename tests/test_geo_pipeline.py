@@ -410,6 +410,48 @@ def test_merge_events_snapshot_resume(spark, events, tmp_path):
     assert est == truth_count(events, [(8, 8, 55, 39)])
 
 
+def test_snapshot_time_travel(spark, events, tmp_path):
+    """Iceberg-style time travel: every commit (initial build + each
+    merge_events) leaves an immutable manifest_s<seq>.json + readable
+    data dir; snapshots() lists the history and load(at_seq=k) opens
+    the store exactly as of commit k — bit-identical to a fresh build
+    over that commit's input prefix. Committing from a time-travelled
+    (stale) snapshot is rejected."""
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    p = str(tmp_path / "store")
+    a = events.where(F.col("ts") % 3 == 0)
+    b = events.where(F.col("ts") % 3 == 1)
+    c = events.where(F.col("ts") % 3 == 2)
+    s0 = SketchStore.build(spark, a, cfg, "exact", 2, path=p)
+    s1 = s0.merge_events(b)
+    s1.merge_events(c)
+
+    hist = SketchStore.snapshots(p)
+    assert [m["snapshot_seq"] for m in hist] == [0, 1, 2]
+    assert [m.get("data_dir") for m in hist] == \
+        ["sketch", "sketch_s1", "sketch_s2"]
+    # history entries are cumulative: fingerprints chain to the prefixes
+    assert hist[0]["input_fingerprint"] == SketchStore.fingerprint_events(a)
+    assert (hist[2]["input_fingerprint"]
+            == SketchStore.fingerprint_events(events))
+
+    for seq, prefix in [(0, a), (1, a.unionByName(b)), (2, events)]:
+        tv = SketchStore.load(spark, p, cfg, "exact", at_seq=seq)
+        assert tv.manifest["snapshot_seq"] == seq
+        assert _store_rows(tv) == _store_rows(
+            SketchStore.build(spark, prefix, cfg, "exact", 2))
+        # a time-travelled view answers queries as of that commit
+        est = SpatialSketchEngine(tv).query(
+            [QuerySpec(0, [(8, 8, 55, 39)], "count")]).collect()[0]["est"]
+        assert est == truth_count(prefix, [(8, 8, 55, 39)])
+
+    with pytest.raises(ValueError, match="no snapshot seq 9"):
+        SketchStore.load(spark, p, cfg, "exact", at_seq=9)
+    stale = SketchStore.load(spark, p, cfg, "exact", at_seq=0)
+    with pytest.raises(ValueError, match="concurrent snapshot commit"):
+        stale.merge_events(c)
+
+
 def test_combine_fingerprints_empty_side():
     """Merging an empty batch (None ts/hash components) must be the
     identity in either argument order, not a TypeError."""

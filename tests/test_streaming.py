@@ -69,6 +69,66 @@ def test_streaming_matches_batch(spark, tmp_path, compact):
                                & (F.col("ts") >= 700)).count()
 
 
+def test_streaming_batch_unification(spark, tmp_path):
+    """The streaming table IS a batch store at the snapshot layer:
+    batch replay is idempotent (same batch_id overwrites its own dir),
+    as_store() carries the accumulated input fingerprint (so
+    merge_events works on the live view), and compact() commits a
+    first-class SketchStore snapshot — loadable, served by
+    build_or_load over the union input, mergeable, time-travelable."""
+    from spatialsketch_spark.geo.build import SketchStore
+    ev = derive_geo_events(spark, SF_UNIT, N).cache()
+    first = ev.filter(F.col("ts") < 500)
+    second = ev.filter(F.col("ts") >= 500)
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    p = str(tmp_path / "sk")
+    ss = StreamingSketch(spark, cfg, "exact", 0, p)
+
+    # ingest batch 0; a crash-replay of the SAME batch_id must rewrite,
+    # not double-append
+    ss._process_batch(first, 0)
+    ss._process_batch(first, 0)
+    store = ss.as_store()
+    full = [(0, 0, 63, 63)]
+    q = [QuerySpec(0, full, "count")]
+    est = SpatialSketchEngine(store).query(q).collect()[0]["est"]
+    assert est == first.count()
+
+    # live view is merge-capable: fingerprint accumulated per batch
+    assert (store.manifest["input_fingerprint"]
+            == SketchStore.fingerprint_events(first))
+    merged_view = store.merge_events(second)
+    est = SpatialSketchEngine(merged_view).query(q).collect()[0]["est"]
+    assert est == ev.count()
+
+    # compact() = snapshot commit through the batch store's path
+    ss._process_batch(second, 1)
+    st = ss.compact()
+    assert st.manifest["snapshot_seq"] == 0
+    assert st.manifest["compacted_through_batch"] == 1
+    assert (st.manifest["input_fingerprint"]
+            == SketchStore.fingerprint_events(ev))
+    loaded = SketchStore.load(spark, p, cfg, "exact")
+    assert SpatialSketchEngine(loaded).query(q).collect()[0]["est"] \
+        == ev.count()
+    # build_or_load over the union input serves the compacted snapshot
+    served = SketchStore.build_or_load(spark, ev, cfg, "exact", 0, p)
+    assert served.manifest["metrics"]["build_mode"] == "streaming_compact"
+
+    # post-compact batches layer on top; second commit, then time travel
+    extra = ev.limit(50)
+    ss._process_batch(extra, 2)
+    est = SpatialSketchEngine(ss.as_store()).query(q).collect()[0]["est"]
+    assert est == ev.count() + 50
+    st2 = ss.compact()
+    assert st2.manifest["snapshot_seq"] == 1
+    hist = SketchStore.snapshots(p)
+    assert [m["snapshot_seq"] for m in hist] == [0, 1]
+    tv = SketchStore.load(spark, p, cfg, "exact", at_seq=0)
+    assert SpatialSketchEngine(tv).query(q).collect()[0]["est"] \
+        == ev.count()
+
+
 def test_windowed_event_counts_watermark(spark, tmp_path):
     """Event-time tumbling windows with watermark: batch-1 windows whose
     end precedes the watermark are finalized (append mode emits them
