@@ -104,6 +104,13 @@ def q_lsh_dups(spark, sf_dir):
         .orderBy("vec_a", "vec_b")
 
 
+def q_ivf_topk(spark, sf_dir):
+    # nprobe=None -> adaptive provably-exact probing (the learned-
+    # partition ANN scale path; see similarity.ivf_topk)
+    return similarity.ivf_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=5,
+                               n_centroids=8).orderBy("qid", "rank")
+
+
 def q_media_features(spark, sf_dir):
     m = media.synth_media_table(_docs(spark, sf_dir))
     return media.extract_features(m).orderBy("doc_id")
@@ -267,6 +274,11 @@ PIPELINE_GATE = {
                      lambda: similarity.oracle_cosine_topk(EMB_QUERY_IDS, 5)),
     "emb_lsh_dups": (q_lsh_dups,
                      lambda: similarity.oracle_cosine_dup_pairs(0.3)),
+    # adaptive IVF is provably exact (triangle-inequality list pruning
+    # bounded by the query's own-list kth-best) — gated against the
+    # same exact-top-k oracle as the brute-force baseline
+    "emb_ivf_topk": (q_ivf_topk,
+                     lambda: similarity.oracle_cosine_topk(EMB_QUERY_IDS, 5)),
     "media_features": (q_media_features, media.oracle_media_features),
     "media_resize": (q_media_resize, media.oracle_resize_media),
     "media_frames": (q_media_frames, media.oracle_frame_sample),

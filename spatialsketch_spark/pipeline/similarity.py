@@ -287,6 +287,269 @@ def lsh_dup_pairs(emb: DataFrame, threshold: float = 0.3,
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH
+# ---------------------------------------------------------------------------
+#
+# LSH prunes by random-hyperplane buckets (data-independent); IVF prunes
+# by LEARNED partitions: spherical k-means centroids, every vector
+# assigned to its nearest centroid's inverted list, queries probing only
+# the ``nprobe`` nearest lists. On clustered embeddings (the realistic
+# case) the candidate set is ~nprobe/n_centroids of the data regardless
+# of how tightly cosines concentrate — the regime where hyperplane
+# buckets degenerate. Everything is deterministic: centroid updates are
+# EXACT int64 per-dimension sums of quantized unit vectors (no
+# float-sum partition-order sensitivity), ties in nearest-centroid
+# argmax break to the lowest centroid id, and the final re-rank reuses
+# the byte-identical quantized-cosine arithmetic of ``cosine_topk``.
+
+IVF_SEED = 11
+
+
+def _ivf_batches(it, centroids):
+    """Yield (pdf, X, cid) per Arrow batch: embeddings as float64 rows
+    and their nearest-centroid assignment (cosine == dot with unit
+    centroids on unit-normalized rows; ties -> lowest cid)."""
+    for pdf in it:
+        if not len(pdf):
+            continue
+        X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        yield pdf, Xn, np.argmax(Xn @ centroids.T, axis=1)
+
+
+def train_ivf_centroids(emb: DataFrame, n_centroids: int = 8,
+                        n_iters: int = 4, seed: int = IVF_SEED,
+                        train_fraction: float = 1.0) -> np.ndarray:
+    """Spherical k-means. Init = the ``n_centroids`` vectors with the
+    smallest xxhash64(vec_id, seed) (a deterministic distributed
+    sample); each Lloyd iteration is ONE pass: per-partition partial
+    stats (count + per-dimension int64 sums of round(unit_vec * QUANT))
+    — a few KB per partition — combined on the driver in sorted order,
+    so the update is exact integer arithmetic with no partition-order
+    float drift. ``train_fraction`` sub-samples training input by the
+    same hash (the 100 TB posture: train on a sample, assign
+    everything). Returns (n_centroids, dim) float64 unit rows."""
+    base = emb.select("vec_id", "embedding")
+    if train_fraction < 1.0:
+        base = base.where(
+            F.pmod(F.xxhash64("vec_id", F.lit(seed)), 1_000_000)
+            < int(train_fraction * 1_000_000))
+    init = (base.withColumn("h", F.xxhash64("vec_id", F.lit(seed)))
+            .orderBy("h", "vec_id").limit(n_centroids).collect())
+    C = np.asarray([r["embedding"] for r in init], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1), 1e-12)[:, None]
+    dim = C.shape[1]
+
+    for _ in range(n_iters):
+        cents = C
+
+        def stats(it):
+            for pdf, Xn, cid in _ivf_batches(it, cents):
+                q = np.rint(Xn * QUANT).astype(np.int64)
+                rows = []
+                for c in np.unique(cid):
+                    sel = q[cid == c]
+                    rows.append({"cid": int(c), "cnt": int(len(sel)),
+                                 "sums": sel.sum(axis=0,
+                                                 dtype=np.int64).tolist()})
+                yield pd.DataFrame(rows)
+
+        partials = base.mapInPandas(
+            stats, schema="cid INT, cnt BIGINT, sums ARRAY<BIGINT>"
+        ).collect()
+        sums = np.zeros((len(C), dim), dtype=np.int64)
+        cnts = np.zeros(len(C), dtype=np.int64)
+        for r in sorted(partials, key=lambda r: r["cid"]):
+            sums[r["cid"]] += np.asarray(r["sums"], dtype=np.int64)
+            cnts[r["cid"]] += r["cnt"]
+        nxt = C.copy()                       # empty cluster: keep old
+        nz = cnts > 0
+        nxt[nz] = sums[nz] / (cnts[nz, None] * float(QUANT))
+        nxt /= np.maximum(np.linalg.norm(nxt, axis=1), 1e-12)[:, None]
+        C = nxt
+    return C
+
+
+_IVF_CACHE: dict = {}
+_IVF_CACHE_MAX = 4
+
+
+def clear_ivf_cache() -> None:
+    """Counterpart of clear_lsh_cache for the IVF index — call after
+    rewriting an embeddings source in place."""
+    while _IVF_CACHE:
+        _, (_, _, df) = _IVF_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def _ivf_index(emb: DataFrame, n_centroids: int, n_iters: int,
+               seed: int, train_fraction: float = 1.0):
+    """(centroids, radii, assigned) where assigned = (vec_id, qv, n2,
+    cid) cached hash-partitioned on cid — the inverted lists — and
+    radii[i] = the list's angular radius max_x angle(x, c_i) (the
+    pruning bound's per-list metadata, collected once at index build:
+    n_centroids doubles). Same keyed LRU discipline as the LSH bucketed
+    relation."""
+    sk = _semantic_key(emb)
+    key = (id(emb.sparkSession), sk, "ivf", n_centroids, n_iters, seed,
+           train_fraction)
+    if sk is not None and key in _IVF_CACHE:
+        hit = _IVF_CACHE.pop(key)
+        _IVF_CACHE[key] = hit
+        return hit
+    C = train_ivf_centroids(emb, n_centroids, n_iters, seed,
+                            train_fraction)
+
+    def assign(it):
+        for pdf, Xn, cid in _ivf_batches(it, C):
+            best = np.clip((Xn @ C.T)[np.arange(len(cid)), cid], -1.0, 1.0)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": pdf["embedding"],
+                                "cid": cid.astype(np.int64),
+                                "ang": np.arccos(best)})
+
+    assigned = (emb.select("vec_id", "embedding")
+                .mapInPandas(assign, schema=("vec_id BIGINT, embedding "
+                                             "ARRAY<FLOAT>, cid BIGINT, "
+                                             "ang DOUBLE"))
+                .withColumn("qv", quantize(F.col("embedding")))
+                .withColumn("n2", _norm2(F.col("qv")))
+                .select("vec_id", "qv", "n2", "cid", "ang")
+                .repartition(int(emb.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions")), "cid")
+                .cache())
+    radii = np.zeros(len(C))
+    for r in assigned.groupBy("cid").agg(
+            F.max("ang").alias("r")).collect():
+        radii[int(r["cid"])] = float(r["r"])
+    out = (C, radii, assigned)
+    if sk is None:
+        return out
+    _IVF_CACHE[key] = out
+    while len(_IVF_CACHE) > _IVF_CACHE_MAX:
+        _, _, evicted = _IVF_CACHE.pop(next(iter(_IVF_CACHE)))
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass
+    return out
+
+
+# quantized cosine vs float64 cosine can differ by ~dim/(2·QUANT·|v|)
+# ≈ 1e-5 on the unit-ish fixtures; the prune filter keeps this much
+# slack so the float-space bound can never cut a quantized-space tie
+_IVF_EPS = 1e-4
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = 8, nprobe: int | None = None,
+             n_iters: int = 4, seed: int = IVF_SEED,
+             train_fraction: float = 1.0) -> DataFrame:
+    """IVF top-k over the inverted lists. Two probing modes:
+
+    - ``nprobe=None`` (default) — ADAPTIVE, PROVABLY EXACT: phase 1
+      ranks each query against its OWN list, giving a lower bound τ_q
+      on the true kth-best cosine (τ_q = -1 if the list holds < k
+      others). Phase 2 probes list i only when its best-case score
+      cos(max(θ_qi − r_i, 0)) ≥ τ_q − ε, where θ_qi is the query-to-
+      centroid angle and r_i the list's angular radius: for any x in
+      list i, angle(q,x) ≥ θ_qi − r_i (triangle inequality on the
+      sphere), so a pruned list cannot contain a top-k member. Exact
+      output with data-dependent pruning — tight clusters prune hard,
+      uniform data degrades to exhaustive, never to wrong answers.
+    - ``nprobe=p`` — FIXED: probe the p nearest lists per query
+      (classic approximate IVF; recall is data/config-dependent).
+
+    Candidates are an equi-join on cid against the cached,
+    cid-partitioned lists — per-query work is the probed fraction of
+    the table, never O(n^2) — and each candidate appears exactly once
+    (a vector lives in ONE list — no dropDuplicates, unlike
+    multi-table LSH). Exact quantized-cosine re-rank, byte-identical
+    to ``cosine_topk``. -> (qid, rank, vec_id)."""
+    C, radii, assigned = _ivf_index(emb, n_centroids, n_iters, seed,
+                                    train_fraction)
+    adaptive = nprobe is None
+    np_ = n_centroids if adaptive else min(nprobe, n_centroids)
+
+    def probes(it):
+        for pdf, Xn, cid in _ivf_batches(it, C):
+            scores = Xn @ C.T
+            if adaptive:
+                # every list, with its best-case (bound) score
+                theta = np.arccos(np.clip(scores, -1.0, 1.0))
+                bound = np.cos(np.maximum(theta - radii[None, :], 0.0))
+                nq, nc = bound.shape
+                yield pd.DataFrame({
+                    "qid": np.repeat(pdf["vec_id"].to_numpy(), nc),
+                    "qcid": np.repeat(cid.astype(np.int64), nc),
+                    "pcid": np.tile(np.arange(nc, dtype=np.int64), nq),
+                    "bound": bound.reshape(-1)})
+            else:
+                top = np.argsort(-scores, axis=1,
+                                 kind="stable")[:, :np_]
+                yield pd.DataFrame({
+                    "qid": np.repeat(pdf["vec_id"].to_numpy(), np_),
+                    "qcid": np.repeat(cid.astype(np.int64), np_),
+                    "pcid": top.reshape(-1).astype(np.int64),
+                    "bound": np.full(len(top) * np_, 2.0)})
+
+    qrows = (emb.select("vec_id", "embedding")
+             .where(F.col("vec_id").isin(query_ids))
+             .mapInPandas(probes, schema=("qid BIGINT, qcid BIGINT, "
+                                          "pcid BIGINT, bound DOUBLE")))
+    qside = qrows.join(
+        assigned.select(F.col("vec_id").alias("qid"),
+                        F.col("qv").alias("qqv"),
+                        F.col("n2").alias("qn2")), "qid")
+
+    def _score(df):
+        return (df.withColumn("dot", _dot(F.col("qv"), F.col("qqv")))
+                .withColumn("cos", F.col("dot") /
+                            F.sqrt(F.col("n2").cast("double")
+                                   * F.col("qn2").cast("double"))))
+
+    if adaptive:
+        # phase 1: τ_q = kth-best quantized cosine within the query's
+        # own list (a tiny equi-join — one list per query)
+        own = _score(assigned.join(
+            F.broadcast(qside.where(F.col("pcid") == F.col("qcid"))
+                        .dropDuplicates(["qid"])
+                        .select("qid", "qcid", "qqv", "qn2")),
+            (F.col("cid") == F.col("qcid"))
+            & (F.col("vec_id") != F.col("qid"))))
+        wq = Window.partitionBy("qid").orderBy(F.desc("cos"),
+                                               F.asc("vec_id"))
+        tau = (own.withColumn("rk", F.row_number().over(wq))
+               .where(F.col("rk") == k)
+               .select("qid", F.col("cos").alias("tau")))
+        qrows = (qrows.join(F.broadcast(tau), "qid", "left")
+                 .where((F.col("bound")
+                         >= F.coalesce(F.col("tau"), F.lit(-1.0))
+                         - F.lit(_IVF_EPS))
+                        | (F.col("pcid") == F.col("qcid"))))
+        qside = qrows.join(
+            assigned.select(F.col("vec_id").alias("qid"),
+                            F.col("qv").alias("qqv"),
+                            F.col("n2").alias("qn2")), "qid")
+
+    cand = assigned.join(F.broadcast(qside),
+                         (F.col("cid") == F.col("pcid"))
+                         & (F.col("vec_id") != F.col("qid")))
+    d = _score(cand)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (d.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").cast("bigint"),
+                    F.col("rank").cast("bigint"),
+                    F.col("vec_id").cast("bigint")))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle (brute-force cosine only; LSH is rows-only checked)
 # ---------------------------------------------------------------------------
 

@@ -79,6 +79,95 @@ def test_lsh_plan_bounded_at_dim_768(spark):
     assert all(len(r["buckets"]) == similarity.N_TABLES for r in got)
 
 
+def test_ivf_topk_adaptive_exact(spark, emb):
+    """The adaptive (nprobe=None) IVF mode is PROVABLY exact — output
+    identical to brute force on the real fixture (weakly-clustered
+    embeddings: the hardest case for the bound, which must then degrade
+    to near-exhaustive probing, never to wrong answers). Fixed
+    nprobe=n_centroids is exhaustive, also exact; partial nprobe recall
+    is monotone in nprobe."""
+    qids = [0, 1, 2, 3, 10, 20]
+    exact = sorted((r["qid"], r["rank"], r["vec_id"]) for r in
+                   similarity.cosine_topk(emb, qids, k=5).collect())
+    adaptive = sorted((r["qid"], r["rank"], r["vec_id"]) for r in
+                      similarity.ivf_topk(emb, qids, k=5,
+                                          n_centroids=8).collect())
+    assert adaptive == exact
+    allprobe = sorted((r["qid"], r["rank"], r["vec_id"]) for r in
+                      similarity.ivf_topk(emb, qids, k=5, n_centroids=8,
+                                          nprobe=8).collect())
+    assert allprobe == exact
+    exact_sets = {}
+    for q, _rk, v in exact:
+        exact_sets.setdefault(q, set()).add(v)
+
+    def recall(np_):
+        got = {}
+        for r in similarity.ivf_topk(emb, qids, k=5, n_centroids=8,
+                                     nprobe=np_).collect():
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        return sum(len(exact_sets[q] & got.get(q, set())) / 5
+                   for q in qids) / len(qids)
+
+    r2, r5, r8 = recall(2), recall(5), recall(8)
+    assert r2 <= r5 + 1e-9 <= r8 + 2e-9 and r8 == 1.0, (r2, r5, r8)
+
+
+def test_ivf_training_deterministic(spark, emb):
+    """Centroid training must be bit-reproducible across runs: updates
+    are exact int64 sums combined in sorted order, so partition
+    scheduling cannot drift the result."""
+    import numpy as np
+    c1 = similarity.train_ivf_centroids(emb, n_centroids=6, n_iters=3)
+    c2 = similarity.train_ivf_centroids(emb, n_centroids=6, n_iters=3)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_adaptive_prunes_clustered(spark):
+    """On tightly-clustered data the adaptive bound must actually PRUNE
+    (the scale contract: probed lists << n_centroids) while staying
+    exact. Verified against the index's own metadata: recompute the
+    phase-2 filter in numpy and count surviving lists for an in-cluster
+    query."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    means = np.eye(4, 16)                      # 4 well-separated axes
+    rows = []
+    for c in range(4):
+        pts = means[c] + rng.normal(scale=0.02, size=(30, 16))
+        for i, p in enumerate(pts):
+            rows.append((c * 30 + i, [float(v) for v in p]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    qids = [0, 35, 70, 105]
+    exact = sorted((r["qid"], r["rank"], r["vec_id"]) for r in
+                   similarity.cosine_topk(df, qids, k=5).collect())
+    adaptive = sorted((r["qid"], r["rank"], r["vec_id"]) for r in
+                      similarity.ivf_topk(df, qids, k=5,
+                                          n_centroids=4).collect())
+    assert adaptive == exact
+    C, radii, assigned = similarity._ivf_index(
+        df, 4, 4, similarity.IVF_SEED)
+    assert radii.max() < 0.2                   # tight lists
+    rows_by_id = dict(rows)
+    by_cid = {}
+    for r in assigned.collect():
+        by_cid.setdefault(int(r["cid"]), []).append(int(r["vec_id"]))
+    for q in qids:
+        v = np.asarray(rows_by_id[q]); v = v / np.linalg.norm(v)
+        theta = np.arccos(np.clip(C @ v, -1, 1))
+        qcid = int(np.argmin(theta))
+        own = [o for o in by_cid[qcid] if o != q]
+        cos = sorted((np.dot(v, np.asarray(rows_by_id[o])
+                             / np.linalg.norm(rows_by_id[o]))
+                      for o in own), reverse=True)
+        tau = cos[4] if len(cos) >= 5 else -1.0
+        bound = np.cos(np.maximum(theta - radii, 0.0))
+        kept = int(((bound >= tau - 1e-4)
+                    | (np.arange(4) == qcid)).sum())
+        assert kept == 1, (q, kept)            # every other list pruned
+
+
 def _py_trigrams(text):
     import re
     words = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
