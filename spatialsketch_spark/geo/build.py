@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import numpy as np
@@ -503,6 +504,76 @@ class SketchStore:
             self._commit_manifest(self.path, manifest)
         return SketchStore(spark, merged, self.cfg, self.kind,
                            self.min_level, manifest, self.path)
+
+    def rollback(self, to_seq: int) -> "SketchStore":
+        """Iceberg rollback: make snapshot ``to_seq`` current again by
+        committing a NEW snapshot (next seq) that points at the old
+        snapshot's data dir and restores its input fingerprint/lineage.
+        History is preserved — the rolled-back-over commits stay
+        readable via time travel until expired — and later
+        merge_events calls layer on top of the restored state. Only
+        valid on the current snapshot (optimistic concurrency, same as
+        merge_events)."""
+        if not self.path:
+            raise ValueError("rollback needs a path-backed store")
+        try:
+            with open(f"{self.path}/manifest.json") as f:
+                disk = json.load(f)
+        except OSError:
+            disk = {}
+        if (disk.get("snapshot_seq", 0)
+                != self.manifest.get("snapshot_seq", 0)):
+            raise ValueError(
+                f"concurrent snapshot commit detected at {self.path}: "
+                "reload the store before rolling back")
+        try:
+            with open(f"{self.path}/manifest_s{int(to_seq)}.json") as f:
+                target = json.load(f)
+        except OSError as e:
+            have = [m.get("snapshot_seq", 0)
+                    for m in self.snapshots(self.path)]
+            raise ValueError(f"no snapshot seq {to_seq} at {self.path};"
+                             f" committed seqs: {have}") from e
+        seq = int(self.manifest.get("snapshot_seq", 0)) + 1
+        manifest = dict(target)
+        manifest["snapshot_seq"] = seq
+        manifest["rolled_back_from"] = int(
+            self.manifest.get("snapshot_seq", 0))
+        manifest["rolled_back_to"] = int(to_seq)
+        self._commit_manifest(self.path, manifest)
+        df = self.spark.read.parquet(
+            f"{self.path}/{manifest.get('data_dir', 'sketch')}")
+        return SketchStore(self.spark, df, self.cfg, self.kind,
+                           manifest["min_level"], manifest, self.path)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Iceberg expire-snapshots maintenance: drop committed
+        snapshots older than the newest ``keep_last``, deleting their
+        immutable manifest files and any data dir no retained snapshot
+        still references. The current snapshot is always retained
+        (keep_last >= 1 enforced). Time-travel reads to an expired seq
+        fail with the committed-seqs error afterwards — the same
+        contract as Iceberg's expire_snapshots. Returns expired seqs."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current "
+                             "snapshot cannot be expired)")
+        if not self.path:
+            return []
+        hist = self.snapshots(self.path)
+        expired, retained = hist[:-keep_last], hist[-keep_last:]
+        keep_dirs = {m.get("data_dir") for m in retained}
+        out = []
+        for m in expired:
+            seq = int(m.get("snapshot_seq", 0))
+            dd = m.get("data_dir")
+            if dd and dd not in keep_dirs:
+                shutil.rmtree(f"{self.path}/{dd}", ignore_errors=True)
+            try:
+                os.remove(f"{self.path}/manifest_s{seq}.json")
+            except OSError:
+                pass
+            out.append(seq)
+        return out
 
     @classmethod
     def build_or_load(cls, spark: SparkSession, events: DataFrame,

@@ -451,6 +451,61 @@ def test_snapshot_time_travel(spark, events, tmp_path):
     with pytest.raises(ValueError, match="concurrent snapshot commit"):
         stale.merge_events(c)
 
+    # expire-snapshots maintenance: old commits dropped, current kept
+    cur = SketchStore.load(spark, p, cfg, "exact")
+    assert cur.expire_snapshots(keep_last=1) == [0, 1]
+    assert [m["snapshot_seq"] for m in SketchStore.snapshots(p)] == [2]
+    assert not (tmp_path / "store" / "sketch").exists()
+    with pytest.raises(ValueError, match=r"committed seqs: \[2\]"):
+        SketchStore.load(spark, p, cfg, "exact", at_seq=0)
+    est = SpatialSketchEngine(
+        SketchStore.load(spark, p, cfg, "exact")).query(
+        [QuerySpec(0, [(8, 8, 55, 39)], "count")]).collect()[0]["est"]
+    assert est == truth_count(events, [(8, 8, 55, 39)])
+    assert cur.expire_snapshots(keep_last=1) == []    # idempotent
+    with pytest.raises(ValueError, match="keep_last"):
+        cur.expire_snapshots(keep_last=0)
+
+
+def test_snapshot_rollback(spark, events, tmp_path):
+    """Iceberg rollback: committing an old snapshot as current — new
+    seq pointing at the old data dir, fingerprint/lineage restored so
+    build_or_load over the ORIGINAL input serves it; history stays
+    time-travelable; a later merge layers on the restored state; and a
+    shared data dir survives expiry of the rolled-over commits."""
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    p = str(tmp_path / "store")
+    a = events.where(F.col("ts") % 2 == 0)
+    b = events.where(F.col("ts") % 2 == 1)
+    s0 = SketchStore.build(spark, a, cfg, "exact", 2, path=p)
+    s1 = s0.merge_events(b)
+    with pytest.raises(ValueError, match="concurrent snapshot commit"):
+        s0.rollback(0)                       # stale base rejected
+    rb = s1.rollback(0)
+    assert rb.manifest["snapshot_seq"] == 2
+    assert rb.manifest["data_dir"] == "sketch"
+    assert rb.manifest["rolled_back_to"] == 0
+    assert (rb.manifest["input_fingerprint"]
+            == SketchStore.fingerprint_events(a))
+    # current == snapshot 0 content; build_or_load(a) serves, not rebuilds
+    served = SketchStore.build_or_load(spark, a, cfg, "exact", 2, p)
+    assert served.manifest["snapshot_seq"] == 2
+    assert _store_rows(served) == _store_rows(
+        SketchStore.build(spark, a, cfg, "exact", 2))
+    # rolled-over commit still time-travelable; merge layers on restore
+    assert _store_rows(SketchStore.load(spark, p, cfg, "exact",
+                                        at_seq=1)) == _store_rows(s1)
+    s3 = rb.merge_events(b)
+    assert _store_rows(s3) == _store_rows(s1)
+    # expiring history keeps the shared 'sketch' dir (seq 3 -> sketch_s3,
+    # but retained seq 2... after merge seq 3 is current); keep_last=2
+    # retains the rollback commit whose data dir is the original 'sketch'
+    cur = SketchStore.load(spark, p, cfg, "exact")
+    assert cur.expire_snapshots(keep_last=2) == [0, 1]
+    assert (tmp_path / "store" / "sketch").exists()   # shared dir kept
+    assert _store_rows(SketchStore.load(spark, p, cfg, "exact",
+                                        at_seq=2)) == _store_rows(rb)
+
 
 def test_combine_fingerprints_empty_side():
     """Merging an empty batch (None ts/hash components) must be the
