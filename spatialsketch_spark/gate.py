@@ -161,6 +161,40 @@ def q_polygon_count_dynsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _result(eng, qs)
 
 
+def q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot lifecycle end-to-end, oracle-compared: build a
+    path-backed store over the ts%3!=0 prefix of the stream (commit 0),
+    merge_events the remaining events (commit 1 — the full stream),
+    then TIME TRAVEL back to commit 0 via load(at_seq=0) and answer
+    region counts. The as-of results must equal DuckDB over the prefix
+    only — proving the merge commit left the old snapshot intact and
+    the manifest history serves bit-exact as-of reads (north_rule:
+    every stage resumable from snapshot checkpoints)."""
+    key = (sf_dir, "travel")
+    st = _STORES.get(key)
+    if st is None:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="ss_gate_travel_")
+        cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+        ev = derive_geo_events(spark, sf_dir, N)
+        s0 = SketchStore.build(spark, ev.where(F.col("ts") % 3 != 0),
+                               cfg, "exact", MIN_LEVEL, path=path)
+        s0.merge_events(ev.where(F.col("ts") % 3 == 0))
+        st = SketchStore.load(spark, path, cfg, "exact", at_seq=0)
+        st.df = st.df.cache()
+        _STORES[key] = st
+    eng = SpatialSketchEngine(st)
+    qs = [QuerySpec(i, [r], "count") for i, r in enumerate(RECTS)]
+    return _result(eng, qs)
+
+
+def oracle_snapshot_travel() -> str:
+    ranges = [[r] for r in RECTS]
+    agg = ("SELECT qid, SUM(value) AS v FROM matched "
+           "WHERE ts % 3 <> 0 GROUP BY qid")
+    return _region_agg_sql(ranges, agg)
+
+
 def q_rect_item_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: COUNT(*) WHERE region AND item = v (Postgres.cpp:406)."""
     eng = _engine(spark, sf_dir)
@@ -601,6 +635,7 @@ GATE_QUERIES = {
     "geo_tile_cover": (q_tile_cover, oracle_tile_cover),
     "geo_tile_counts": (q_tile_counts, oracle_tile_counts),
     "geo_lonlat_quantize": (q_lonlat_quantize, oracle_lonlat_quantize),
+    "geo_snapshot_travel": (q_snapshot_travel, oracle_snapshot_travel),
 }
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402
