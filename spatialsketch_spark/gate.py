@@ -613,6 +613,41 @@ def oracle_lonlat_quantize() -> str:
     return oracle_lonlat_quantize_sql(N, 6)
 
 
+# cap fixture: (lon0, lat0, radius_rad). Boundary margin measured at
+# min |dot - cos(r)| = 5.9e-5 over sf0.001/sf0.01 — ten orders above
+# any cross-engine libm ulp drift, so the compared ROW SET (integer ts)
+# cannot flip between Spark and DuckDB.
+CAP_FIXTURE = (20.0, 45.0, 0.30)
+
+
+def q_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical range query (s2ish cap cover prune + exact great-
+    circle predicate — the RegionCoverer/polyfill analogue) over the
+    deterministic lon/lat stream; compared row-for-row against the
+    brute-force DuckDB haversine filter. The cover being a proven
+    superset (tests/test_geocells.py) makes the result independent of
+    cover tightness."""
+    from .sources.geocells import cap_filter, derive_lonlat_events
+    lon0, lat0, rad = CAP_FIXTURE
+    ll = derive_lonlat_events(spark, sf_dir)
+    return cap_filter(ll, lon0, lat0, rad, res=7) \
+        .select(F.col("ts").cast("bigint")).orderBy("ts")
+
+
+def oracle_cap_filter() -> str:
+    from .sources.geocells import lonlat_sql
+    lon0, lat0, rad = CAP_FIXTURE
+    return f"""
+WITH ll AS ({lonlat_sql()})
+SELECT CAST(ts AS BIGINT) AS ts
+FROM ll
+WHERE cos(radians(lat)) * cos(radians({lat0}))
+      * cos(radians(lon) - radians({lon0}))
+      + sin(radians(lat)) * sin(radians({lat0})) >= cos({rad})
+ORDER BY ts
+"""
+
+
 GATE_QUERIES = {
     "geo_polygon_count": (q_polygon_count, oracle_polygon_count),
     "geo_polygon_count_dynsketch": (q_polygon_count_dynsketch,
@@ -636,6 +671,7 @@ GATE_QUERIES = {
     "geo_tile_counts": (q_tile_counts, oracle_tile_counts),
     "geo_lonlat_quantize": (q_lonlat_quantize, oracle_lonlat_quantize),
     "geo_snapshot_travel": (q_snapshot_travel, oracle_snapshot_travel),
+    "geo_cap_filter": (q_cap_filter, oracle_cap_filter),
 }
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402

@@ -122,7 +122,11 @@ def s2ish_cell(lon: Column, lat: Column, res: int) -> Column:
     the dominant axis of the unit direction vector, gnomonic (u, v) on
     the face, Morton-interleaved 2^res quadtree. Faces: 0/1 = ±x,
     2/3 = ±y, 4/5 = ±z — the poles are face interiors, not
-    singularities. All column functions; codegen-friendly."""
+    singularities. All column functions. NOTE: as a single Column
+    expression the Morton loop re-inlines the face/u/v subtree per
+    bit — in plans at res >= 7 use ``with_s2ish_cells`` (staged
+    columns, bit-identical output) to stay inside whole-stage
+    codegen."""
     rad = math.pi / 180.0
     cx = F.cos(lat * rad) * F.cos(lon * rad)
     cy = F.cos(lat * rad) * F.sin(lon * rad)
@@ -165,6 +169,186 @@ def cell_parent(cell: Column, res: int, parent_res: int) -> Column:
             + F.shiftright(morton, shift)).cast("bigint")
 
 
-def with_s2ish_cells(df: DataFrame, res: int) -> DataFrame:
-    return df.withColumn("cell", s2ish_cell(F.col("lon"), F.col("lat"),
-                                            res))
+def with_s2ish_cells(df: DataFrame, res: int,
+                     out: str = "cell") -> DataFrame:
+    """Staged-column form of ``s2ish_cell`` — bit-identical output, but
+    face/u/v/i/j are materialized as intermediate columns so the Morton
+    interleave references two small column refs per bit instead of
+    re-inlining the whole trigonometric subtree. The single-Column
+    ``s2ish_cell`` expression grows O(res) COPIES of the face selection
+    tree, which at res≥7 overflows janino's 64 KB generated-method
+    limit and silently drops the stage to interpreted mode; this form
+    stays inside whole-stage codegen at any res (asserted in
+    tests/test_geocells.py)."""
+    rad = math.pi / 180.0
+    lat, lon = F.col("lat") * rad, F.col("lon") * rad
+    d = (df.withColumn("_cx", F.cos(lat) * F.cos(lon))
+           .withColumn("_cy", F.cos(lat) * F.sin(lon))
+           .withColumn("_cz", F.sin(lat)))
+    ax, ay, az = F.abs(F.col("_cx")), F.abs(F.col("_cy")), \
+        F.abs(F.col("_cz"))
+    cx, cy, cz = F.col("_cx"), F.col("_cy"), F.col("_cz")
+    d = d.withColumn("_m", F.greatest(ax, ay, az))
+    d = d.withColumn("_face", (
+        F.when((ax >= ay) & (ax >= az),
+               F.when(cx >= 0, F.lit(0)).otherwise(F.lit(1)))
+        .when(ay >= az, F.when(cy >= 0, F.lit(2)).otherwise(F.lit(3)))
+        .otherwise(F.when(cz >= 0, F.lit(4)).otherwise(F.lit(5)))))
+    face = F.col("_face")
+    d = d.withColumn("_u", (F.when(face <= 1, cy).when(face <= 3, cz)
+                            .otherwise(cx)) / F.col("_m"))
+    d = d.withColumn("_v", (F.when(face <= 1, cz).when(face <= 3, cx)
+                            .otherwise(cy)) / F.col("_m"))
+    scale = float(1 << res)
+    d = d.withColumn("_i", F.least(
+        F.floor((F.col("_u") + 1.0) / 2.0 * scale),
+        F.lit(float((1 << res) - 1))).cast("bigint"))
+    d = d.withColumn("_j", F.least(
+        F.floor((F.col("_v") + 1.0) / 2.0 * scale),
+        F.lit(float((1 << res) - 1))).cast("bigint"))
+    morton = F.lit(0).cast("bigint")
+    for b in range(res):
+        morton = (morton
+                  + F.shiftright(F.col("_i"), b).bitwiseAND(F.lit(1))
+                  * F.lit(1 << (2 * b + 1))
+                  + F.shiftright(F.col("_j"), b).bitwiseAND(F.lit(1))
+                  * F.lit(1 << (2 * b)))
+    d = d.withColumn(out, face.cast("bigint") * F.lit(1 << (2 * res))
+                     + morton)
+    return d.drop("_cx", "_cy", "_cz", "_m", "_face", "_u", "_v",
+                  "_i", "_j")
+
+
+# ---------------------------------------------------------------------------
+# Region cover (the S2 RegionCoverer / H3 polyfill analogue) + cap filter
+# ---------------------------------------------------------------------------
+
+def _face_dir(face: int, u, v):
+    """Unit-sphere direction for gnomonic (u, v) on ``face`` — the
+    exact inverse of the face/u/v selection in s2ish_cell."""
+    import numpy as np
+    one = np.ones_like(u)
+    if face == 0:
+        d = np.stack([one, u, v])
+    elif face == 1:
+        d = np.stack([-one, u, v])
+    elif face == 2:
+        d = np.stack([v, one, u])
+    elif face == 3:
+        d = np.stack([v, -one, u])
+    elif face == 4:
+        d = np.stack([u, v, one])
+    else:
+        d = np.stack([u, v, -one])
+    return d / np.linalg.norm(d, axis=0)
+
+
+def _morton(i: int, j: int, res: int) -> int:
+    m = 0
+    for b in range(res):
+        m |= ((i >> b) & 1) << (2 * b + 1)
+        m |= ((j >> b) & 1) << (2 * b)
+    return m
+
+
+def s2ish_cap_cover(lon0: float, lat0: float, radius_rad: float,
+                    res: int) -> list[tuple[int, int]]:
+    """Spherical-cap cover at resolution ``res`` — the S2
+    RegionCoverer / H3 polyfill analogue for the cube-face quadtree:
+    recursive subdivision from the 6 faces, conservative
+    triangle-inequality tests (cell center distance ± cell
+    circumradius), fully-inside subtrees emitted as whole Morton
+    RANGES without enumeration. Returns sorted, coalesced, disjoint
+    ``[lo, hi]`` (inclusive) cell-id ranges at ``res`` whose union is a
+    SUPERSET of the cap (never drops a cap point — the prune-then-
+    exact-test contract, same two-phase shape as the PIP join); cells
+    provably outside are excluded. Driver-side index metadata, like
+    the dyadic covers: O(boundary cells) ranges, tiny.
+    """
+    import numpy as np
+    if not 0 < radius_rad <= math.pi:
+        raise ValueError("radius_rad must be in (0, pi]")
+    if not 0 <= res <= 14:
+        raise ValueError("res must be in [0, 14] (cover metadata is "
+                         "driver-side; beyond 14 use a coarser prune + "
+                         "exact test)")
+    rad = math.pi / 180.0
+    c = np.array([math.cos(lat0 * rad) * math.cos(lon0 * rad),
+                  math.cos(lat0 * rad) * math.sin(lon0 * rad),
+                  math.sin(lat0 * rad)])
+
+    ranges: list[tuple[int, int]] = []
+
+    def cell_metrics(face, r, i, j):
+        scale = 1 << r
+        u0, u1 = 2.0 * i / scale - 1.0, 2.0 * (i + 1) / scale - 1.0
+        v0, v1 = 2.0 * j / scale - 1.0, 2.0 * (j + 1) / scale - 1.0
+        um, vm = (u0 + u1) / 2.0, (v0 + v1) / 2.0
+        corners = _face_dir(face,
+                            np.array([u0, u0, u1, u1]),
+                            np.array([v0, v1, v0, v1]))
+        center = _face_dir(face, np.array([um]), np.array([vm]))[:, 0]
+        # circumradius: a cell is a spherical convex polygon (gnomonic
+        # maps its edges to great-circle arcs), so the max distance
+        # from its center is attained at a corner
+        circ = float(np.max(np.arccos(
+            np.clip(corners.T @ center, -1.0, 1.0))))
+        dist = float(math.acos(max(-1.0, min(1.0, float(center @ c)))))
+        return dist, circ
+
+    def emit(face, r, i, j):
+        shift = 2 * (res - r)
+        base = (face << (2 * res)) | (_morton(i, j, r) << shift)
+        ranges.append((base, base + (1 << shift) - 1))
+
+    def walk(face, r, i, j):
+        dist, circ = cell_metrics(face, r, i, j)
+        if dist - circ > radius_rad:
+            return                          # provably outside
+        if dist + circ <= radius_rad or r == res:
+            emit(face, r, i, j)             # fully inside / leaf
+            return
+        for di in (0, 1):
+            for dj in (0, 1):
+                walk(face, r + 1, 2 * i + di, 2 * j + dj)
+
+    for face in range(6):
+        walk(face, 0, 0, 0)
+    ranges.sort()
+    out: list[tuple[int, int]] = []
+    for lo, hi in ranges:                   # coalesce adjacent ranges
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def cap_filter(df: DataFrame, lon0: float, lat0: float,
+               radius_rad: float, res: int) -> DataFrame:
+    """Spherical range query (points within a great-circle cap) over a
+    lon/lat table: phase 1 prunes by the cap's cell-range cover (a
+    broadcast range join on the ``res``-level s2ish cell — only cover
+    cells' rows are scanned past it, the cell-index analogue of
+    partition pruning), phase 2 applies the exact predicate
+    dot(dir(p), dir(center)) >= cos(radius). Since the cover is a
+    proven superset, the result equals the brute-force filter
+    regardless of cover tightness. -> input rows within the cap."""
+    spark = df.sparkSession
+    cover = s2ish_cap_cover(lon0, lat0, radius_rad, res)
+    rng = spark.createDataFrame(cover, "lo BIGINT, hi BIGINT")
+    rad = math.pi / 180.0
+    c = (math.cos(lat0 * rad) * math.cos(lon0 * rad),
+         math.cos(lat0 * rad) * math.sin(lon0 * rad),
+         math.sin(lat0 * rad))
+    d = with_s2ish_cells(df, res, out="_cell")
+    pruned = d.join(F.broadcast(rng),
+                    (F.col("_cell") >= F.col("lo"))
+                    & (F.col("_cell") <= F.col("hi"))) \
+              .drop("lo", "hi", "_cell")
+    dot = (F.cos(F.col("lat") * rad) * F.cos(F.col("lon") * rad)
+           * F.lit(c[0])
+           + F.cos(F.col("lat") * rad) * F.sin(F.col("lon") * rad)
+           * F.lit(c[1])
+           + F.sin(F.col("lat") * rad) * F.lit(c[2]))
+    return pruned.where(dot >= F.lit(math.cos(radius_rad)))

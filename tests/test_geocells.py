@@ -116,3 +116,99 @@ def test_lonlat_end_to_end_pip_knn(spark, lonlat):
     in_l = (((pdf.x <= 39) & (pdf.y <= 19))
             | ((pdf.x <= 19) & (pdf.y <= 39))).sum()
     assert cnt == in_l
+
+
+# ---------------------------------------------------------------------------
+# Cap cover (RegionCoverer/polyfill analogue) + cap_filter
+# ---------------------------------------------------------------------------
+
+CAPS = [(20.0, 45.0, 0.30), (179.9, -10.0, 0.25),   # antimeridian
+        (0.0, 89.5, 0.20),                           # polar (face interior)
+        (45.0, 35.26, 0.15)]                         # near a cube corner
+
+
+def _ranges_contain(ranges, cells):
+    los = np.array([r[0] for r in ranges])
+    his = np.array([r[1] for r in ranges])
+    idx = np.searchsorted(los, cells, side="right") - 1
+    ok = idx >= 0
+    ok[ok] &= cells[ok] <= his[idx[ok]]
+    return ok
+
+
+@pytest.mark.parametrize("lon0,lat0,rad", CAPS)
+def test_cap_cover_superset_and_prunes(spark, lonlat, lon0, lat0, rad):
+    """The cover must contain EVERY point inside the cap (superset
+    guarantee — conservative triangle-inequality tests) while covering
+    far less than the sphere (it actually prunes), including across the
+    antimeridian, at a pole, and at a cube-corner seam."""
+    from spatialsketch_spark.sources.geocells import s2ish_cap_cover
+    res = 7
+    ranges = s2ish_cap_cover(lon0, lat0, rad, res)
+    # sorted, disjoint, coalesced
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert l1 <= h1 and h1 + 1 < l2
+    rows = with_s2ish_cells(lonlat.limit(20000), res) \
+        .select("lon", "lat", "cell").collect()
+    lon = np.array([r["lon"] for r in rows], dtype=np.float64)
+    lat = np.array([r["lat"] for r in rows], dtype=np.float64)
+    cell = np.array([r["cell"] for r in rows], dtype=np.int64)
+    p = np.deg2rad([lon0, lat0])
+    d = (np.cos(np.deg2rad(lat)) * np.cos(p[1]) * np.cos(np.deg2rad(lon) - p[0])
+         + np.sin(np.deg2rad(lat)) * np.sin(p[1]))
+    inside = d >= math.cos(rad)
+    assert inside.sum() > 0
+    assert _ranges_contain(ranges, cell[inside]).all()
+    covered = sum(h - l + 1 for l, h in ranges)
+    assert covered < 6 * 4 ** res * 0.25       # prunes most of the sphere
+
+
+def test_cap_cover_validation_and_full_sphere():
+    from spatialsketch_spark.sources.geocells import s2ish_cap_cover
+    with pytest.raises(ValueError, match="radius_rad"):
+        s2ish_cap_cover(0, 0, 0.0, 5)
+    with pytest.raises(ValueError, match="res"):
+        s2ish_cap_cover(0, 0, 0.1, 20)
+    full = s2ish_cap_cover(0.0, 0.0, math.pi, 4)
+    assert sum(h - l + 1 for l, h in full) == 6 * 4 ** 4
+
+
+@pytest.mark.parametrize("lon0,lat0,rad", CAPS[:2])
+def test_cap_filter_equals_bruteforce(spark, lonlat, lon0, lat0, rad):
+    """cap_filter (cover prune + exact predicate) returns EXACTLY the
+    brute-force filter's rows — the cover being a superset makes prune
+    tightness a pure efficiency property."""
+    from spatialsketch_spark.sources.geocells import cap_filter
+    df = lonlat.limit(20000)
+    got = {r["ts"] for r in
+           cap_filter(df, lon0, lat0, rad, res=7).select("ts").collect()}
+    rad_c = math.pi / 180.0
+    dot = (F.cos(F.col("lat") * rad_c) * F.cos(F.col("lon") * rad_c)
+           * F.lit(math.cos(lat0 * rad_c) * math.cos(lon0 * rad_c))
+           + F.cos(F.col("lat") * rad_c) * F.sin(F.col("lon") * rad_c)
+           * F.lit(math.cos(lat0 * rad_c) * math.sin(lon0 * rad_c))
+           + F.sin(F.col("lat") * rad_c) * F.lit(math.sin(lat0 * rad_c)))
+    want = {r["ts"] for r in
+            df.where(dot >= F.lit(math.cos(rad))).select("ts").collect()}
+    assert got == want and len(want) > 0
+
+
+def test_staged_cells_equal_scalar_and_compile(spark, lonlat):
+    """with_s2ish_cells (staged columns) is bit-identical to the scalar
+    s2ish_cell expression AND survives STRICT whole-stage codegen at
+    high res (the scalar form overflows janino's 64 KB method limit at
+    res>=7 and silently falls back to interpreted mode)."""
+    from spatialsketch_spark.sources.geocells import with_s2ish_cells
+    df = lonlat.limit(1000)
+    for res in (4, 7, 10):
+        staged = {(r["ts"], r["cell"]) for r in
+                  with_s2ish_cells(df, res).select("ts", "cell").collect()}
+        scalar = {(r["ts"], r["cell"]) for r in
+                  df.select("ts", s2ish_cell(F.col("lon"), F.col("lat"),
+                                             res).alias("cell")).collect()}
+        assert staged == scalar
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        with_s2ish_cells(df, 12).agg(F.sum("cell")).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
