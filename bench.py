@@ -204,7 +204,8 @@ def run_bench(cpus: int) -> dict:
     skip_pipe = os.environ.get("BENCH_SKIP_PIPELINE") == "1"
     pipe_trials = int(os.environ.get("BENCH_PIPE_TRIALS", "2"))
     for name in ([] if skip_pipe else ["doc_exact_dedup", "doc_minhash_lsh", "doc_token_stats",
-                 "emb_cosine_topk", "geo_pip_assign", "geo_knn"]):
+                 "emb_cosine_topk", "emb_ivf_topk", "geo_pip_assign",
+                 "geo_knn", "geo_cap_filter"]):
         fn = GATE_QUERIES[name][0]
         best = None
         for _ in range(pipe_trials):   # best-of: the host's proactive

@@ -195,6 +195,49 @@ def oracle_snapshot_travel() -> str:
     return _region_agg_sql(ranges, agg)
 
 
+# spherical kNN fixture: equatorial, antimeridian, polar, mid-lat
+# queries. Min adjacent-dot gap in each top-6 ranking measured at
+# 3.1e-8 (sf0.01) / 1.3e-5 (sf0.001) — orders above cross-engine libm
+# ulp drift, so the integer (qid, rank, ts) rows cannot flip.
+CAP_KNN_QUERIES = [(0, 20.0, 45.0), (1, 179.95, -10.0), (2, 0.0, 89.9),
+                   (3, -135.0, 0.0)]
+
+
+def q_cap_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical kNN over the s2ish cell index (expanding cap covers
+    with the provable cover-superset stopping rule) vs the brute-force
+    DuckDB great-circle ranking."""
+    from .sources.geocells import cap_knn, derive_lonlat_events
+    ll = derive_lonlat_events(spark, sf_dir)
+    return cap_knn(ll, CAP_KNN_QUERIES, k=5, res=7) \
+        .select("qid", "rank", "ts").orderBy("qid", "rank")
+
+
+def oracle_cap_knn() -> str:
+    from .sources.geocells import lonlat_sql
+    qv = ",".join(f"({q},{lo},{la})" for q, lo, la in CAP_KNN_QUERIES)
+    return f"""
+WITH ll AS ({lonlat_sql()}),
+qp(qid, qlon, qlat) AS (VALUES {qv}),
+d AS (
+  SELECT qp.qid AS qid, ll.ts AS ts,
+         cos(radians(ll.lat)) * cos(radians(qp.qlat))
+         * cos(radians(ll.lon) - radians(qp.qlon))
+         + sin(radians(ll.lat)) * sin(radians(qp.qlat)) AS dot
+  FROM ll CROSS JOIN qp
+),
+r AS (
+  SELECT qid, ts,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, ts)
+           AS rank
+  FROM d
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+       CAST(ts AS BIGINT) AS ts
+FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
 def q_rect_item_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: COUNT(*) WHERE region AND item = v (Postgres.cpp:406)."""
     eng = _engine(spark, sf_dir)
@@ -672,6 +715,7 @@ GATE_QUERIES = {
     "geo_lonlat_quantize": (q_lonlat_quantize, oracle_lonlat_quantize),
     "geo_snapshot_travel": (q_snapshot_travel, oracle_snapshot_travel),
     "geo_cap_filter": (q_cap_filter, oracle_cap_filter),
+    "geo_cap_knn": (q_cap_knn, oracle_cap_knn),
 }
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402

@@ -40,7 +40,8 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import (Column, DataFrame, SparkSession, Window,
+                         functions as F)
 
 # lon/lat synthesis resolution: 2^20 distinct values per axis — exact
 # doubles (k / 2^20 has <= 20 significand bits; * 360 adds <= 9).
@@ -70,11 +71,23 @@ def lonlat_sql() -> str:
 
 
 def derive_lonlat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic lon/lat stream, CACHED. The cache is a required
+    optimizer barrier, not just a speedup: consumers chain trig
+    expressions (s2ish cells, cap predicates) over lon/lat, and
+    filter-pushdown SUBSTITUTES the synthetic decimal derivation into
+    every trig reference — the resulting single expression overflows
+    janino's 64 KB generated-method limit and drops the stage to
+    interpreted mode. Against the InMemoryRelation the columns are
+    opaque attributes (the shape a real user's materialized lon/lat
+    table has) and every cap/cell plan stays inside whole-stage
+    codegen (strict-codegen test in tests/test_geocells.py). Repeated
+    calls are safe: Spark's CacheManager matches the canonicalized
+    plan and reuses the existing entry."""
     from ..geo.events import register_events_view
     register_events_view(spark, sf_dir)
     df = spark.sql(lonlat_sql())
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(p)
+    return df.repartition(p).cache()
 
 
 def quantize_lon(lon: Column, n: int) -> Column:
@@ -322,6 +335,108 @@ def s2ish_cap_cover(lon0: float, lat0: float, radius_rad: float,
         else:
             out.append((lo, hi))
     return out
+
+
+def cap_knn(df: DataFrame, query_points: list[tuple[int, float, float]],
+            k: int = 5, res: int = 7,
+            initial_radius: float = 0.02) -> DataFrame:
+    """Spherical kNN over the same s2ish tiling: for each
+    (qid, lon, lat) the k nearest rows of ``df`` (columns ts/lon/lat)
+    by great-circle angle, ties broken by ts — the spherical analogue
+    of the planar tile-ring ``knn_join`` (geo/joins.py), with the cap
+    cover as the ring. Per round, each unresolved query's candidates
+    are the rows inside its radius-r cap COVER (a broadcast range join
+    on the cell index — bounded by covered-cell population, never
+    |df| × |queries|). Provable stopping: the cover is a superset of
+    the cap, so any row NOT among the candidates has angle > r
+    (dot < cos r strictly); a qid is exact once it has >= k candidates
+    and its k-th best dot >= cos(r) — an outside row can neither beat
+    nor tie it. Unresolved qids double the radius; at r >= pi the cover
+    is the whole sphere (brute-force-equivalence fallback). Ranking
+    orders by dot DESC (monotone in angle, no acos in the hot path);
+    only unresolved qid flags ever reach the driver.
+    -> (qid, rank, ts, dist) with dist = great-circle angle (rad)."""
+    spark = df.sparkSession
+    qids = [q for q, _, _ in query_points]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate qid in query_points")
+    rad = math.pi / 180.0
+    ev = with_s2ish_cells(df, res, out="_cell") \
+        .withColumn("_dx", F.cos(F.col("lat") * rad)
+                    * F.cos(F.col("lon") * rad)) \
+        .withColumn("_dy", F.cos(F.col("lat") * rad)
+                    * F.sin(F.col("lon") * rad)) \
+        .withColumn("_dz", F.sin(F.col("lat") * rad)).cache()
+    pending = [(int(q), float(lo), float(la))
+               for q, lo, la in query_points]
+    r = max(1e-6, float(initial_radius))
+    rounds: list[DataFrame] = []
+    cached: list[DataFrame] = [ev]
+    try:
+        while pending:
+            rng_rows = []
+            for qid, lo, la in pending:
+                c = (math.cos(la * rad) * math.cos(lo * rad),
+                     math.cos(la * rad) * math.sin(lo * rad),
+                     math.sin(la * rad))
+                for a, b in s2ish_cap_cover(lo, la, min(r, math.pi),
+                                            res):
+                    rng_rows.append((qid, a, b, c[0], c[1], c[2]))
+            rng = spark.createDataFrame(
+                rng_rows, "qid BIGINT, lo BIGINT, hi BIGINT, "
+                          "cx DOUBLE, cy DOUBLE, cz DOUBLE")
+            # disjoint ranges per qid -> each row matches at most once
+            cand = ev.join(F.broadcast(rng),
+                           (F.col("_cell") >= F.col("lo"))
+                           & (F.col("_cell") <= F.col("hi")))
+            d = cand.select(
+                "qid", "ts",
+                (F.col("_dx") * F.col("cx") + F.col("_dy") * F.col("cy")
+                 + F.col("_dz") * F.col("cz")).alias("dot"))
+            w = Window.partitionBy("qid").orderBy(F.desc("dot"), "ts")
+            topk = (d.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= k)).cache()
+            cached.append(topk)
+            stats = topk.groupBy("qid").agg(
+                F.count("*").alias("cnt"), F.min("dot").alias("kdot"))
+            qdf = spark.createDataFrame([(q,) for q, _, _ in pending],
+                                        "qid BIGINT")
+            exact_c = ((F.col("cnt") >= k)
+                       & (F.col("kdot") >= F.lit(math.cos(min(r, math.pi)))))
+            total_c = F.lit(r >= math.pi)   # cover == whole sphere
+            qstat = qdf.join(F.broadcast(stats), "qid", "left") \
+                .withColumn("_done",
+                            F.coalesce(exact_c, F.lit(False)) | total_c)
+            unresolved = {int(u["qid"]) for u in
+                          qstat.where(~F.col("_done")).select("qid")
+                          .collect()}
+            if unresolved:
+                resolved = qstat.where("_done").select("qid")
+                rounds.append(topk.join(F.broadcast(resolved), "qid"))
+            else:
+                rounds.append(topk)
+            pending = [p for p in pending if p[0] in unresolved]
+            r *= 2
+        if not rounds:
+            return spark.createDataFrame(
+                [], "qid BIGINT, rank BIGINT, ts BIGINT, dist DOUBLE")
+        out = rounds[0]
+        for x in rounds[1:]:
+            out = out.unionByName(x)
+        # localCheckpoint BEFORE the finally unpersists the round
+        # caches: the result is tiny (k rows per query) and pinning it
+        # (a) keeps downstream actions from re-running the whole loop
+        # and (b) keeps the recompute from re-inlining the cell
+        # arithmetic past the dropped caches (codegen method-size
+        # blowup; see derive_lonlat_events)
+        return out.select(
+            F.col("qid").cast("bigint"), F.col("rank").cast("bigint"),
+            F.col("ts").cast("bigint"),
+            F.acos(F.least(F.greatest(F.col("dot"), F.lit(-1.0)),
+                           F.lit(1.0))).alias("dist")).localCheckpoint()
+    finally:
+        for c in cached:
+            c.unpersist()
 
 
 def cap_filter(df: DataFrame, lon0: float, lat0: float,

@@ -212,3 +212,64 @@ def test_staged_cells_equal_scalar_and_compile(spark, lonlat):
         with_s2ish_cells(df, 12).agg(F.sum("cell")).collect()
     finally:
         spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+def test_cap_knn_equals_bruteforce(spark, lonlat):
+    """Spherical kNN (expanding cap covers, provable stopping) returns
+    exactly the brute-force great-circle top-k — including queries at a
+    pole, near the antimeridian, and with a tiny initial radius that
+    forces several doubling rounds per query."""
+    from spatialsketch_spark.sources.geocells import cap_knn
+    df = lonlat.limit(5000).cache()
+    rows = df.select("ts", "lon", "lat").collect()
+    lon = np.array([r["lon"] for r in rows], dtype=np.float64)
+    lat = np.array([r["lat"] for r in rows], dtype=np.float64)
+    ts = np.array([r["ts"] for r in rows], dtype=np.int64)
+    qs = [(0, 20.0, 45.0), (1, 179.95, -10.0), (2, 0.0, 89.9),
+          (3, -135.0, 0.0)]
+    k = 5
+    got = cap_knn(df, qs, k=k, res=7, initial_radius=0.005).collect()
+    lonr, latr = np.deg2rad(lon), np.deg2rad(lat)
+    for qid, qlon, qlat in qs:
+        p = np.deg2rad([qlon, qlat])
+        dot = (np.cos(latr) * np.cos(p[1]) * np.cos(lonr - p[0])
+               + np.sin(latr) * np.sin(p[1]))
+        order = sorted(zip(-dot, ts))[:k]
+        want = [int(t) for _, t in order]
+        mine = [int(r["ts"]) for r in
+                sorted((r for r in got if r["qid"] == qid),
+                       key=lambda r: r["rank"])]
+        assert mine == want, (qid, mine, want)
+        # reported angle is consistent with the winning dot products
+        for r in (r for r in got if r["qid"] == qid):
+            i = int(np.where(ts == r["ts"])[0][0])
+            assert abs(math.cos(r["dist"]) - dot[i]) < 1e-9
+
+
+def test_cap_knn_edge_cases(spark, lonlat):
+    from spatialsketch_spark.sources.geocells import cap_knn
+    with pytest.raises(ValueError, match="duplicate qid"):
+        cap_knn(lonlat, [(0, 0.0, 0.0), (0, 1.0, 1.0)])
+    empty = lonlat.where(F.lit(False))
+    got = cap_knn(empty, [(0, 0.0, 0.0)], k=3)
+    assert got.count() == 0
+    # k larger than the table: every row returned, ranked
+    small = lonlat.limit(3)
+    got = cap_knn(small, [(7, 10.0, 10.0)], k=5).collect()
+    assert sorted(r["rank"] for r in got) == [1, 2, 3]
+
+
+def test_cap_ops_strict_codegen(spark):
+    """cap_filter and cap_knn must run under STRICT whole-stage codegen
+    (no interpreted fallback) over the fixture stream — guards both the
+    staged-cell form and the derive_lonlat_events cache barrier that
+    stops filter-pushdown from substituting the synthetic lon/lat
+    derivation into every trig reference."""
+    from spatialsketch_spark.sources.geocells import cap_filter, cap_knn
+    ll = derive_lonlat_events(spark, SF_UNIT)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert cap_filter(ll, 20.0, 45.0, 0.3, res=7).count() > 0
+        assert cap_knn(ll, [(0, 20.0, 45.0)], k=3, res=7).count() == 3
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
