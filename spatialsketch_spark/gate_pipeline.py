@@ -250,8 +250,43 @@ FROM geo GROUP BY 1 ORDER BY w_start
 """
 
 
+def q_session_rollup(spark, sf_dir):
+    return temporal.session_rollup(_geo_ev(spark, sf_dir), gap=173) \
+        .orderBy("item", "s_start")
+
+
+def oracle_session_rollup():
+    """Gaps-and-islands mirror of Spark's session_window semantics:
+    a session breaks only when the gap to the previous event EXCEEDS
+    the session gap (exactly-gap merges — inclusive boundary, pinned
+    by tests/test_temporal.py); s_end = last ts + gap."""
+    from .gate import _geo_cte
+    return f"""
+WITH geo AS ({_geo_cte()}),
+marked AS (
+  SELECT item, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY item ORDER BY ts)
+                   <= 173 THEN 0 ELSE 1 END AS brk
+  FROM geo
+),
+islands AS (
+  SELECT item, ts, value,
+         SUM(brk) OVER (PARTITION BY item ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT CAST(item AS BIGINT) AS item,
+       CAST(MIN(ts) AS BIGINT) AS s_start,
+       CAST(MAX(ts) + 173 AS BIGINT) AS s_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value) AS BIGINT) AS val_sum
+FROM islands GROUP BY item, sid ORDER BY item, s_start
+"""
+
+
 PIPELINE_GATE = {
     "tmp_asof_join": (q_asof_join, oracle_asof_join),
+    "tmp_session_rollup": (q_session_rollup, oracle_session_rollup),
     "tmp_asof_join_bucketed": (q_asof_join_bucketed, oracle_asof_join),
     "tmp_range_join": (q_range_join, oracle_range_join),
     "tmp_range_join_bucketed": (q_range_join_bucketed, oracle_range_join),

@@ -162,3 +162,32 @@ def time_rollup(events: DataFrame, width: int, ts: str = "ts",
             .groupBy("w_start").agg(F.sum("value").alias("cnt"))
             .select(F.col("w_start").cast("bigint"),
                     F.col("cnt").cast("bigint")))
+
+
+def session_rollup(events: DataFrame, gap: int, ts: str = "ts",
+                   keys: tuple = ("item",)) -> DataFrame:
+    """Session windows on an integer timeline via Spark's NATIVE
+    ``session_window`` (batch + streaming — the built-in operator, not
+    a hand-rolled gaps-and-islands): per key, an event opens the
+    interval [t, t+gap]; touching-or-overlapping intervals merge into
+    one session, so a session BREAKS exactly when the gap between
+    consecutive events EXCEEDS ``gap`` (a gap of exactly ``gap``
+    merges — Spark's inclusive boundary, pinned by a handcrafted
+    boundary test). Outputs
+    integer bounds: s_start = first event ts, s_end = last event ts +
+    gap (the session_window.end). Scale note: the shuffle is on
+    (keys, merged sessions) — same skew posture as the non-bucketed
+    as-of join; a single key's timeline lands in one partition.
+    -> (keys..., s_start, s_end, n_events, val_sum)."""
+    et = F.timestamp_seconds(F.col(ts))
+    agg = (events.groupBy(*keys, F.session_window(et, f"{gap} seconds"))
+           .agg(F.count("*").alias("n_events"),
+                F.sum("value").alias("val_sum")))
+    return agg.select(
+        *[F.col(k).cast("bigint") for k in keys],
+        F.unix_timestamp(F.col("session_window.start")).cast("bigint")
+        .alias("s_start"),
+        F.unix_timestamp(F.col("session_window.end")).cast("bigint")
+        .alias("s_end"),
+        F.col("n_events").cast("bigint"),
+        F.col("val_sum").cast("bigint"))

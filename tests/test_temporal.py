@@ -143,3 +143,24 @@ def test_asof_bucketed_null_right_values(spark):
         got = sorted((r["id"], r["rts"]) for r in
                      asof_join_bucketed(left, right, width).collect())
         assert got == want, (width, got, want)
+
+
+def test_session_rollup_boundary_semantics(spark):
+    """Spark session_window has an INCLUSIVE gap boundary: a gap of
+    exactly `gap` seconds still MERGES (only a strictly larger gap
+    breaks); s_end = last event ts + gap. Handcrafted fixture pinning
+    merge, exact-boundary merge, break, and a singleton session —
+    the oracle SQL's `<=` break condition mirrors this exactly."""
+    from spatialsketch_spark.pipeline.temporal import session_rollup
+    rows = [(t, 1, 0, 0, v) for t, v in
+            [(0, 2), (100, 3), (273, 1), (447, 5), (1000, 7)]] \
+        + [(50, 2, 0, 0, 1)]
+    df = spark.createDataFrame(
+        rows, "ts BIGINT, item BIGINT, x BIGINT, y BIGINT, value BIGINT")
+    got = sorted(tuple(r) for r in session_rollup(df, gap=173).collect())
+    assert got == [
+        (1, 0, 446, 3, 6),        # 0,100 merge; 273 merges (gap == 173)
+        (1, 447, 620, 1, 5),      # 447 breaks (gap 174 > 173)
+        (1, 1000, 1173, 1, 7),    # singleton
+        (2, 50, 223, 1, 1),
+    ]
