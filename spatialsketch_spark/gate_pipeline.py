@@ -322,6 +322,8 @@ PIPELINE_GATE = {
     "rel_window_topk": (q_rel_window,
                         lambda: relational.oracle_top_orders_per_customer(2)),
     "rel_rollup": (q_rel_rollup, relational.oracle_lineitem_rollup),
+    "rel_cube": (lambda s, d: relational.lineitem_cube(s, d),
+                 relational.oracle_lineitem_cube),
     "rel_semi_anti": (lambda s, d: relational.customers_semi_anti(s, d),
                       relational.oracle_customers_semi_anti),
     "rel_running_window": (

@@ -182,3 +182,30 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rf,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY rf, ls
 """
+
+
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — completes the grouping-sets family next to
+    rollup: every subset of (returnflag, linestatus), including the
+    cross-margins rollup cannot produce."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("l_quantity").cast("bigint"))
+                 .alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    F.col("n_rows").cast("bigint"),
+                    F.col("sum_qty").cast("bigint"))
+            .orderBy("rf", "ls"))
+
+
+def oracle_lineitem_cube() -> str:
+    return """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY rf, ls
+"""

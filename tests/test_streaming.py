@@ -194,3 +194,43 @@ def test_stateful_cell_counts_across_batches(spark, tmp_path):
     t1 = last[(last.tx == 1) & (last.ty == 0)].iloc[0]
     assert (t0.n_events, t0.val_sum, t0.max_ts) == (10, 15, 104)
     assert (t1.n_events, t1.val_sum, t1.max_ts) == (5, 10, 9)
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_rollup's operator (native session_window) also runs
+    under Structured Streaming: with a watermark, a session is emitted
+    exactly once, when the watermark passes its close (append mode) —
+    and matches the batch session_rollup over the same prefix."""
+    from spatialsketch_spark.pipeline.temporal import session_rollup
+    src = str(tmp_path / "sess_src")
+    rows1 = ([(t, 1, 0, 0, 1) for t in (0, 5, 8, 40, 44)]      # 2 sessions
+             + [(t, 2, 0, 0, 2) for t in (10, 12)]
+             + [(900, 9, 0, 0, 1)])    # advances watermark far past them
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    ev = stream.withColumn("et", F.timestamp_seconds("ts")) \
+               .withWatermark("et", "10 seconds")
+    agg = (ev.groupBy("item", F.session_window("et", "10 seconds"))
+           .agg(F.count("*").alias("n_events"),
+                F.sum("value").alias("val_sum"))
+           .select(F.col("item").cast("bigint"),
+                   F.unix_timestamp("session_window.start").cast("bigint")
+                   .alias("s_start"),
+                   F.unix_timestamp("session_window.end").cast("bigint")
+                   .alias("s_end"),
+                   F.col("n_events").cast("bigint"),
+                   F.col("val_sum").cast("bigint")))
+    q = (agg.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess_ck"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql(
+        "select * from sess").collect())
+    batch = spark.createDataFrame(
+        [r for r in rows1 if r[0] < 800], EVENT_SCHEMA)
+    want = sorted(tuple(r) for r in
+                  session_rollup(batch, gap=10).collect())
+    assert got == want and len(got) == 3
