@@ -111,6 +111,14 @@ def q_ivf_topk(spark, sf_dir):
                                n_centroids=8).orderBy("qid", "rank")
 
 
+def q_media_decode(spark, sf_dir):
+    # REAL decode: genuine PPM/WAV blobs parsed by the pure-numpy
+    # decoders; every decoded statistic recomputed by DuckDB from the
+    # same md5 integers
+    m = media.synth_real_media_table(_docs(spark, sf_dir))
+    return media.decode_features(m).orderBy("doc_id")
+
+
 def q_media_features(spark, sf_dir):
     m = media.synth_media_table(_docs(spark, sf_dir))
     return media.extract_features(m).orderBy("doc_id")
@@ -315,6 +323,7 @@ PIPELINE_GATE = {
     "emb_ivf_topk": (q_ivf_topk,
                      lambda: similarity.oracle_cosine_topk(EMB_QUERY_IDS, 5)),
     "media_features": (q_media_features, media.oracle_media_features),
+    "media_decode": (q_media_decode, media.oracle_decode_features),
     "media_resize": (q_media_resize, media.oracle_resize_media),
     "media_frames": (q_media_frames, media.oracle_frame_sample),
     "rel_pricing_summary": (q_rel_pricing, relational.oracle_pricing_summary),

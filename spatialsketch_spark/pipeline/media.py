@@ -1,13 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container ships no image/audio codecs, so the *decode* step is a
-clearly-marked stub (``decode_media`` raises NotImplementedError unless
-``fake=True``); everything around it — binary column synthesis, schema,
-Arrow batch shape, mapInPandas feature extraction, partitioning — is the
-real Spark plumbing and is tested. The deterministic fake "decoder"
-computes byte statistics so outputs stay oracle-comparable (DuckDB can
-recompute md5-derived bytes with integer arithmetic).
+Decode comes in two tiers:
+
+- REAL decode for codec-free container formats — binary PPM (P6)
+  images and PCM WAVE audio are parsed by pure-numpy decoders
+  (``decode_ppm`` / ``decode_wav`` / format-sniffing ``decode_media``),
+  and ``synth_real_media_table`` emits genuine PPM/WAV blobs so the
+  decode → feature pipeline (``decode_features``) runs end-to-end on
+  real bytes, oracle-gated (the pixel/sample bytes derive from md5, so
+  DuckDB recomputes every decoded statistic with integer arithmetic).
+- COMPRESSED formats (jpeg/png/mp4/...) still raise a clearly-marked
+  NotImplementedError: the container ships no codecs, and pretending
+  otherwise would be dishonest. The stub now covers ONLY this tier.
+
+Everything around decode — binary column synthesis, schema, Arrow
+batch shape, mapInPandas stages, partitioning — is the real Spark
+plumbing. The legacy byte-statistics path (``fake=True``) is retained
+for the opaque-blob gates.
 """
 
 from __future__ import annotations
@@ -40,17 +50,209 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(blob: bytes, kind: str, fake: bool = False):
-    """Real decode would dispatch to PIL/libav — not available in this
-    container. The Spark-side contract (bytes in, ndarray out) is what
-    matters; tests exercise the fake path."""
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio codecs not present in "
-            "this environment; run with fake=True for the deterministic "
-            "byte-statistics stand-in")
+# ---------------------------------------------------------------------------
+# Real decoders for codec-free formats (pure numpy/stdlib)
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+
+def encode_ppm(pixels) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
     import numpy as np
-    return np.frombuffer(blob, dtype=np.uint8)
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("PPM needs 3 channels")
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(blob: bytes):
+    """Binary PPM (P6) -> (h, w, 3) uint8 ndarray. Raises ValueError on
+    malformed headers/truncated pixel data."""
+    import numpy as np
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if i < len(blob) and blob[i : i + 1] == b"#":   # comment line
+            while i < len(blob) and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        parts.append(int(blob[i:j]))
+        i = j
+    i += 1                                  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    need = w * h * 3
+    px = blob[i : i + need]
+    if len(px) != need:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples, rate: int = WAV_RATE) -> bytes:
+    """int16 samples (mono) -> canonical 44-byte-header PCM WAVE."""
+    import numpy as np
+    import struct
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(s)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2,
+                                   2, 16)
+           + b"data" + struct.pack("<I", len(s)))
+    return hdr + s
+
+
+def decode_wav(blob: bytes):
+    """PCM WAVE -> (rate, int16 ndarray). Walks RIFF chunks; raises
+    ValueError on non-PCM or malformed files."""
+    import numpy as np
+    import struct
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, rate, bits, data = 12, None, None, None
+    while i + 8 <= len(blob):
+        cid, sz = blob[i : i + 4], struct.unpack("<I", blob[i + 4 : i + 8])[0]
+        body = blob[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt, _ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH",
+                                                           body[:16])
+            if fmt != 1:
+                raise ValueError("only PCM (fmt 1) supported")
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)
+    if rate is None or data is None or bits != 16:
+        raise ValueError("missing fmt/data chunk or non-16-bit samples")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_media(blob: bytes, kind: str, fake: bool = False):
+    """Format-sniffing decode. REAL for codec-free containers: P6 PPM
+    -> (h, w, 3) uint8 pixels, PCM WAVE -> (rate, int16 samples).
+    Compressed formats raise NotImplementedError (no codecs in this
+    container — the honest remaining stub). fake=True keeps the legacy
+    byte-statistics stand-in for opaque blobs."""
+    import numpy as np
+    if fake:
+        return np.frombuffer(blob, dtype=np.uint8)
+    blob = bytes(blob)
+    if blob.startswith(b"P6"):
+        return decode_ppm(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return decode_wav(blob)
+    raise NotImplementedError(
+        "compressed media formats (jpeg/png/mp4/...) require codecs not "
+        "present in this environment; codec-free PPM/WAV decode is real "
+        "— see decode_ppm/decode_wav")
+
+
+PPM_W, PPM_H = 4, 3
+WAV_SAMPLES = 8
+DECODE_SCHEMA = ("doc_id BIGINT, kind STRING, width BIGINT, "
+                 "height BIGINT, rate BIGINT, n_units BIGINT, "
+                 "val_sum BIGINT")
+
+
+def synth_real_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media blobs: even doc_ids get a genuine 4×3
+    binary PPM (P6 header + 36 pixel bytes = md5(doc_id) tiled), odd
+    doc_ids a genuine PCM WAVE (canonical 44-byte header + 8 int16
+    samples = the md5 bytes). Pure column arithmetic — binary concat of
+    a literal header with unhex'd md5 slices — so DuckDB can recompute
+    every decoded statistic from the same md5 integers."""
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    pix = F.unhex(F.concat(md5, md5, F.substring(md5, 1, 8)))
+    ppm = F.concat(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n".encode()), pix)
+    # 44-byte canonical header sized for 16 data bytes, as a literal
+    wav_header = encode_wav([0] * WAV_SAMPLES, WAV_RATE)[:44]
+    wav = F.concat(F.lit(wav_header), F.unhex(md5))
+    kind = F.when(F.col("doc_id") % 2 == 0, F.lit("image")) \
+            .otherwise(F.lit("audio"))
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        F.concat(F.lit("media://"), F.col("doc_id")).alias("media_ref"),
+        kind.alias("kind"),
+        F.when(F.col("doc_id") % 2 == 0, ppm).otherwise(wav)
+        .alias("media"))
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """REAL decode → features, one Arrow-batched mapInPandas stage: PPM
+    images yield (width, height, n_units=pixels, val_sum=sum of all
+    channel bytes); WAV audio yields (rate, n_units=samples,
+    val_sum=sum of signed int16 samples). Unsupported kinds are the
+    caller's to filter — this stage decodes for real or raises.
+    -> (doc_id, kind, width, height, rate, n_units, val_sum)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "kind", "width", "height",
+                                    "rate", "n_units", "val_sum")}
+            for did, kind, blob in zip(pdf["doc_id"], pdf["kind"],
+                                       pdf["media"]):
+                out = decode_media(bytes(blob), kind)
+                rows["doc_id"].append(int(did))
+                rows["kind"].append(kind)
+                if isinstance(out, tuple):          # (rate, samples)
+                    rate, samples = out
+                    rows["width"].append(-1)
+                    rows["height"].append(-1)
+                    rows["rate"].append(int(rate))
+                    rows["n_units"].append(int(len(samples)))
+                    rows["val_sum"].append(int(samples.astype(np.int64)
+                                               .sum()))
+                else:                               # (h, w, 3) pixels
+                    h, w, _ = out.shape
+                    rows["width"].append(int(w))
+                    rows["height"].append(int(h))
+                    rows["rate"].append(-1)
+                    rows["n_units"].append(int(h * w))
+                    rows["val_sum"].append(int(out.astype(np.int64)
+                                               .sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, schema=DECODE_SCHEMA)
+
+
+def oracle_decode_features() -> str:
+    """DuckDB recomputation of the REAL decode outputs from the md5
+    integers: image val_sum = sum over the 36 tiled pixel bytes
+    (md5 byte i with multiplicity 3 for i<4, else 2); audio val_sum =
+    sum of 8 little-endian signed int16 built from md5 byte pairs."""
+    byte = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {i}, 2))"
+            "::BIGINT)")
+    b = [byte.format(i=2 * j + 1) for j in range(16)]
+    img_sum = " + ".join(
+        f"{3 if j < 4 else 2} * {b[j]}" for j in range(16))
+    samp = [f"({b[2 * s]} + 256 * {b[2 * s + 1]})"
+            for s in range(WAV_SAMPLES)]
+    wav_sum = " + ".join(
+        f"(CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END)"
+        for u in samp)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN {PPM_W} ELSE -1 END AS BIGINT)
+         AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN {PPM_H} ELSE -1 END AS BIGINT)
+         AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE {WAV_RATE} END AS BIGINT)
+         AS rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN {PPM_W * PPM_H}
+                 ELSE {WAV_SAMPLES} END AS BIGINT) AS n_units,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN {img_sum}
+                 ELSE {wav_sum} END AS BIGINT) AS val_sum
+FROM documents ORDER BY doc_id
+"""
 
 
 def extract_features(media: DataFrame) -> DataFrame:
