@@ -195,6 +195,41 @@ def oracle_snapshot_travel() -> str:
     return _region_agg_sql(ranges, agg)
 
 
+# spherical-polygon fixture (great-circle-arc quad). Min point-to-edge
+# arc distance over the fixture rows measured at 3.3e-4 rad (sf0.01) /
+# 2.7e-3 (sf0.001) — a sign in the crossing dets cannot flip between
+# engines.
+SPHERE_POLY = [(10.0, 10.0), (60.0, 15.0), (55.0, 55.0), (5.0, 50.0)]
+
+
+def q_polygon_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical-polygon range query: polyfill cover prune + exact
+    even-odd great-circle PIP (precomputed edge/outside-point dets,
+    pure column arithmetic) — row-for-row vs the same determinant
+    parity computed by DuckDB."""
+    from .sources.geocells import derive_lonlat_events, \
+        polygon_filter_sphere
+    ll = derive_lonlat_events(spark, sf_dir)
+    return polygon_filter_sphere(ll, SPHERE_POLY, res=6) \
+        .select(F.col("ts").cast("bigint")).orderBy("ts")
+
+
+def oracle_polygon_sphere() -> str:
+    from .sources.geocells import lonlat_sql, spherical_pip_expr
+    _cond, pip_sql = spherical_pip_expr(SPHERE_POLY)
+    return f"""
+WITH ll AS ({lonlat_sql()}),
+d AS (
+  SELECT ts,
+         cos(radians(lat)) * cos(radians(lon)) AS dx,
+         cos(radians(lat)) * sin(radians(lon)) AS dy,
+         sin(radians(lat)) AS dz
+  FROM ll
+)
+SELECT CAST(ts AS BIGINT) AS ts FROM d WHERE {pip_sql} ORDER BY ts
+"""
+
+
 # spherical kNN fixture: equatorial, antimeridian, polar, mid-lat
 # queries. Min adjacent-dot gap in each top-6 ranking measured at
 # 3.1e-8 (sf0.01) / 1.3e-5 (sf0.001) — orders above cross-engine libm
@@ -716,6 +751,7 @@ GATE_QUERIES = {
     "geo_snapshot_travel": (q_snapshot_travel, oracle_snapshot_travel),
     "geo_cap_filter": (q_cap_filter, oracle_cap_filter),
     "geo_cap_knn": (q_cap_knn, oracle_cap_knn),
+    "geo_polygon_sphere": (q_polygon_sphere, oracle_polygon_sphere),
 }
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402

@@ -337,6 +337,233 @@ def s2ish_cap_cover(lon0: float, lat0: float, radius_rad: float,
     return out
 
 
+def _unit(lon: float, lat: float):
+    import numpy as np
+    r = math.pi / 180.0
+    return np.array([math.cos(lat * r) * math.cos(lon * r),
+                     math.cos(lat * r) * math.sin(lon * r),
+                     math.sin(lat * r)])
+
+
+def _arc_dist(c, a, b):
+    """Angular distance from point ``c`` to the great-circle ARC a→b
+    (all unit vectors): distance to the great circle if the
+    perpendicular foot falls within the arc, else to the nearer
+    endpoint."""
+    import numpy as np
+    n = np.cross(a, b)
+    nn = np.linalg.norm(n)
+    if nn < 1e-15:                      # degenerate edge
+        return math.acos(max(-1.0, min(1.0, float(c @ a))))
+    n = n / nn
+    f = c - (c @ n) * n                 # foot on the great circle
+    fn = np.linalg.norm(f)
+    if fn > 1e-15:
+        f = f / fn
+        if (np.cross(a, f) @ n) >= 0 and (np.cross(f, b) @ n) >= 0:
+            return abs(math.asin(max(-1.0, min(1.0, float(c @ n)))))
+    return min(math.acos(max(-1.0, min(1.0, float(c @ a)))),
+               math.acos(max(-1.0, min(1.0, float(c @ b)))))
+
+
+def _pip_sphere_py(p, verts, q):
+    """Even-odd spherical point-in-polygon: parity of crossings of the
+    geodesic p→q (q a known-outside point) with the polygon's
+    great-circle edges. Two arcs cross iff both straddle tests hold
+    AND the orientation signs agree (s1·s4 > 0) — without the third
+    test the pair of straddles also fires when an edge crosses the
+    ANTIPODAL arc of p→q (validated exhaustively against an explicit
+    intersection-point test on 2·10^5 random arc pairs)."""
+    import numpy as np
+    crossings = 0
+    for i in range(len(verts)):
+        a, b = verts[i], verts[(i + 1) % len(verts)]
+        n_ab = np.cross(a, b)
+        s1, s2 = n_ab @ p, n_ab @ q
+        if s1 * s2 < 0:
+            qa, qb = np.cross(q, a), np.cross(q, b)
+            s3, s4 = p @ qa, p @ qb
+            if s3 * s4 < 0 and s1 * s4 > 0:
+                crossings += 1
+    return crossings % 2 == 1
+
+
+def spherical_polygon_cover(vertices: list[tuple[float, float]],
+                            res: int) -> list[tuple[int, int]]:
+    """Cell cover of a spherical polygon (great-circle-arc edges,
+    even-odd interior) — the polygon polyfill completing
+    ``s2ish_cap_cover``. Same conservative recursion: a cell is
+    provably disjoint when its center is outside AND every edge arc is
+    farther than the cell circumradius (a cell meeting the region
+    either lies fully inside — then its center is inside — or contains
+    boundary, contradicting the arc distance); fully-inside subtrees
+    (center inside, no edge within the circumradius) emit as whole
+    Morton ranges. Superset guarantee tested incl. antimeridian- and
+    pole-containing polygons. Returns sorted disjoint [lo, hi] ranges
+    at ``res``."""
+    import numpy as np
+    if len(vertices) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    if not 0 <= res <= 14:
+        raise ValueError("res must be in [0, 14]")
+    verts = [_unit(lo, la) for lo, la in vertices]
+    centroid = np.sum(verts, axis=0)
+    cn = np.linalg.norm(centroid)
+    if cn < 1e-12:
+        raise ValueError("degenerate polygon (vertices cancel); pick a "
+                         "different outside reference")
+    q = -centroid / cn                  # antipode of centroid: outside
+    ranges: list[tuple[int, int]] = []
+
+    def cell_metrics(face, r, i, j):
+        scale = 1 << r
+        u0, u1 = 2.0 * i / scale - 1.0, 2.0 * (i + 1) / scale - 1.0
+        v0, v1 = 2.0 * j / scale - 1.0, 2.0 * (j + 1) / scale - 1.0
+        um, vm = (u0 + u1) / 2.0, (v0 + v1) / 2.0
+        corners = _face_dir(face,
+                            np.array([u0, u0, u1, u1]),
+                            np.array([v0, v1, v0, v1]))
+        center = _face_dir(face, np.array([um]), np.array([vm]))[:, 0]
+        circ = float(np.max(np.arccos(
+            np.clip(corners.T @ center, -1.0, 1.0))))
+        return center, circ
+
+    def emit(face, r, i, j):
+        shift = 2 * (res - r)
+        base = (face << (2 * res)) | (_morton(i, j, r) << shift)
+        ranges.append((base, base + (1 << shift) - 1))
+
+    def walk(face, r, i, j):
+        center, circ = cell_metrics(face, r, i, j)
+        near = min(_arc_dist(center, verts[e],
+                             verts[(e + 1) % len(verts)])
+                   for e in range(len(verts))) <= circ
+        inside = _pip_sphere_py(center, verts, q)
+        if not inside and not near:
+            return                      # provably disjoint
+        if (inside and not near) or r == res:
+            emit(face, r, i, j)         # fully inside / leaf
+            return
+        for di in (0, 1):
+            for dj in (0, 1):
+                walk(face, r + 1, 2 * i + di, 2 * j + dj)
+
+    for face in range(6):
+        walk(face, 0, 0, 0)
+    ranges.sort()
+    out: list[tuple[int, int]] = []
+    for lo, hi in ranges:
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def spherical_pip_expr(vertices: list[tuple[float, float]]):
+    """Even-odd spherical point-in-polygon as PURE COLUMN ARITHMETIC
+    over staged direction columns (_dx, _dy, _dz): every edge normal
+    n_ab = a×b, outside-point dets and q×a / q×b vectors are
+    precomputed DRIVER-SIDE floats baked in as literals, so the per-row
+    work is 3 dot products + 2 sign tests per edge — JVM codegen, no
+    Python, and the identical expression is emitted for the DuckDB
+    oracle. Returns (Column condition, SQL string template) where the
+    SQL references dx/dy/dz columns."""
+    import numpy as np
+    verts = [_unit(lo, la) for lo, la in vertices]
+    centroid = np.sum(verts, axis=0)
+    q = -centroid / np.linalg.norm(centroid)
+    cols, sqls = [], []
+    for i in range(len(verts)):
+        a, b = verts[i], verts[(i + 1) % len(verts)]
+        n_ab = np.cross(a, b)
+        d_abq = float(n_ab @ q)
+        qa, qb = np.cross(q, a), np.cross(q, b)
+
+        def dot(v):
+            return (F.col("_dx") * float(v[0]) + F.col("_dy") * float(v[1])
+                    + F.col("_dz") * float(v[2]))
+
+        def dot_sql(v):
+            return (f"(dx * {float(v[0])!r} + dy * {float(v[1])!r}"
+                    f" + dz * {float(v[2])!r})")
+
+        c = ((dot(n_ab) * F.lit(d_abq) < 0)
+             & (dot(qa) * dot(qb) < 0)
+             & (dot(n_ab) * dot(qb) > 0)).cast("int")
+        cols.append(c)
+        sqls.append(f"(CASE WHEN {dot_sql(n_ab)} * {d_abq!r} < 0 AND "
+                    f"{dot_sql(qa)} * {dot_sql(qb)} < 0 AND "
+                    f"{dot_sql(n_ab)} * {dot_sql(qb)} > 0 "
+                    "THEN 1 ELSE 0 END)")
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    return (total % 2 == 1), "(" + " + ".join(sqls) + ") % 2 = 1"
+
+
+def _pip_batch_filter(vertices: list[tuple[float, float]]):
+    """Vectorized exact great-circle PIP as ONE numpy pass per Arrow
+    batch (mapInPandas passthrough filter). Chosen over the column-
+    expression form for the POST-PRUNE stage deliberately: filter
+    pushdown substitutes the direction trig into all 3 dets × edges of
+    the crossing test, and fused with the cell/Morton join stage the
+    generated method overflows janino's 64 KB limit (the same
+    expression-blowup class the LSH bucketing hit in round 1 — same
+    fix, one matmul-ish batch kernel). spherical_pip_expr remains the
+    shared truth for the DuckDB oracle and small-plan uses."""
+    import numpy as np
+    verts = [_unit(lo, la) for lo, la in vertices]
+    centroid = np.sum(verts, axis=0)
+    q = -centroid / np.linalg.norm(centroid)
+    edges = []
+    for i in range(len(verts)):
+        a, b = verts[i], verts[(i + 1) % len(verts)]
+        n_ab = np.cross(a, b)
+        edges.append((n_ab, float(n_ab @ q), np.cross(q, a),
+                      np.cross(q, b)))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = np.deg2rad(pdf["lon"].to_numpy(np.float64))
+            lat = np.deg2rad(pdf["lat"].to_numpy(np.float64))
+            P = np.stack([np.cos(lat) * np.cos(lon),
+                          np.cos(lat) * np.sin(lon),
+                          np.sin(lat)], axis=1)
+            crossings = np.zeros(len(pdf), dtype=np.int64)
+            for n_ab, d_abq, qa, qb in edges:
+                s1 = P @ n_ab
+                s4 = P @ qb
+                crossings += ((s1 * d_abq < 0) & ((P @ qa) * s4 < 0)
+                              & (s1 * s4 > 0))
+            yield pdf[crossings % 2 == 1]
+
+    return fn
+
+
+def polygon_filter_sphere(df: DataFrame,
+                          vertices: list[tuple[float, float]],
+                          res: int) -> DataFrame:
+    """Spherical-polygon range query: cover prune (broadcast range join
+    on the cell index, superset guarantee) + exact even-odd great-
+    circle PIP, vectorized per Arrow batch (see _pip_batch_filter for
+    why the exact stage is numpy, not column expressions). Output
+    equals the brute-force filter regardless of cover tightness.
+    -> input rows inside."""
+    spark = df.sparkSession
+    cover = spherical_polygon_cover(vertices, res)
+    rng = spark.createDataFrame(cover, "lo BIGINT, hi BIGINT")
+    d = with_s2ish_cells(df, res, out="_cell")
+    pruned = d.join(F.broadcast(rng),
+                    (F.col("_cell") >= F.col("lo"))
+                    & (F.col("_cell") <= F.col("hi"))) \
+              .drop("lo", "hi", "_cell")
+    return pruned.mapInPandas(_pip_batch_filter(vertices),
+                              schema=pruned.schema)
+
+
 def cap_knn(df: DataFrame, query_points: list[tuple[int, float, float]],
             k: int = 5, res: int = 7,
             initial_radius: float = 0.02) -> DataFrame:

@@ -271,5 +271,82 @@ def test_cap_ops_strict_codegen(spark):
     try:
         assert cap_filter(ll, 20.0, 45.0, 0.3, res=7).count() > 0
         assert cap_knn(ll, [(0, 20.0, 45.0)], k=3, res=7).count() == 3
+        from spatialsketch_spark.sources.geocells import (
+            polygon_filter_sphere)
+        assert polygon_filter_sphere(
+            ll, POLYS["midlat_quad"], res=6).count() > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+POLYS = {
+    "midlat_quad": [(10.0, 10.0), (60.0, 15.0), (55.0, 55.0),
+                    (5.0, 50.0)],
+    "antimeridian": [(170.0, -20.0), (-160.0, -15.0), (-165.0, 25.0),
+                     (165.0, 20.0)],
+    "polar_cap": [(0.0, 80.0), (72.0, 80.0), (144.0, 80.0),
+                  (216.0, 80.0), (288.0, 80.0)],
+    "concave": [(0.0, 0.0), (40.0, 0.0), (40.0, 40.0), (20.0, 15.0),
+                (0.0, 40.0)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(POLYS))
+def test_spherical_polygon_cover_superset(spark, lonlat, name):
+    """Polygon polyfill superset guarantee on a mid-lat quad, an
+    antimeridian-crossing quad, a pole-containing ring, and a concave
+    polygon: every point whose (python, great-circle, even-odd) PIP
+    says inside must land in a covered cell; the cover still prunes
+    most of the sphere."""
+    from spatialsketch_spark.sources.geocells import (
+        _pip_sphere_py, _unit, spherical_polygon_cover)
+    res = 6
+    verts_ll = POLYS[name]
+    ranges = spherical_polygon_cover(verts_ll, res)
+    verts = [_unit(lo, la) for lo, la in verts_ll]
+    q = -(np.sum(verts, axis=0))
+    q = q / np.linalg.norm(q)
+    rows = with_s2ish_cells(lonlat.limit(8000), res) \
+        .select("lon", "lat", "cell").collect()
+    n_inside = 0
+    for r in rows:
+        p = _unit(float(r["lon"]), float(r["lat"]))
+        if _pip_sphere_py(p, verts, q):
+            n_inside += 1
+            assert _ranges_contain(ranges,
+                                   np.array([r["cell"]])).all(), \
+                (name, r["lon"], r["lat"])
+    assert n_inside > 0, name
+    covered = sum(h - l + 1 for l, h in ranges)
+    assert covered < 6 * 4 ** res * 0.4, (name, covered)
+
+
+@pytest.mark.parametrize("name", ["midlat_quad", "antimeridian"])
+def test_polygon_filter_sphere_equals_bruteforce(spark, lonlat, name):
+    """Cover prune + exact columnar great-circle PIP == brute-force
+    columnar PIP over all rows (prune tightness is pure efficiency),
+    and the columnar expression == the python reference PIP."""
+    from spatialsketch_spark.sources.geocells import (
+        _pip_sphere_py, _unit, polygon_filter_sphere, spherical_pip_expr)
+    df = lonlat.limit(8000)
+    got = {r["ts"] for r in
+           polygon_filter_sphere(df, POLYS[name], res=6)
+           .select("ts").collect()}
+    rad = math.pi / 180.0
+    brute = (df.withColumn("_dx", F.cos(F.col("lat") * rad)
+                           * F.cos(F.col("lon") * rad))
+             .withColumn("_dy", F.cos(F.col("lat") * rad)
+                         * F.sin(F.col("lon") * rad))
+             .withColumn("_dz", F.sin(F.col("lat") * rad)))
+    cond, _ = spherical_pip_expr(POLYS[name])
+    want = {r["ts"] for r in brute.where(cond).select("ts").collect()}
+    assert got == want and len(want) > 0
+    # columnar == python reference on a sample
+    verts = [_unit(lo, la) for lo, la in POLYS[name]]
+    q = -(np.sum(verts, axis=0)); q = q / np.linalg.norm(q)
+    sample = df.limit(300).collect()
+    for r in sample:
+        p = _unit(float(r["lon"]), float(r["lat"]))
+        assert (_pip_sphere_py(p, verts, q)
+                == (int(r["ts"]) in want)) or r["ts"] not in {
+                    s["ts"] for s in sample}
