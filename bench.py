@@ -215,6 +215,14 @@ def run_bench(cpus: int) -> dict:
             best = t if best is None else min(best, t)
         timings[name] = round(best, 3)
 
+    # ---- 5. per-kind build+probe (reference Table 3 analogue) ----------
+    kinds_block = None
+    if os.environ.get("BENCH_SKIP_KINDS") != "1":
+        try:
+            kinds_block = run_kinds(spark)
+        except Exception as e:      # a kinds failure must not zero the
+            kinds_block = {"error": repr(e)}   # measured phases above
+
     total = time.time() - t_all
     spark.stop()
     return {
@@ -236,8 +244,141 @@ def run_bench(cpus: int) -> dict:
             "err_le_5pct": bool(mean_err <= 0.05),
             "accuracy_skipped": skip_acc,
             "total_wall_s": round(total, 2),
+            **({"kinds": kinds_block} if kinds_block else {}),
         },
     }
+
+
+def run_kinds(spark) -> dict:
+    """Reference Table 3 analogue (BASELINE.md rows 3-8): build a store
+    for EACH kernel kind at small scale, probe its native query class,
+    and report ingestion rows/s, probe wall, observed error, and whether
+    every probe honored the kernel's proven envelope (the same envelopes
+    the env_* gates assert). Scale via BENCH_KINDS_SF (default: the
+    sf0.01 sibling of SPARK_GRAFT_SF_DIR — small on purpose: this phase
+    measures PER-KERNEL cost shape, not cluster throughput)."""
+    from pyspark.sql import functions as F
+    from spatialsketch_spark.config import SketchConfig
+    from spatialsketch_spark.gate import MIN_LEVEL, N
+    from spatialsketch_spark.gate_envelope import (
+        BF_PROBES, CM_PROBES, ECM_PROBES, FM_PROBES, _truth)
+    from spatialsketch_spark.geo.build import SketchStore
+    from spatialsketch_spark.geo.events import ITEM_DOMAIN, derive_geo_events
+    from spatialsketch_spark.geo.query import QuerySpec, SpatialSketchEngine
+
+    sf_dir = os.environ.get(
+        "BENCH_KINDS_SF",
+        os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01"))
+    ev = derive_geo_events(spark, sf_dir, N).cache()
+    n_rows = ev.count()
+    mass = n_rows  # unit weights: stream mass == row count
+    dcm_probes = [(r, a, b) for (r, a, b) in
+                  [((0, 0, 2047, 2047), 10, 20),
+                   ((1024, 512, 3071, 1535), 0, 255),
+                   ((2048, 2048, 4095, 4095), 100, 101)]]
+
+    def specs(kind):
+        if kind in ("cm", "elastic"):
+            return [QuerySpec(i, [r], "freq", item=it)
+                    for i, (r, it, _) in enumerate(CM_PROBES)]
+        if kind == "fm":
+            return [QuerySpec(i, [r], "distinct")
+                    for i, (r, _, _) in enumerate(FM_PROBES)]
+        if kind == "bf":
+            return [QuerySpec(i, [r], "member", item=it)
+                    for i, (r, it, _) in enumerate(BF_PROBES)]
+        if kind == "ecm":
+            return [QuerySpec(i, [r], "window", item=it, t0=t0)
+                    for i, (r, it, t0) in enumerate(ECM_PROBES)]
+        return [QuerySpec(i, [r], "range_freq", item=a, item_end=b)
+                for i, (r, a, b) in enumerate(dcm_probes)]
+
+    def truth_for(kind):
+        if kind in ("cm", "elastic"):
+            return _truth(spark, sf_dir, CM_PROBES)
+        if kind == "fm":
+            return _truth(spark, sf_dir, FM_PROBES, distinct=True)
+        if kind == "bf":
+            # membership truth: any event with the probe item in region
+            t = _truth(spark, sf_dir, BF_PROBES)
+            return t.select("qid", (F.col("truth") > 0).cast("bigint")
+                            .alias("truth"))
+        return _truth(spark, sf_dir, ECM_PROBES, t0_col=True)
+
+    def dcm_truth():
+        rows = [(i, *r, a, b) for i, (r, a, b) in enumerate(dcm_probes)]
+        rects = spark.createDataFrame(
+            rows, "qid BIGINT, x1 BIGINT, y1 BIGINT, x2 BIGINT, "
+                  "y2 BIGINT, a BIGINT, b BIGINT")
+        cond = (F.col("x").between(F.col("x1"), F.col("x2"))
+                & F.col("y").between(F.col("y1"), F.col("y2"))
+                & F.col("item").between(F.col("a"), F.col("b")))
+        t = (ev.join(F.broadcast(rects), cond)
+             .groupBy("qid").agg(F.sum("value").alias("truth")))
+        qids = spark.createDataFrame([(q,) for q in range(len(dcm_probes))],
+                                     "qid BIGINT")
+        return qids.join(t, "qid", "left").select(
+            "qid", F.coalesce("truth", F.lit(0)).alias("truth"))
+
+    out = {"sf_dir": sf_dir, "rows": n_rows}
+    for kind in ("cm", "elastic", "bf", "fm", "ecm", "dcm"):
+        if kind == "dcm":
+            cfg = SketchConfig(n=N, eps=0.1, delta=0.05,
+                               item_domain=ITEM_DOMAIN, dcm_exact_levels=9)
+        else:
+            cfg = SketchConfig.realistic(n=N, eps=0.1, delta=0.05,
+                                         item_domain=ITEM_DOMAIN)
+        t0 = time.time()
+        st = SketchStore.build(spark, ev, cfg, kind, MIN_LEVEL)
+        st.df = st.df.cache()
+        st.df.count()
+        t_build = time.time() - t0
+        eng = SpatialSketchEngine(st)
+        qs = specs(kind)
+        eng.query(qs[:1]).collect()                       # warm plan
+        t0 = time.time()
+        est = {r["qid"]: r["est"] for r in eng.query(qs).collect()}
+        t_query = time.time() - t0
+        truth_df = dcm_truth() if kind == "dcm" else truth_for(kind)
+        truth = {r["qid"]: r["truth"] for r in truth_df.collect()}
+        l1 = {}
+        if kind == "ecm":
+            # region window mass: the ECM envelope's collision term is
+            # eps*L1 (same two-term bound as gate_envelope's ECM gate)
+            probes = [(r, -1, t0) for (r, _, t0) in ECM_PROBES]
+            l1 = {r["qid"]: r["truth"] for r in
+                  _truth(spark, sf_dir, probes, t0_col=True).collect()}
+        errs, oks = [], []
+        for q in qs:
+            e, t = est[q.qid], truth[q.qid]
+            if kind in ("cm", "elastic", "dcm"):
+                # CM-family: never underestimate; overshoot <= eps·mass
+                # per dyadic term (dcm ranges decompose into <= 2·log2
+                # (domain) CM intervals -> proportionally wider margin)
+                terms = 1 if kind != "dcm" else 16
+                errs.append(abs(e - t) / max(mass, 1))
+                oks.append(e >= t and e <= t + 0.05 * mass * terms + 1)
+            elif kind == "fm":
+                errs.append(abs(e - t) / max(t, 1))
+                oks.append(t / 4 <= e <= 4 * t if t > 0 else e <= 4)
+            elif kind == "bf":
+                errs.append(float(e != t))
+                oks.append(e >= t)                 # no false negatives
+            else:                                   # ecm: EH half-bucket
+                # (±0.5·truth) + CM collision overshoot (eps·region L1)
+                errs.append(abs(e - t) / max(l1[q.qid], 1))
+                oks.append(2 * e >= t - 6
+                           and e <= 1.5 * t + 0.1 * l1[q.qid] + 3)
+        out[kind] = {
+            "build_s": round(t_build, 3),
+            "build_rows_per_s": round(n_rows / t_build, 1),
+            "probe_s": round(t_query, 3),
+            "mean_err": round(sum(errs) / len(errs), 6),
+            "in_envelope": bool(all(oks)),
+        }
+        st.df.unpersist()
+    ev.unpersist()
+    return out
 
 
 def _prev_round_timings() -> tuple[str, dict] | None:
@@ -292,6 +433,8 @@ def main():
         env.setdefault("BENCH_PLACEMENTS", "1600")
         env.setdefault("BENCH_SKIP_ACCURACY", "1")
         env.setdefault("BENCH_SKIP_PIPELINE", "1")
+        env.setdefault("BENCH_SKIP_KINDS", "1")   # scaling measures the
+        # three throughput phases only; the per-kind block is fixed-cost
         env.setdefault("BENCH_BUILD_TRIALS", "2")
         env.setdefault("BENCH_PIP_FACTOR", "8")
         env.setdefault("BENCH_QUERY_TRIALS", "2")

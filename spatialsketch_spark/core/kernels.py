@@ -441,9 +441,17 @@ class ECMKernel(BaseKernel):
         bisect.insort(self._unit_keys, m)
         return t
 
-    def _eh_from_sorted_unit(self, ts_arr) -> list:
-        """EH for a ts-ascending unit-weight substream — identical to
-        folding _eh_insert over it (asserted exhaustively in tests)."""
+    def _eh_from_sorted_const(self, ts_arr, v: float = 1.0) -> list:
+        """EH for a ts-ascending CONSTANT-weight substream — identical
+        to folding _eh_insert over it (asserted exhaustively in tests).
+
+        Works for any constant weight v, not just 1 (VERDICT r3 task 7):
+        the cascade recurrence depends only on size CLASSES, and with
+        every arrival weighing v the classes are exactly v·2^c — the
+        same per-class counts as the unit stream of the same length.
+        The sizes the sequential fold computes are sums of equal IEEE
+        doubles (v+v, 2v+2v, …), each exact (exponent increment), so
+        the materialized sizes v·2^c are bit-identical to the fold's."""
         m = len(ts_arr)
         counts = self._unit_counts(m)
         eh = []
@@ -451,7 +459,7 @@ class ECMKernel(BaseKernel):
         for cls, cnt in enumerate(counts):
             s = 1 << cls
             for _ in range(cnt):
-                eh.append([float(s), int(ts_arr[e - s]),
+                eh.append([float(s) * v, int(ts_arr[e - s]),
                            int(ts_arr[e - 1])])
                 e -= s
         return eh
@@ -488,8 +496,12 @@ class ECMKernel(BaseKernel):
             # cells — exactly where the per-event loop explodes). Cold
             # cells with a handful of events keep the trivial loop.
             if (4 * self.d * self.w <= m_total <= self._UNIT_FOLD_MAX
-                    and bool(np.all(va == 1))):
-                # unit-weight fold: one slice per (row, slot) substream
+                    and m_total > 0 and bool(np.all(va == va[0]))
+                    and float(va[0]) > 0):
+                # constant-weight fold: one slice per (row, slot)
+                # substream (covers the common value=1 streams AND any
+                # uniform-weight stream, SpatialSketch.h:99 Update(value))
+                v0 = float(va[0])
                 ehs = []
                 for r in range(self.d):
                     row = [[] for _ in range(self.w)]
@@ -499,8 +511,8 @@ class ECMKernel(BaseKernel):
                     slots, starts = np.unique(ss, return_index=True)
                     b2 = np.append(starts, m_total)
                     for ui in range(len(slots)):
-                        row[int(slots[ui])] = self._eh_from_sorted_unit(
-                            ts2[b2[ui]:b2[ui + 1]])
+                        row[int(slots[ui])] = self._eh_from_sorted_const(
+                            ts2[b2[ui]:b2[ui + 1]], v0)
                     ehs.append(row)
                 states.append(ehs)
                 continue

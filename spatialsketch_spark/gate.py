@@ -758,3 +758,43 @@ from .gate_pipeline import PIPELINE_GATE  # noqa: E402
 GATE_QUERIES.update(PIPELINE_GATE)
 from .gate_envelope import ENVELOPE_GATE  # noqa: E402
 GATE_QUERIES.update(ENVELOPE_GATE)
+
+
+def _staleness_order(gates: dict) -> dict:
+    """Rotate the gate registry so the driver's fixed-size CORRECTNESS
+    window (it records the first 50 ``queries()`` entries in dict order)
+    always covers the gates whose driver verification is oldest.
+
+    The driver writes ``CORRECTNESS_r{NN}.json`` into the repo root each
+    round; we scan those at import time and sort gates ascending by the
+    most recent round in which each had a green driver row (never-verified
+    sorts first, ties broken by name for determinism).  With G gates and a
+    window of 50, every gate gets a fresh driver row at least every
+    ``ceil(G/50) + 1`` rounds, with no per-round manual reordering.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_round: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last_round[name] = max(last_round.get(name, -1), rnd)
+    order = sorted(gates, key=lambda n: (last_round.get(n, -1), n))
+    return {name: gates[name] for name in order}
+
+
+GATE_QUERIES = _staleness_order(GATE_QUERIES)

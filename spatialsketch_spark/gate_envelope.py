@@ -6,9 +6,18 @@ contract: each entry builds a realistic-parameter store (CM / FM / BF /
 ECM), answers the reference's query classes, computes the exact truth
 from the raw events in Spark (the aggregation the exact gates prove
 equal to DuckDB), and emits ok = (estimate inside the kernel's proven
-envelope). The oracle emits literal 1s — hash-equal iff every estimate
-honors its guarantee. Hash coefficients are seed-fixed, so these gates
-are deterministic, not flaky.
+envelope). Two verification tiers (VERDICT r3 task 4):
+
+- CM and BF: the oracle REBUILDS the probed sketch state in DuckDB —
+  the seeded hash family ((a·x + b) mod p) mod w is plain integer
+  arithmetic, so the counter mins / bit tests are recomputed in SQL
+  and the ESTIMATE ITSELF is compared bit-for-bit, alongside ok.
+- FM / ECM / elastic: the oracle emits literal 1s (self-asserted
+  envelope) — their estimators fold floats or order-dependent state
+  that SQL cannot reproduce faithfully.
+
+Hash coefficients are seed-fixed, so these gates are deterministic,
+not flaky.
 
 Envelopes asserted (reference Tech Report Table 3 classes):
 - CM frequency: never underestimates; overshoot <= 5% of stream mass
@@ -104,6 +113,13 @@ CM_PROBES = [(RECTS[0], 3, -1), (RECTS[1], 17, -1),
 
 
 def q_env_freq_cm(spark, sf_dir) -> DataFrame:
+    """Realistic-CM frequency probes — emits (qid, est, ok). Unlike the
+    other envelope gates, the oracle is NOT literal 1s: DuckDB rebuilds
+    every probed counter from first principles — the seeded hash family
+    ((a_r·item + b_r) mod p) mod w is deterministic integer arithmetic,
+    so the per-cover-cell Σ min_r counter estimate is recomputed in SQL
+    and compared bit-for-bit (VERDICT r3 task 4; reference hash family
+    CountMin.cpp:48-71)."""
     st = _store(spark, sf_dir, "cm")
     eng = SpatialSketchEngine(st)
     qs = [QuerySpec(i, [r], "freq", item=it)
@@ -113,9 +129,80 @@ def q_env_freq_cm(spark, sf_dir) -> DataFrame:
     # stream mass from the build manifest (same events) — no extra scan
     n_stream = st.manifest["input_fingerprint"]["n_events"]
     margin = int(0.05 * n_stream) + 1
-    return _ok(est, truth,
-               (F.col("est") >= F.col("truth"))
-               & (F.col("est") <= F.col("truth") + margin))
+    return (est.join(truth, "qid")
+            .select("qid", F.col("est").cast("bigint").alias("est"),
+                    ((F.col("est") >= F.col("truth"))
+                     & (F.col("est") <= F.col("truth") + margin))
+                    .cast("bigint").alias("ok"))
+            .orderBy("qid"))
+
+
+def _realistic_cfg() -> SketchConfig:
+    return SketchConfig.realistic(n=N, eps=0.1, delta=0.05,
+                                  item_domain=ITEM_DOMAIN)
+
+
+def oracle_env_freq_cm() -> str:
+    """Full CM recomputation in DuckDB: per (probe, cover cell, hash
+    row) counter = Σ value over events in the cell whose item collides
+    with the probe item under that row's hash; est = Σ_cells min_r;
+    ok = the same never-underestimate + 5%-mass envelope the Spark side
+    asserts. Cover cells are the engine's own dyadic cover (embedded as
+    VALUES — all coverage-1 on these aligned probes)."""
+    from .core.dyadic import cover_2d
+    from .core.kernels import CMKernel
+    from .geo.events import geo_events_sql
+    cfg = _realistic_cfg()
+    k = CMKernel(cfg.cm_width, cfg.cm_depth, cfg.seed)
+    log_n = cfg.levels - 1
+    cover, probes = [], []
+    for qid, (rect, item, _) in enumerate(CM_PROBES):
+        x1, y1, x2, y2 = rect
+        probes.append(f"({qid},{item})")
+        for ci, (kx, ky, cx, cy, cov) in enumerate(
+                cover_2d(x1, y1, x2, y2, log_n, MIN_LEVEL, MIN_LEVEL)):
+            assert cov == 1.0, "envelope probes must be block-aligned"
+            cover.append(f"({qid},{ci},{cx << kx},{((cx + 1) << kx) - 1},"
+                         f"{cy << ky},{((cy + 1) << ky) - 1})")
+    hrows = ",".join(f"({r},{int(a)}::BIGINT,{int(b)}::BIGINT)"
+                     for r, (a, b) in enumerate(k.coeffs))
+    p, w = 2147483647, k.w
+    return f"""
+WITH geo AS ({geo_events_sql(N)}),
+cover(qid, cid, cx1, cx2, cy1, cy2) AS (VALUES {",".join(cover)}),
+probes(qid, qitem) AS (VALUES {",".join(probes)}),
+hash(r, a, b) AS (VALUES {hrows}),
+counters AS (
+  SELECT cv.qid, cv.cid, h.r, COALESCE(SUM(e.value), 0) AS cnt
+  FROM cover cv
+  JOIN probes pr ON pr.qid = cv.qid
+  CROSS JOIN hash h
+  LEFT JOIN geo e
+    ON e.x BETWEEN cv.cx1 AND cv.cx2
+   AND e.y BETWEEN cv.cy1 AND cv.cy2
+   AND ((h.a * e.item + h.b) % {p}) % {w}
+       = ((h.a * pr.qitem + h.b) % {p}) % {w}
+  GROUP BY cv.qid, cv.cid, h.r),
+cell_est AS (
+  SELECT qid, cid, MIN(cnt) AS est FROM counters GROUP BY qid, cid),
+est AS (
+  SELECT qid, CAST(SUM(est) AS BIGINT) AS est FROM cell_est GROUP BY qid),
+truth AS (
+  SELECT pr.qid, COALESCE(SUM(e.value), 0) AS t
+  FROM probes pr
+  JOIN cover cv ON cv.qid = pr.qid
+  LEFT JOIN geo e
+    ON e.x BETWEEN cv.cx1 AND cv.cx2 AND e.y BETWEEN cv.cy1 AND cv.cy2
+   AND e.item = pr.qitem
+  GROUP BY pr.qid),
+mass AS (SELECT COUNT(*) AS n FROM geo)
+SELECT CAST(e.qid AS BIGINT) AS qid, CAST(e.est AS BIGINT) AS est,
+       CAST(CASE WHEN e.est >= t.t
+                  AND e.est <= t.t + CAST(FLOOR(0.05 * m.n) AS BIGINT) + 1
+             THEN 1 ELSE 0 END AS BIGINT) AS ok
+FROM est e JOIN truth t ON t.qid = e.qid CROSS JOIN mass m
+ORDER BY qid
+"""
 
 
 # --- FM count-distinct -----------------------------------------------------
@@ -142,6 +229,12 @@ BF_PROBES = [(RECTS[0], 3, -1), (RECTS[0], 254, -1),
 
 
 def q_env_member_bf(spark, sf_dir) -> DataFrame:
+    """BF membership probes — emits (qid, est, ok); the oracle
+    recomputes the merged filter's bit tests in DuckDB from the seeded
+    hash formulas (VERDICT r3 task 4). The cover cells OR-merge to
+    exactly the region's events, so the recomputation needs no cover:
+    bit b is set iff SOME event in the region hashes to b under SOME
+    row (reference BloomFilter.cpp:80-125)."""
     st = _store(spark, sf_dir, "bf")
     eng = SpatialSketchEngine(st)
     qs = [QuerySpec(i, [r], "member", item=it)
@@ -149,9 +242,63 @@ def q_env_member_bf(spark, sf_dir) -> DataFrame:
     est = eng.query(qs)
     truth = _truth(spark, sf_dir, BF_PROBES) \
         .select("qid", (F.col("truth") > 0).cast("bigint").alias("truth"))
-    return _ok(est, truth,
-               (F.col("est") >= F.col("truth"))
-               & (F.col("est") <= 1))
+    return (est.join(truth, "qid")
+            .select("qid", F.col("est").cast("bigint").alias("est"),
+                    ((F.col("est") >= F.col("truth"))
+                     & (F.col("est") <= 1)).cast("bigint").alias("ok"))
+            .orderBy("qid"))
+
+
+def oracle_env_member_bf() -> str:
+    """DuckDB recomputation of the Bloom query: est = 1 iff every probe
+    bit h_r(q_item) is set, where the set bits are those of every event
+    in the probe region under every hash row (bit positions are shared
+    across rows — exactly the filter's semantics after the engine's
+    cover-cell OR-merge). ok = no-false-negative vs the exact truth."""
+    from .core.kernels import BFKernel
+    from .geo.events import geo_events_sql
+    cfg = _realistic_cfg()
+    k = BFKernel(expected_n=min(cfg.item_domain, 1 << 20),
+                 delta=cfg.delta, seed=cfg.seed)
+    probes = ",".join(
+        f"({qid},{r[0]},{r[1]},{r[2]},{r[3]},{item})"
+        for qid, (r, item, _) in enumerate(BF_PROBES))
+    hrows = ",".join(f"({r},{int(a)}::BIGINT,{int(b)}::BIGINT)"
+                     for r, (a, b) in enumerate(k.coeffs))
+    p, m = 2147483647, k.m
+    return f"""
+WITH geo AS ({geo_events_sql(N)}),
+probes(qid, x1, y1, x2, y2, qitem) AS (VALUES {probes}),
+hash(r, a, b) AS (VALUES {hrows}),
+qbits AS (
+  SELECT pr.qid, ((h.a * pr.qitem + h.b) % {p}) % {m} AS bit
+  FROM probes pr CROSS JOIN hash h),
+setbits AS (
+  SELECT DISTINCT pr.qid, ((h.a * e.item + h.b) % {p}) % {m} AS bit
+  FROM probes pr
+  JOIN geo e ON e.x BETWEEN pr.x1 AND pr.x2
+            AND e.y BETWEEN pr.y1 AND pr.y2
+  CROSS JOIN hash h),
+est AS (
+  SELECT q.qid,
+         MIN(CASE WHEN s.bit IS NOT NULL THEN 1 ELSE 0 END) AS est
+  FROM qbits q
+  LEFT JOIN setbits s ON s.qid = q.qid AND s.bit = q.bit
+  GROUP BY q.qid),
+truth AS (
+  SELECT pr.qid,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM geo e
+           WHERE e.x BETWEEN pr.x1 AND pr.x2
+             AND e.y BETWEEN pr.y1 AND pr.y2
+             AND e.item = pr.qitem) THEN 1 ELSE 0 END AS t
+  FROM probes pr)
+SELECT CAST(e.qid AS BIGINT) AS qid, CAST(e.est AS BIGINT) AS est,
+       CAST(CASE WHEN e.est >= t.t AND e.est <= 1
+             THEN 1 ELSE 0 END AS BIGINT) AS ok
+FROM est e JOIN truth t ON t.qid = e.qid
+ORDER BY qid
+"""
 
 
 # --- ECM sliding window ----------------------------------------------------
@@ -219,11 +366,14 @@ def q_env_freq_elastic(spark, sf_dir) -> DataFrame:
 
 
 ENVELOPE_GATE = {
-    "env_freq_cm": (q_env_freq_cm, lambda: _ones_oracle(len(CM_PROBES))),
+    # CM and BF carry FULL DuckDB recomputation oracles (hash family
+    # rebuilt in SQL, est compared bit-for-bit); FM/ECM/elastic keep
+    # the self-asserted envelope form (their estimators fold floats /
+    # order-dependent state not reproducible in SQL)
+    "env_freq_cm": (q_env_freq_cm, oracle_env_freq_cm),
     "env_distinct_fm": (q_env_distinct_fm,
                         lambda: _ones_oracle(len(FM_PROBES))),
-    "env_member_bf": (q_env_member_bf,
-                      lambda: _ones_oracle(len(BF_PROBES))),
+    "env_member_bf": (q_env_member_bf, oracle_env_member_bf),
     "env_window_ecm": (q_env_window_ecm,
                        lambda: _ones_oracle(len(ECM_PROBES))),
     "env_freq_elastic": (q_env_freq_elastic,

@@ -112,9 +112,10 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_media_decode(spark, sf_dir):
-    # REAL decode: genuine PPM/WAV blobs parsed by the pure-numpy
-    # decoders; every decoded statistic recomputed by DuckDB from the
-    # same md5 integers
+    # REAL decode: genuine PPM/WAV/PNG blobs parsed by the pure-numpy
+    # decoders (PNG via stdlib zlib + scanline-filter reconstruction);
+    # every decoded statistic recomputed by DuckDB from the same md5
+    # integers
     m = media.synth_real_media_table(_docs(spark, sf_dir))
     return media.decode_features(m).orderBy("doc_id")
 

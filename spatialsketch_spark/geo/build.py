@@ -403,6 +403,16 @@ class SketchStore:
         def _mm(f, a, b):
             vals = [v for v in (a, b) if v is not None]
             return f(vals) if vals else None
+        for f in (fa, fb):
+            if "sum_hash" not in f:
+                # pre-sum_hash manifests carried xor_hash, which is not
+                # union-combinable (XOR cancels duplicate rows) — fail
+                # with the remedy instead of a bare KeyError (ADVICE r3)
+                raise ValueError(
+                    "manifest predates sum_hash fingerprints (found "
+                    f"keys {sorted(f)}); incremental merge needs a "
+                    "multiplicity-sensitive fingerprint — rebuild the "
+                    "snapshot (SketchStore.build) before merge_events")
         return {
             "n_events": fa["n_events"] + fb["n_events"],
             "min_ts": _mm(min, fa["min_ts"], fb["min_ts"]),

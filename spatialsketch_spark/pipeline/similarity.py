@@ -136,6 +136,21 @@ def _semantic_key(df: DataFrame):
         return None         # id(df) could alias a recycled address
 
 
+def _session_key(df: DataFrame):
+    """Stable identity of the owning session for cache keys.
+
+    ``id(session)`` of a stopped, garbage-collected session can be
+    recycled by a new session object (ADVICE r3), which would serve the
+    new session a cached DataFrame bound to a dead one.  The
+    applicationId embeds the context start timestamp, so it is never
+    reused across restarts; if it is unreachable (Connect), return None
+    so the caller skips sharing entirely."""
+    try:
+        return df.sparkSession.sparkContext.applicationId
+    except Exception:
+        return None
+
+
 def clear_lsh_cache() -> None:
     """Drop every cached bucketed relation. Call after re-writing an
     embeddings source IN PLACE: the cache is keyed by the analyzed plan
@@ -156,10 +171,13 @@ def _bucketed_quantized(emb: DataFrame, n_tables: int, planes_per_table: int,
     Cached (see _BT_CACHE above; clear_lsh_cache after in-place source
     rewrites)."""
     sk = _semantic_key(emb)
-    # id(session) in the key: semantic hashes can collide across
+    # session identity in the key: semantic hashes can collide across
     # sessions (same parquet path), and a cached DF bound to a stopped
     # session must never be served to a new one
-    key = (id(emb.sparkSession), sk, n_tables, planes_per_table, seed)
+    ak = _session_key(emb)
+    key = (ak, sk, n_tables, planes_per_table, seed)
+    if sk is None or ak is None:
+        sk = None           # unkeyable: per-call cache only
     if sk is not None:
         hit = _BT_CACHE.pop(key, None)
         if hit is not None:
@@ -380,7 +398,7 @@ def clear_ivf_cache() -> None:
     """Counterpart of clear_lsh_cache for the IVF index — call after
     rewriting an embeddings source in place."""
     while _IVF_CACHE:
-        _, (_, _, df) = _IVF_CACHE.popitem()
+        _, (_, _, df, _) = _IVF_CACHE.popitem()
         try:
             df.unpersist()
         except Exception:
@@ -396,8 +414,10 @@ def _ivf_index(emb: DataFrame, n_centroids: int, n_iters: int,
     n_centroids doubles). Same keyed LRU discipline as the LSH bucketed
     relation."""
     sk = _semantic_key(emb)
-    key = (id(emb.sparkSession), sk, "ivf", n_centroids, n_iters, seed,
-           train_fraction)
+    ak = _session_key(emb)
+    key = (ak, sk, "ivf", n_centroids, n_iters, seed, train_fraction)
+    if sk is None or ak is None:
+        sk = None           # unkeyable: per-call cache only
     if sk is not None and key in _IVF_CACHE:
         hit = _IVF_CACHE.pop(key)
         _IVF_CACHE[key] = hit
@@ -424,15 +444,18 @@ def _ivf_index(emb: DataFrame, n_centroids: int, n_iters: int,
                     "spark.sql.shuffle.partitions")), "cid")
                 .cache())
     radii = np.zeros(len(C))
-    for r in assigned.groupBy("cid").agg(
-            F.max("ang").alias("r")).collect():
+    stats = assigned.groupBy("cid").agg(
+        F.max("ang").alias("r"), F.min("n2").alias("mn2")).collect()
+    min_n2 = min((int(r["mn2"]) for r in stats), default=0)
+    for r in stats:
         radii[int(r["cid"])] = float(r["r"])
-    out = (C, radii, assigned)
+    eps = _ivf_eps(C.shape[1], min_n2)
+    out = (C, radii, assigned, eps)
     if sk is None:
         return out
     _IVF_CACHE[key] = out
     while len(_IVF_CACHE) > _IVF_CACHE_MAX:
-        _, _, evicted = _IVF_CACHE.pop(next(iter(_IVF_CACHE)))
+        _, _, evicted, _ = _IVF_CACHE.pop(next(iter(_IVF_CACHE)))
         try:
             evicted.unpersist()
         except Exception:
@@ -440,10 +463,24 @@ def _ivf_index(emb: DataFrame, n_centroids: int, n_iters: int,
     return out
 
 
-# quantized cosine vs float64 cosine can differ by ~dim/(2·QUANT·|v|)
-# ≈ 1e-5 on the unit-ish fixtures; the prune filter keeps this much
-# slack so the float-space bound can never cut a quantized-space tie
-_IVF_EPS = 1e-4
+def _ivf_eps(dim: int, min_n2: int) -> float:
+    """Slack for the adaptive prune: the float-space bound must never
+    cut a quantized-space tie (ADVICE r3: the old fixed 1e-4 silently
+    assumed unit-ish norms).
+
+    qv = round(QUANT·v) perturbs each component by ≤ 0.5, so the
+    relative vector error is ≤ 0.5·√dim / m with m = min quantized norm
+    (√min_n2 ≈ QUANT·min‖v‖), and the cosine of any pair drifts by at
+    most ~2·(ε_q + ε_x) ≤ 2·√dim/m between quantized and float space.
+    We keep a 2× safety factor → eps = 4·√dim/m.  Degenerate inputs
+    (near-zero norms, m < 10·√dim) disable pruning entirely (eps = 2
+    ⇒ every list probed): the adaptive mode degrades to exhaustive,
+    never to wrong."""
+    rt = float(np.sqrt(dim))
+    m = float(np.sqrt(min_n2))
+    if m < 10.0 * rt:
+        return 2.0
+    return max(4.0 * rt / m, 1e-9)
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
@@ -471,8 +508,8 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     (a vector lives in ONE list — no dropDuplicates, unlike
     multi-table LSH). Exact quantized-cosine re-rank, byte-identical
     to ``cosine_topk``. -> (qid, rank, vec_id)."""
-    C, radii, assigned = _ivf_index(emb, n_centroids, n_iters, seed,
-                                    train_fraction)
+    C, radii, assigned, eps = _ivf_index(emb, n_centroids, n_iters, seed,
+                                         train_fraction)
     adaptive = nprobe is None
     np_ = n_centroids if adaptive else min(nprobe, n_centroids)
 
@@ -530,7 +567,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         qrows = (qrows.join(F.broadcast(tau), "qid", "left")
                  .where((F.col("bound")
                          >= F.coalesce(F.col("tau"), F.lit(-1.0))
-                         - F.lit(_IVF_EPS))
+                         - F.lit(eps))
                         | (F.col("pcid") == F.col("qcid"))))
         qside = qrows.join(
             assigned.select(F.col("vec_id").alias("qid"),

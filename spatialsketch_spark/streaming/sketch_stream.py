@@ -201,6 +201,19 @@ class StreamingSketch:
                 "build_mode": "streaming_compact",
             },
         }
+        # optimistic concurrency (mirrors merge_events, ADVICE r3): a
+        # compact racing a merge_events / second compact on this path
+        # would compute the same seq and overwrite sketch_s<seq> +
+        # manifest_s<seq>; re-read the manifest right before committing
+        # and reject if another commit advanced it since compact began
+        disk = self._current_manifest()
+        if int(disk.get("snapshot_seq", -1)) != int(
+                man.get("snapshot_seq", -1)):
+            raise ValueError(
+                f"concurrent snapshot commit detected at {self.path}: "
+                f"on-disk seq {disk.get('snapshot_seq')} != seq "
+                f"{man.get('snapshot_seq')} this compact started from "
+                "— re-run compact() against the new snapshot")
         SketchStore._commit_manifest(self.path, manifest)
         return SketchStore(self.spark, out, self.cfg, self.kind,
                            self.min_level, manifest, self.path)

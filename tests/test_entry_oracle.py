@@ -62,3 +62,29 @@ def test_all_queries_match_oracle(spark, duck, gate):
         except AssertionError as e:
             failures.append(f"{name}: value mismatch:\n{e}")
     assert not failures, "\n".join(failures)
+
+
+def test_gate_registry_staleness_rotation():
+    """The registry is ordered by driver-verification staleness so the
+    driver's 50-entry CORRECTNESS window rotates over all gates
+    (VERDICT r3 item 1): never-verified names sort first, and the
+    ordering is a permutation of the full registry (deterministic)."""
+    import glob
+    import json
+    import os
+    import re
+    from spatialsketch_spark.gate import GATE_QUERIES, _staleness_order
+
+    assert _staleness_order(dict(GATE_QUERIES)) == GATE_QUERIES  # stable
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name in json.load(open(path)):
+            last[name] = max(last.get(name, -1), rnd)
+    names = list(GATE_QUERIES)
+    stamps = [last.get(n, -1) for n in names]
+    assert stamps == sorted(stamps)          # ascending staleness order
+    # never-driver-verified gates (if any) lead the window
+    if -1 in stamps:
+        assert stamps[0] == -1

@@ -533,3 +533,13 @@ def test_merge_events_concurrent_commit_rejected(spark, events, tmp_path):
     assert s2.manifest["data_dir"] == "sketch_s2"
     assert (s2.manifest["input_fingerprint"]
             == SketchStore.fingerprint_events(events))
+
+
+def test_combine_fingerprints_legacy_manifest_rejected():
+    """A pre-sum_hash manifest (xor_hash era) is not union-combinable —
+    merge must fail with the rebuild remedy, not a bare KeyError."""
+    new = {"n_events": 5, "min_ts": 1, "max_ts": 9, "sum_hash": 123}
+    old = {"n_events": 2, "min_ts": 0, "max_ts": 4, "xor_hash": 77}
+    for a, b in ((old, new), (new, old)):
+        with pytest.raises(ValueError, match="predates sum_hash"):
+            SketchStore._combine_fingerprints(a, b)

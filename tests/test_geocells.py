@@ -350,3 +350,22 @@ def test_polygon_filter_sphere_equals_bruteforce(spark, lonlat, name):
         assert (_pip_sphere_py(p, verts, q)
                 == (int(r["ts"]) in want)) or r["ts"] not in {
                     s["ts"] for s in sample}
+
+
+def test_geocells_cache_released(spark):
+    """clear_geocells_cache must actually unpersist the pinned lon/lat
+    InMemoryRelation (VERDICT r3 item 4) and repeated derive calls must
+    reuse one registry entry, not stack new ones."""
+    from spatialsketch_spark.sources import geocells as gc
+    ll1 = gc.derive_lonlat_events(spark, SF_UNIT)
+    ll2 = gc.derive_lonlat_events(spark, SF_UNIT)
+    assert ll1 is ll2                      # registry hit, no new cache
+    ll1.count()
+    assert ll1.storageLevel.useMemory
+    gc.clear_geocells_cache()
+    assert not gc._LL_CACHE
+    assert not ll1.storageLevel.useMemory  # released, not just forgotten
+    # restore: later tests in this module rely on the cached relation
+    # as their codegen barrier (CacheManager matches by canonicalized
+    # plan, so the re-derived entry serves the old DataFrame objects)
+    gc.derive_lonlat_events(spark, SF_UNIT)

@@ -146,9 +146,10 @@ def test_ivf_adaptive_prunes_clustered(spark):
                       similarity.ivf_topk(df, qids, k=5,
                                           n_centroids=4).collect())
     assert adaptive == exact
-    C, radii, assigned = similarity._ivf_index(
+    C, radii, assigned, eps = similarity._ivf_index(
         df, 4, 4, similarity.IVF_SEED)
     assert radii.max() < 0.2                   # tight lists
+    assert 0 < eps < 1e-3                      # derived, unit-ish norms
     rows_by_id = dict(rows)
     by_cid = {}
     for r in assigned.collect():
@@ -390,21 +391,78 @@ def test_ppm_wav_roundtrip_and_sniffing():
 
 
 def test_synth_real_media_decodes(spark, docs):
-    """The synthesized blobs are REAL files: every image decodes as a
-    4x3 PPM whose pixels are the tiled md5 bytes, every audio as an
-    8-sample WAV of the md5 int16s."""
+    """The synthesized blobs are REAL files: doc_id%3=0 decodes as a
+    4x3 PPM whose pixels are the tiled md5 bytes, %3=1 as an 8-sample
+    WAV of the md5 int16s, %3=2 as a genuine zlib-deflated PNG of the
+    same tiled pixels."""
     import hashlib
     import numpy as np
-    m = media.synth_real_media_table(docs.limit(20))
+    m = media.synth_real_media_table(docs.limit(21))
+    blobs = {int(r["doc_id"]): bytes(r["media"]) for r in m.collect()}
     rows = media.decode_features(m).collect()
-    assert len(rows) == 20
+    assert len(rows) == 21
+    seen_png = 0
     for r in rows:
         h = hashlib.md5(str(r["doc_id"]).encode()).digest()
         if r["kind"] == "image":
             tiled = (h + h + h[:4])
             assert (r["width"], r["height"], r["rate"]) == (4, 3, -1)
             assert r["val_sum"] == sum(tiled)
+            if r["doc_id"] % 3 == 2:       # PNG branch: genuine file
+                blob = blobs[r["doc_id"]]
+                assert blob[:8] == media.PNG_SIG
+                assert np.array_equal(
+                    media.decode_png(blob).reshape(-1),
+                    np.frombuffer(tiled, dtype=np.uint8))
+                seen_png += 1
         else:
             s = np.frombuffer(h, dtype="<i2").astype(int)
             assert (r["width"], r["rate"]) == (-1, media.WAV_RATE)
             assert r["n_units"] == 8 and r["val_sum"] == s.sum()
+    assert seen_png >= 6
+
+
+def test_png_roundtrip_all_filters_and_shapes():
+    """decode_png reconstructs every scanline filter (None/Sub/Up/
+    Average/Paeth) exactly — each encode filter type is that path's
+    inverse — across gray/RGB/RGBA shapes."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    shapes = [(5, 7), (3, 4, 3), (2, 6, 4)]
+    for shape in shapes:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            blob = media.encode_png(px, filter_type=ft)
+            got = media.decode_png(blob)
+            assert np.array_equal(got, px), (shape, ft)
+
+
+def test_png_malformed_inputs():
+    import numpy as np
+    import pytest as _pytest
+    good = media.encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        media.decode_png(b"\x89PNX" + good[4:])
+    with _pytest.raises(ValueError):
+        media.decode_png(good[:8])              # no chunks at all
+    with _pytest.raises(ValueError, match="corrupt IDAT|truncated"):
+        media.decode_png(good[:-20])            # cut into the IDAT body
+    # interlaced / 16-bit flagged headers are refused, not mis-decoded
+    bad = bytearray(good)
+    bad[8 + 8 + 8] = 16                         # IHDR bit depth byte
+    with _pytest.raises(ValueError, match="only 8-bit"):
+        media.decode_png(bytes(bad))
+
+
+def test_ivf_eps_derivation():
+    """eps scales with quantization error (√dim / min quantized norm)
+    and disables pruning outright for degenerate near-zero norms —
+    adaptive mode must degrade to exhaustive, never to wrong."""
+    eps = similarity._ivf_eps(16, (10 ** 6) ** 2)   # unit norm, QUANT=1e6
+    assert 1e-9 < eps < 1e-3
+    # bound must cover the worst-case cosine drift with margin
+    assert eps >= 2 * (16 ** 0.5) / 10 ** 6
+    # smaller norms -> more slack; zero/tiny norms -> probe everything
+    assert similarity._ivf_eps(16, (10 ** 3) ** 2) > eps
+    assert similarity._ivf_eps(16, 0) == 2.0
+    assert similarity._ivf_eps(256, 150 ** 2) == 2.0   # m < 10·√dim

@@ -11,11 +11,15 @@ from spatialsketch_spark.core.kernels import ECMKernel
 
 
 @settings(max_examples=60, deadline=None)
-@given(k=st.integers(1, 12), width=st.integers(1, 6), data=st.data())
-def test_ecm_unit_fold_equals_insert_fold_property(k, width, data):
+@given(k=st.integers(1, 12), width=st.integers(1, 6),
+       weight=st.sampled_from([1, 2, 3, 7, 25]), data=st.data())
+def test_ecm_const_fold_equals_insert_fold_property(k, width, weight, data):
     # the fold engages only at m >= 4 * depth * width — draw n above
-    # that so every example actually exercises _eh_from_sorted_unit
-    # (shorter streams are covered by the unit test's small-n cases)
+    # that so every example actually exercises _eh_from_sorted_const
+    # (shorter streams are covered by the unit test's small-n cases).
+    # weight ranges over constant values, not just 1: the closed form
+    # must be bit-identical to the sequential fold for ANY uniform
+    # weight (VERDICT r3 task 7)
     n = data.draw(st.integers(8 * width, 400))
     seed = data.draw(st.integers(0, 2 ** 16))
     kern_fast = ECMKernel(width=width, depth=2, k=k, seed=7)
@@ -25,12 +29,12 @@ def test_ecm_unit_fold_equals_insert_fold_property(k, width, data):
     # duplicate timestamps allowed — arrival order must still agree
     ts = np.sort(rng.integers(0, max(2, n // 2), n)).astype(np.int64)
     cells = np.zeros(n, dtype=np.int64)
-    ones = np.ones(n, dtype=np.int64)
-    _, fast = kern_fast.build_grouped(cells, items, ones, ts)
+    vals = np.full(n, weight, dtype=np.int64)
+    _, fast = kern_fast.build_grouped(cells, items, vals, ts)
     cap = ECMKernel._UNIT_FOLD_MAX
     ECMKernel._UNIT_FOLD_MAX = 0
     try:
-        _, slow = kern_slow.build_grouped(cells, items, ones, ts)
+        _, slow = kern_slow.build_grouped(cells, items, vals, ts)
     finally:
         ECMKernel._UNIT_FOLD_MAX = cap
     assert fast[0] == slow[0]

@@ -234,3 +234,33 @@ def test_streaming_session_windows(spark, tmp_path):
     want = sorted(tuple(r) for r in
                   session_rollup(batch, gap=10).collect())
     assert got == want and len(got) == 3
+
+
+def test_compact_concurrent_commit_rejected(spark, tmp_path, monkeypatch):
+    """A compact racing another commit on the same path must not
+    clobber the winner's sketch_s<seq>/manifest_s<seq>: compact
+    re-reads the manifest immediately before committing and rejects if
+    the seq advanced after it started (mirrors merge_events)."""
+    ev = derive_geo_events(spark, SF_UNIT, N).cache()
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    p = str(tmp_path / "sk")
+    ss = StreamingSketch(spark, cfg, "exact", 0, p)
+    ss._process_batch(ev.filter(F.col("ts") < 500), 0)
+    st0 = ss.compact()                       # snapshot seq 0
+
+    # simulate a commit landing mid-compact: the racer's merge_events
+    # advances the on-disk seq after compact() has read the manifest
+    ss._process_batch(ev.filter(F.col("ts") >= 500), 1)
+    orig = StreamingSketch._accumulated_state
+
+    def racing(self):
+        out = orig(self)
+        st0.merge_events(ev.limit(10))       # concurrent commit -> seq 1
+        return out
+
+    monkeypatch.setattr(StreamingSketch, "_accumulated_state", racing)
+    with pytest.raises(ValueError, match="concurrent snapshot commit"):
+        ss.compact()
+    monkeypatch.undo()
+    st2 = ss.compact()                       # fresh attempt succeeds
+    assert st2.manifest["snapshot_seq"] == 2
