@@ -402,6 +402,24 @@ class SpatialSketchEngine:
     # bucketed sketch cache instead
     BROADCAST_COVER_ROWS = 3_000_000
 
+    # scan-side task sizing for the broadcast-probe path: the store is
+    # cached/written with the BUILD's parallelism (one partition per
+    # shuffle slot), but a probe batch touches O(queries · log²N) cells
+    # — scanning a sandbox-scale store with 32 near-empty tasks pays
+    # pure scheduling + Arrow-worker overhead (~25% of the 600-query
+    # batch floor, measured). Bound the scan to ~32k cells/task via
+    # coalesce, which NEVER increases partitioning: at 100 TB the store
+    # has far more cells per partition than this and the coalesce is a
+    # no-op, while a laptop-scale store drops to a handful of tasks.
+    CELLS_PER_SCAN_TASK = 32_768
+
+    def _scan_tasks(self):
+        cells = (self.store.manifest or {}).get(
+            "metrics", {}).get("sketch_cells")
+        if not cells:
+            return None
+        return max(1, -(-int(cells) // self.CELLS_PER_SCAN_TASK))
+
     def _matched(self, queries: list[QuerySpec]):
         cover = self._cover_df(queries)
         n_rects = sum(len(q.ranges) for q in queries)
@@ -425,6 +443,9 @@ class SpatialSketchEngine:
             # per-qkind consumer branches, so ReuseExchange materializes
             # the cover ONCE per batch.
             pruned = self.store.df.where(F.col("grid_key").isin(needed))
+            nt = self._scan_tasks()
+            if nt is not None:
+                pruned = pruned.coalesce(nt)
             return pruned.join(F.broadcast(cover), ["grid_key", "cell"])
         # cover too large to broadcast -> shuffle join against the
         # BUCKETED sketch cache: its (grid_key, cell) hash partitioning
@@ -529,5 +550,9 @@ class SpatialSketchEngine:
         res = parts[0]
         for p in parts[1:]:
             res = res.unionByName(p)
-        return (all_qids.join(res, "qid", "left")
+        # the aggregated result is <= |queries| rows — broadcast it so
+        # the missing-qid fill join never plans an SMJ (two exchanges +
+        # sorts for a few hundred rows; AQE usually rescues this at
+        # runtime, but the hint makes it the planned shape)
+        return (all_qids.join(F.broadcast(res), "qid", "left")
                 .select("qid", F.coalesce("est", F.lit(0)).alias("est")))
