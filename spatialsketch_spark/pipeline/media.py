@@ -4,14 +4,16 @@ columns with typed metadata.
 Decode comes in two tiers:
 
 - REAL decode for formats stdlib can carry — binary PPM (P6) images
-  and PCM WAVE audio by pure-numpy parsers, and PNG by stdlib ``zlib``
-  inflate + numpy scanline-filter reconstruction (``decode_ppm`` /
-  ``decode_wav`` / ``decode_png`` / format-sniffing ``decode_media``).
-  ``synth_real_media_table`` emits genuine PPM/WAV/PNG blobs so the
+  and PCM WAVE audio by pure-numpy parsers, PNG by stdlib ``zlib``
+  inflate + numpy scanline-filter reconstruction, and GIF by a
+  pure-python LZW inflate (variable-width codes, KwKwK, deferred clear,
+  interlace) + palette mapping (``decode_ppm`` / ``decode_wav`` /
+  ``decode_png`` / ``decode_gif`` / format-sniffing ``decode_media``).
+  ``synth_real_media_table`` emits genuine PPM/WAV/PNG/GIF blobs so the
   decode → feature pipeline (``decode_features``) runs end-to-end on
   real bytes, oracle-gated (the pixel/sample bytes derive from md5, so
   DuckDB recomputes every decoded statistic with integer arithmetic).
-- CODEC formats (jpeg/gif/mp4/...) still raise a clearly-marked
+- CODEC formats (jpeg/mp4/...) still raise a clearly-marked
   NotImplementedError: the container ships no codec libraries, and
   pretending otherwise would be dishonest. The stub covers ONLY this
   tier.
@@ -269,6 +271,206 @@ def decode_png(blob: bytes):
     return pix[:, :, 0] if ch == 1 else pix
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW (LSB-first variable-width codes, clear/end codes,
+    12-bit cap with deferred clear). Width grows when next_code ==
+    2^width + 1 — the exact mirror of the decoder's next == 2^width
+    rule, offset by one because the decoder adds each entry one code
+    later than the encoder does."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf = ()
+    for px in indices:
+        px = int(px)
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        buf = (px,)
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code, width = end + 1, min_code_size + 1
+    out: list = []
+    acc = nbits = pos = 0
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream (no end code)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            next_code, width = end + 1, min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("non-literal first LZW code")
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:             # the KwKwK case
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("LZW code out of range")
+        if prev is not None and next_code < 4096:
+            table[next_code] = table[prev] + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = code
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 palette -> GIF89a
+    (single frame, global color table, real LZW image data)."""
+    import struct
+    import numpy as np
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("palette must be (n, 3)")
+    gct_bits = max(1, int(np.ceil(np.log2(max(2, len(pal))))))
+    full = np.zeros(((1 << gct_bits), 3), dtype=np.uint8)
+    full[: len(pal)] = pal
+    rows = idx
+    if interlace:
+        order = [r for start, step in _GIF_INTERLACE_PASSES
+                 for r in range(start, h, step)]
+        rows = idx[order]
+    min_code = max(2, gct_bits)
+    lzw = _lzw_encode(rows.reshape(-1), min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+            + full.tobytes()
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                    0x40 if interlace else 0)
+            + bytes([min_code]) + bytes(blocks) + b"\x3B")
+
+
+def decode_gif(blob: bytes):
+    """GIF -> (h, w, 3) uint8 RGB of the FIRST frame — a genuine LZW
+    inflate (variable-width codes, clear/end, KwKwK, deferred clear at
+    the 12-bit cap) plus palette mapping and interlace reordering, all
+    stdlib/numpy. Extensions are skipped; raises ValueError on
+    malformed streams."""
+    import struct
+    import numpy as np
+    if blob[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF file")
+    try:
+        w, h, packed, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+    except struct.error as e:
+        raise ValueError("truncated GIF screen descriptor") from e
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(blob[i : i + 3 * n], dtype=np.uint8)
+        if len(gct) != 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        i += 3 * n
+    while i < len(blob):
+        b = blob[i]
+        if b == 0x3B:                       # trailer
+            break
+        if b == 0x21:                       # extension: skip sub-blocks
+            i += 2
+            while i < len(blob) and blob[i] != 0:
+                i += 1 + blob[i]
+            i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        try:
+            left, top, iw, ih, ipk = struct.unpack(
+                "<HHHHB", blob[i + 1 : i + 10])
+        except struct.error as e:
+            raise ValueError("truncated GIF image descriptor") from e
+        i += 10
+        pal = gct
+        if ipk & 0x80:
+            n = 2 << (ipk & 7)
+            pal = np.frombuffer(blob[i : i + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            i += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = blob[i]
+        i += 1
+        data = bytearray()
+        while i < len(blob) and blob[i] != 0:
+            ln = blob[i]
+            data += blob[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        idx = _lzw_decode(bytes(data), min_code)
+        if len(idx) < iw * ih:
+            raise ValueError("LZW stream shorter than image")
+        rows = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        if ipk & 0x40:                      # interlace: invert the passes
+            order = [r for start, step in _GIF_INTERLACE_PASSES
+                     for r in range(start, ih, step)]
+            un = np.empty_like(rows)
+            un[order] = rows
+            rows = un
+        if rows.max() >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[rows]
+    raise ValueError("GIF contains no image block")
+
+
 def decode_media(blob: bytes, kind: str, fake: bool = False):
     """Format-sniffing decode. REAL for codec-free containers: P6 PPM
     -> (h, w, 3) uint8 pixels, PCM WAVE -> (rate, int16 samples).
@@ -285,10 +487,12 @@ def decode_media(blob: bytes, kind: str, fake: bool = False):
         return decode_wav(blob)
     if blob[:8] == PNG_SIG:
         return decode_png(blob)
+    if blob[:6] in GIF_SIGS:
+        return decode_gif(blob)
     raise NotImplementedError(
-        "compressed media formats (jpeg/gif/mp4/...) require codecs not "
-        "present in this environment; PPM/WAV/PNG decode is real — see "
-        "decode_ppm/decode_wav/decode_png")
+        "codec-library media formats (jpeg/mp4/...) are not decodable in "
+        "this environment; PPM/WAV/PNG/GIF decode is real — see "
+        "decode_ppm/decode_wav/decode_png/decode_gif")
 
 
 PPM_W, PPM_H = 4, 3
@@ -299,22 +503,25 @@ DECODE_SCHEMA = ("doc_id BIGINT, kind STRING, width BIGINT, "
 
 
 def synth_real_media_table(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL media blobs, three genuine formats by
-    doc_id % 3: 0 -> binary 4×3 PPM (P6 header + 36 pixel bytes =
+    """Deterministic REAL media blobs, four genuine formats by
+    doc_id % 4: 0 -> binary 4×3 PPM (P6 header + 36 pixel bytes =
     md5(doc_id) tiled), 1 -> PCM WAVE (canonical 44-byte header + 8
     int16 samples = the md5 bytes), 2 -> a genuine zlib-deflated 4×3
-    RGB PNG of the SAME tiled md5 pixels. PPM/WAV are pure column
-    arithmetic; the PNG branch runs ``encode_png`` in an Arrow
-    mapInPandas stage (deflate is not a column function), with
-    ``hashlib.md5`` bit-equal to SQL ``md5``. Either way DuckDB can
-    recompute every decoded statistic from the same md5 integers."""
+    RGB PNG of the SAME tiled md5 pixels, 3 -> a genuine LZW-compressed
+    GIF of the tiled md5 bytes as indices into the identity grayscale
+    palette (r=g=b=index, so decoded val_sum = 3× the byte sum). PPM/
+    WAV are pure column arithmetic; PNG/GIF run ``encode_png``/
+    ``encode_gif`` in an Arrow mapInPandas stage (deflate/LZW are not
+    column functions), with ``hashlib.md5`` bit-equal to SQL ``md5``.
+    Either way DuckDB can recompute every decoded statistic from the
+    same md5 integers."""
     md5 = F.md5(F.col("doc_id").cast("string"))
     pix = F.unhex(F.concat(md5, md5, F.substring(md5, 1, 8)))
     ppm = F.concat(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n".encode()), pix)
     # 44-byte canonical header sized for 16 data bytes, as a literal
     wav_header = encode_wav([0] * WAV_SAMPLES, WAV_RATE)[:44]
     wav = F.concat(F.lit(wav_header), F.unhex(md5))
-    mod = F.col("doc_id") % 3
+    mod = F.col("doc_id") % 4
     colocol = (F.when(mod == 0, ppm).when(mod == 1, wav)
                .otherwise(F.lit(None)).alias("media"))
     base = docs.select(
@@ -324,9 +531,11 @@ def synth_real_media_table(docs: DataFrame) -> DataFrame:
         .alias("kind"),
         colocol)
 
-    def add_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def add_encoded(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
         import hashlib
         import numpy as np
+        gray = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
         for pdf in batches:
             blobs = []
             for did, blob in zip(pdf["doc_id"], pdf["media"]):
@@ -335,12 +544,18 @@ def synth_real_media_table(docs: DataFrame) -> DataFrame:
                     continue
                 h = hashlib.md5(str(int(did)).encode()).digest()
                 tiled = np.frombuffer(h + h + h[:4], dtype=np.uint8)
-                blobs.append(encode_png(
-                    tiled.reshape(PPM_H, PPM_W, 3)))
+                if int(did) % 4 == 2:
+                    blobs.append(encode_png(
+                        tiled.reshape(PPM_H, PPM_W, 3)))
+                else:
+                    # 12 palette indices = the first 12 md5 bytes
+                    blobs.append(encode_gif(
+                        tiled[: PPM_W * PPM_H].reshape(PPM_H, PPM_W),
+                        gray))
             pdf = pdf.assign(media=blobs)
             yield pdf
 
-    return base.mapInPandas(add_png, schema=MEDIA_NOLEN_SCHEMA)
+    return base.mapInPandas(add_encoded, schema=MEDIA_NOLEN_SCHEMA)
 
 
 def decode_features(media: DataFrame) -> DataFrame:
@@ -384,16 +599,20 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 def oracle_decode_features() -> str:
     """DuckDB recomputation of the REAL decode outputs from the md5
-    integers: image val_sum (PPM at doc_id%3=0, PNG at %3=2 — the PNG
-    pixels round-trip zlib deflate back to the same tiled bytes) = sum
-    over the 36 tiled pixel bytes (md5 byte i with multiplicity 3 for
-    i<4, else 2); audio val_sum = sum of 8 little-endian signed int16
-    built from md5 byte pairs."""
+    integers: image val_sum = sum over the 36 tiled pixel bytes
+    (md5 byte i with multiplicity 3 for i<4, else 2) — PPM at
+    doc_id%4=0 and PNG at %4=2 carry the bytes as RGB channels, the
+    GIF at %4=3 carries them as indices into the identity grayscale
+    palette, hence 3× the sum (r=g=b=index, zlib deflate / LZW
+    round-trip back to the same bytes); audio val_sum = sum of 8
+    little-endian signed int16 built from md5 byte pairs."""
     byte = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {i}, 2))"
             "::BIGINT)")
     b = [byte.format(i=2 * j + 1) for j in range(16)]
     img_sum = " + ".join(
         f"{3 if j < 4 else 2} * {b[j]}" for j in range(16))
+    # GIF: 12 indices = md5 bytes 0..11, identity palette -> 3x each
+    gif_sum = " + ".join(f"3 * {b[j]}" for j in range(PPM_W * PPM_H))
     samp = [f"({b[2 * s]} + 256 * {b[2 * s + 1]})"
             for s in range(WAV_SAMPLES)]
     wav_sum = " + ".join(
@@ -401,16 +620,17 @@ def oracle_decode_features() -> str:
         for u in samp)
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS kind,
-       CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE {PPM_W} END AS BIGINT)
+       CASE WHEN doc_id % 4 = 1 THEN 'audio' ELSE 'image' END AS kind,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN -1 ELSE {PPM_W} END AS BIGINT)
          AS width,
-       CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE {PPM_H} END AS BIGINT)
+       CAST(CASE WHEN doc_id % 4 = 1 THEN -1 ELSE {PPM_H} END AS BIGINT)
          AS height,
-       CAST(CASE WHEN doc_id % 3 = 1 THEN {WAV_RATE} ELSE -1 END AS BIGINT)
+       CAST(CASE WHEN doc_id % 4 = 1 THEN {WAV_RATE} ELSE -1 END AS BIGINT)
          AS rate,
-       CAST(CASE WHEN doc_id % 3 = 1 THEN {WAV_SAMPLES}
+       CAST(CASE WHEN doc_id % 4 = 1 THEN {WAV_SAMPLES}
                  ELSE {PPM_W * PPM_H} END AS BIGINT) AS n_units,
-       CAST(CASE WHEN doc_id % 3 = 1 THEN {wav_sum}
+       CAST(CASE WHEN doc_id % 4 = 1 THEN {wav_sum}
+                 WHEN doc_id % 4 = 3 THEN {gif_sum}
                  ELSE {img_sum} END AS BIGINT) AS val_sum
 FROM documents ORDER BY doc_id
 """

@@ -391,35 +391,46 @@ def test_ppm_wav_roundtrip_and_sniffing():
 
 
 def test_synth_real_media_decodes(spark, docs):
-    """The synthesized blobs are REAL files: doc_id%3=0 decodes as a
-    4x3 PPM whose pixels are the tiled md5 bytes, %3=1 as an 8-sample
-    WAV of the md5 int16s, %3=2 as a genuine zlib-deflated PNG of the
-    same tiled pixels."""
+    """The synthesized blobs are REAL files: doc_id%4=0 decodes as a
+    4x3 PPM whose pixels are the tiled md5 bytes, %4=1 as an 8-sample
+    WAV of the md5 int16s, %4=2 as a genuine zlib-deflated PNG of the
+    same tiled pixels, %4=3 as a genuine LZW GIF of the tiled bytes
+    through the identity grayscale palette (val_sum = 3x byte sum)."""
     import hashlib
     import numpy as np
-    m = media.synth_real_media_table(docs.limit(21))
+    m = media.synth_real_media_table(docs.limit(24))
     blobs = {int(r["doc_id"]): bytes(r["media"]) for r in m.collect()}
     rows = media.decode_features(m).collect()
-    assert len(rows) == 21
-    seen_png = 0
+    assert len(rows) == 24
+    seen_png = seen_gif = 0
     for r in rows:
         h = hashlib.md5(str(r["doc_id"]).encode()).digest()
         if r["kind"] == "image":
             tiled = (h + h + h[:4])
             assert (r["width"], r["height"], r["rate"]) == (4, 3, -1)
-            assert r["val_sum"] == sum(tiled)
-            if r["doc_id"] % 3 == 2:       # PNG branch: genuine file
-                blob = blobs[r["doc_id"]]
+            blob = blobs[r["doc_id"]]
+            if r["doc_id"] % 4 == 2:       # PNG branch: genuine file
                 assert blob[:8] == media.PNG_SIG
                 assert np.array_equal(
                     media.decode_png(blob).reshape(-1),
                     np.frombuffer(tiled, dtype=np.uint8))
+                assert r["val_sum"] == sum(tiled)
                 seen_png += 1
+            elif r["doc_id"] % 4 == 3:     # GIF branch: genuine file
+                assert blob[:6] in media.GIF_SIGS
+                px = media.decode_gif(blob)
+                assert np.array_equal(
+                    px[:, :, 0].reshape(-1),
+                    np.frombuffer(tiled[:12], dtype=np.uint8))
+                assert r["val_sum"] == 3 * sum(tiled[:12])
+                seen_gif += 1
+            else:
+                assert r["val_sum"] == sum(tiled)
         else:
             s = np.frombuffer(h, dtype="<i2").astype(int)
             assert (r["width"], r["rate"]) == (-1, media.WAV_RATE)
             assert r["n_units"] == 8 and r["val_sum"] == s.sum()
-    assert seen_png >= 6
+    assert seen_png >= 5 and seen_gif >= 5
 
 
 def test_png_roundtrip_all_filters_and_shapes():
@@ -466,3 +477,53 @@ def test_ivf_eps_derivation():
     assert similarity._ivf_eps(16, (10 ** 3) ** 2) > eps
     assert similarity._ivf_eps(16, 0) == 2.0
     assert similarity._ivf_eps(256, 150 ** 2) == 2.0   # m < 10·√dim
+
+
+GIF_1PX = (b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+           b"!\xf9\x04\x01\x00\x00\x00\x00"
+           b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;")
+
+
+def test_gif_decode_known_fixture():
+    """The ubiquitous 1x1 'tracking pixel' GIF (public byte sequence):
+    pins LSB-first code unpacking, clear/end handling, and extension
+    skipping against an INDEPENDENTLY-produced file, not just our own
+    encoder."""
+    import numpy as np
+    px = media.decode_gif(GIF_1PX)
+    assert px.shape == (1, 1, 3)
+    assert (px == 255).all()               # palette entry 0 is white
+
+
+def test_gif_roundtrip_lzw_growth_and_interlace():
+    """Round-trip through the real LZW path: small palettes, 256-color
+    random images big enough to push code width to 12 bits and hit the
+    deferred-clear cap, and interlaced row ordering."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 4, size=(5, 7)), rng.integers(0, 256, (4, 3))),
+        (rng.integers(0, 256, size=(80, 80)), rng.integers(0, 256, (256, 3))),
+        (np.tile(np.arange(16, dtype=np.uint8), (16, 4)),
+         rng.integers(0, 256, (16, 3))),
+    ]
+    for idx, pal in cases:
+        idx = idx.astype(np.uint8); pal = pal.astype(np.uint8)
+        for inter in (False, True):
+            blob = media.encode_gif(idx, pal, interlace=inter)
+            got = media.decode_gif(blob)
+            assert np.array_equal(got, pal[idx.astype(np.int64)]), inter
+
+
+def test_gif_malformed_inputs():
+    import numpy as np
+    import pytest as _pytest
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    good = media.encode_gif(idx, pal)
+    with _pytest.raises(ValueError, match="not a GIF"):
+        media.decode_gif(b"JIF89a" + good[6:])
+    with _pytest.raises(ValueError):
+        media.decode_gif(good[:20])            # truncated mid-stream
+    with _pytest.raises(ValueError, match="no image block"):
+        media.decode_gif(good[:6] + good[6:13] + good[13:19] + b";")
