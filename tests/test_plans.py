@@ -74,3 +74,31 @@ def test_no_row_python_udfs(spark):
     ev = derive_geo_events(spark, SF_ORACLE, N, spread=False)
     p = formatted(build_sketch_df(ev, cfg, "exact", 4))
     assert "BatchEvalPython" not in p
+
+
+def test_probe_scan_sized_small_store_not_bucketed_path(spark):
+    """The broadcast-probe path coalesces the store scan to
+    ~CELLS_PER_SCAN_TASK cells/task (a no-op on cluster-scale stores,
+    a big scheduling win on small ones); the bucketed-shuffle fallback
+    must NOT be coalesced — it relies on the (grid_key, cell) hash
+    partitioning being intact for its shuffle-free sketch side."""
+    from spatialsketch_spark.geo.build import SketchStore
+    from spatialsketch_spark.geo.query import QuerySpec, SpatialSketchEngine
+    cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+    ev = derive_geo_events(spark, SF_ORACLE, N)
+    st = SketchStore.build(spark, ev, cfg, "exact", 4)
+    eng = SpatialSketchEngine(st)
+    qs = [QuerySpec(i, [(0, 0, 2047, 2047)], "count") for i in range(4)]
+    p = formatted(eng.query(qs))
+    assert "Coalesce" in p, "small-store probe scan must be task-sized"
+    nt = eng._scan_tasks()
+    cells = st.manifest["metrics"]["sketch_cells"]
+    assert nt == -(-cells // eng.CELLS_PER_SCAN_TASK)
+    # bucketed fallback keeps its partitioning: force the shuffle path
+    orig = SpatialSketchEngine.BROADCAST_COVER_ROWS
+    SpatialSketchEngine.BROADCAST_COVER_ROWS = 0
+    try:
+        p2 = formatted(eng._matched(qs))
+        assert "Coalesce" not in p2.split("InMemoryTableScan")[0], p2
+    finally:
+        SpatialSketchEngine.BROADCAST_COVER_ROWS = orig
