@@ -46,8 +46,8 @@ eng.query(queries[:6]).collect()   # warm
 
 for trial in range(3):
     t0 = time.time()
-    cov_df = eng._cover_df(queries)
-    t_cover_df = time.time() - t0
+    cov_df = eng._matched(queries)
+    t_cover_df = time.time() - t0   # matched-plan assembly (incl. cover)
 
     # separate: numpy expansion alone
     from spatialsketch_spark.core.dyadic import cover_2d_np

@@ -42,8 +42,9 @@ from ..core.kernels import int_group_sum, make_kernel
 from ..core.partitioner import Shape, shape_to_ranges
 from .build import SketchStore
 
-COVER_SCHEMA = ("qid BIGINT, grid_key INT, cell BIGINT, coverage DOUBLE, "
-                "qkind STRING, item BIGINT, item_end BIGINT, t0 BIGINT")
+COVER_SCHEMA = "pid BIGINT, grid_key INT, cell BIGINT, coverage DOUBLE"
+QMAP_SCHEMA = ("pid BIGINT, qid BIGINT, qkind STRING, item BIGINT, "
+               "item_end BIGINT, t0 BIGINT")
 RESULT_SCHEMA = "qid BIGINT, est BIGINT"
 
 
@@ -282,57 +283,58 @@ class SpatialSketchEngine:
     # distributed expansion job it replaces (~1 s at any size)
     DRIVER_COVER_RECTS = 8192
 
-    def _cover_df(self, queries: list[QuerySpec]):
-        """Cover DataFrame. Small/medium batches: computed on the
-        driver — numpy cross-product covers when no grids are dropped,
-        the effective_cover rewrite otherwise. Very large batches: the
-        per-query bit arithmetic is fanned out via mapInPandas so query
-        *throughput* scales with executors, not driver cores."""
+    def _cover_df(self, pid_ranges: list):
+        """pid-keyed cover DataFrame over ``[(pid, ranges)]`` — NO
+        per-query metadata: queries sharing a rect-set (e.g. a count
+        and a freq probe of the same placement) expand and broadcast
+        their cover ONCE; qid/qkind/item/t0 ride the tiny broadcast
+        qid-map that ``_matched`` joins on pid afterwards. Small/medium
+        batches: computed on the driver — numpy cross-product covers
+        when no grids are dropped, the effective_cover rewrite
+        otherwise. Very large batches: the per-query bit arithmetic is
+        fanned out via mapInPandas so cover *throughput* scales with
+        executors, not driver cores."""
         spark = self.store.spark
         cfg = self.store.cfg
-        n_rects = sum(len(q.ranges) for q in queries)
+        n_rects = sum(len(rs) for _, rs in pid_ranges)
         if n_rects <= self.DRIVER_COVER_RECTS:
             if not cfg.dropped_grids:
                 from ..core.dyadic import cover_2d_np
-                rects, meta = [], []
-                for q in queries:
-                    for r in q.ranges:
+                rects, pids = [], []
+                for pid, rs in pid_ranges:
+                    for r in rs:
                         rects.append(r)
-                        meta.append((q.qid, q.qkind, q.item,
-                                     q.item_end, q.t0))
+                        pids.append(pid)
                 ridx, kx, ky, cx, cy, cov = cover_2d_np(
                     rects, cfg.levels - 1, self.store.min_level)
-                meta_pdf = pd.DataFrame(
-                    meta, columns=["qid", "qkind", "item", "item_end",
-                                   "t0"])
                 cover_pdf = pd.DataFrame({
-                    "qid": meta_pdf["qid"].to_numpy()[ridx],
+                    "pid": np.asarray(pids, dtype=np.int64)[ridx],
                     "grid_key": (kx + ky * cfg.levels).astype("int32"),
                     "cell": cx * cfg.n + cy,
                     "coverage": cov,
-                    "qkind": meta_pdf["qkind"].to_numpy()[ridx],
-                    "item": meta_pdf["item"].to_numpy()[ridx],
-                    "item_end": meta_pdf["item_end"].to_numpy()[ridx],
-                    "t0": meta_pdf["t0"].to_numpy()[ridx],
                 })
             else:
-                rows = self.cover_rows(queries)
+                rows = []
+                log_n = cfg.levels - 1
+                for pid, rs in pid_ranges:
+                    for (x1, y1, x2, y2) in rs:
+                        for kx, ky, cx, cy, cov in effective_cover(
+                                x1, y1, x2, y2, log_n, cfg.dropped_grids,
+                                floor_k=self.store.min_level):
+                            rows.append((pid, cfg.grid_key(kx, ky),
+                                         cx * cfg.n + cy, float(cov)))
                 cover_pdf = pd.DataFrame(
-                    rows, columns=["qid", "grid_key", "cell", "coverage",
-                                   "qkind", "item", "item_end", "t0"])
+                    rows, columns=["pid", "grid_key", "cell", "coverage"])
             return spark.createDataFrame(cover_pdf, schema=COVER_SCHEMA)
-        # distributed: ship (qid, rect, params) rows, expand per partition
-        rect_rows = []
-        for q in queries:
-            for (x1, y1, x2, y2) in q.ranges:
-                rect_rows.append((q.qid, x1, y1, x2, y2, q.qkind,
-                                  q.item, q.item_end, q.t0))
-        spec_pdf = pd.DataFrame(rect_rows, columns=[
-            "qid", "x1", "y1", "x2", "y2", "qkind", "item", "item_end", "t0"])
+        # distributed: ship (pid, rect) rows, expand per partition
+        rect_rows = [(pid, x1, y1, x2, y2)
+                     for pid, rs in pid_ranges
+                     for (x1, y1, x2, y2) in rs]
+        spec_pdf = pd.DataFrame(rect_rows,
+                                columns=["pid", "x1", "y1", "x2", "y2"])
         spec = spark.createDataFrame(
-            spec_pdf, schema="qid BIGINT, x1 BIGINT, y1 BIGINT, x2 BIGINT, "
-                             "y2 BIGINT, qkind STRING, item BIGINT, "
-                             "item_end BIGINT, t0 BIGINT")
+            spec_pdf, schema="pid BIGINT, x1 BIGINT, y1 BIGINT, "
+                             "x2 BIGINT, y2 BIGINT")
         log_n = cfg.levels - 1
         dropped = cfg.dropped_grids
         floor_k = self.store.min_level
@@ -351,29 +353,21 @@ class SpatialSketchEngine:
                     ridx, kx, ky, cx, cy, cov = cover_2d_np(
                         rects, log_n, floor_k)
                     yield pd.DataFrame({
-                        "qid": pdf["qid"].to_numpy()[ridx],
+                        "pid": pdf["pid"].to_numpy()[ridx],
                         "grid_key": (kx + ky * levels).astype("int32"),
                         "cell": cx * n + cy,
                         "coverage": cov,
-                        "qkind": pdf["qkind"].to_numpy()[ridx],
-                        "item": pdf["item"].to_numpy()[ridx],
-                        "item_end": pdf["item_end"].to_numpy()[ridx],
-                        "t0": pdf["t0"].to_numpy()[ridx],
                     })
                     continue
-                out = {k: [] for k in ["qid", "grid_key", "cell", "coverage",
-                                       "qkind", "item", "item_end", "t0"]}
+                out = {k: [] for k in ["pid", "grid_key", "cell",
+                                       "coverage"]}
                 for r in pdf.itertuples(index=False):
                     for kx, ky, cx, cy, cov in effective_cover(
                             r.x1, r.y1, r.x2, r.y2, log_n, dropped, floor_k):
-                        out["qid"].append(r.qid)
+                        out["pid"].append(r.pid)
                         out["grid_key"].append(kx + ky * levels)
                         out["cell"].append(cx * n + cy)
                         out["coverage"].append(float(cov))
-                        out["qkind"].append(r.qkind)
-                        out["item"].append(r.item)
-                        out["item_end"].append(r.item_end)
-                        out["t0"].append(r.t0)
                 yield pd.DataFrame(out)
 
         nparts = min(len(rect_rows),
@@ -388,14 +382,19 @@ class SpatialSketchEngine:
                                        cfg.dropped_grids,
                                        floor_k=self.store.min_level)
 
-    def _estimate_cover_rows(self, queries: list[QuerySpec]) -> int:
-        """Driver-side cover-size estimate from a <=64-query sample
-        (each query's cover is O(log^2 N) cells — expanding a sample
+    def _estimate_cover_rows(self, pid_ranges: list) -> int:
+        """Driver-side cover-size estimate from a <=64-entry sample
+        (each rect-set's cover is O(log^2 N) cells — expanding a sample
         costs microseconds and avoids a counting job)."""
-        step = max(1, len(queries) // 64)
-        sample = queries[::step][:64]
-        cells = sum(1 for q in sample for _ in self._query_grids(q))
-        return int(cells / max(1, len(sample)) * len(queries))
+        cfg = self.store.cfg
+        step = max(1, len(pid_ranges) // 64)
+        sample = pid_ranges[::step][:64]
+        cells = sum(1 for _, rs in sample for (x1, y1, x2, y2) in rs
+                    for _ in effective_cover(x1, y1, x2, y2,
+                                             cfg.levels - 1,
+                                             cfg.dropped_grids,
+                                             floor_k=self.store.min_level))
+        return int(cells / max(1, len(sample)) * len(pid_ranges))
 
     # broadcast the cover relation up to this many rows (~60 B/row ->
     # ~200 MB broadcast ceiling); beyond it, shuffle-join against the
@@ -421,8 +420,27 @@ class SpatialSketchEngine:
         return max(1, -(-int(cells) // self.CELLS_PER_SCAN_TASK))
 
     def _matched(self, queries: list[QuerySpec]):
-        cover = self._cover_df(queries)
-        n_rects = sum(len(q.ranges) for q in queries)
+        # dedup identical rect-sets (e.g. the count and the freq probe
+        # of one placement, or repeated canned regions): the cover is
+        # expanded and broadcast once per DISTINCT rect-set; per-query
+        # metadata rides a tiny broadcast qid-map joined on pid after
+        # the sketch join, so the payload-bearing join probes half (or
+        # less) the hash table a per-qid cover would need
+        spark = self.store.spark
+        groups: dict[tuple, int] = {}
+        pid_ranges: list = []
+        qmap_rows = []
+        for q in queries:
+            key = tuple(map(tuple, q.ranges))
+            pid = groups.get(key)
+            if pid is None:
+                pid = len(pid_ranges)
+                groups[key] = pid
+                pid_ranges.append((pid, q.ranges))
+            qmap_rows.append((pid, q.qid, q.qkind, q.item,
+                              q.item_end, q.t0))
+        cover = self._cover_df(pid_ranges)
+        qmap = spark.createDataFrame(qmap_rows, schema=QMAP_SCHEMA)
         if len(queries) < 64:
             # precise grid_key pruning list, driver-computed
             needed = sorted({self.store.cfg.grid_key(kx, ky)
@@ -437,7 +455,7 @@ class SpatialSketchEngine:
         # broadcast strictly by estimated cover SIZE — how the cover was
         # built (driver vs distributed) must not bypass the ~200 MB
         # broadcast ceiling (8192 full-span rects can expand past 4M rows)
-        if self._estimate_cover_rows(queries) <= self.BROADCAST_COVER_ROWS:
+        if self._estimate_cover_rows(pid_ranges) <= self.BROADCAST_COVER_ROWS:
             # broadcast the cover -> zero shuffle on the sketch side;
             # the broadcast exchange is canonically identical across the
             # per-qkind consumer branches, so ReuseExchange materializes
@@ -446,14 +464,17 @@ class SpatialSketchEngine:
             nt = self._scan_tasks()
             if nt is not None:
                 pruned = pruned.coalesce(nt)
-            return pruned.join(F.broadcast(cover), ["grid_key", "cell"])
-        # cover too large to broadcast -> shuffle join against the
-        # BUCKETED sketch cache: its (grid_key, cell) hash partitioning
-        # is reused by the join, so only the cover side shuffles — the
-        # payload blobs stay put (at cluster scale: a bucketed table).
-        pruned = self.store.bucketed_df().where(
-            F.col("grid_key").isin(needed))
-        return pruned.join(cover, ["grid_key", "cell"])
+            m = pruned.join(F.broadcast(cover), ["grid_key", "cell"])
+        else:
+            # cover too large to broadcast -> shuffle join against the
+            # BUCKETED sketch cache: its (grid_key, cell) hash
+            # partitioning is reused by the join, so only the cover side
+            # shuffles — the payload blobs stay put (at cluster scale:
+            # a bucketed table).
+            pruned = self.store.bucketed_df().where(
+                F.col("grid_key").isin(needed))
+            m = pruned.join(cover, ["grid_key", "cell"])
+        return m.join(F.broadcast(qmap), "pid").drop("pid")
 
     def query(self, queries: list[QuerySpec]) -> DataFrame:
         """-> DataFrame(qid, est); missing-cell-safe (untouched cells
