@@ -8,13 +8,16 @@ from the raw events in Spark (the aggregation the exact gates prove
 equal to DuckDB), and emits ok = (estimate inside the kernel's proven
 envelope). Two verification tiers (VERDICT r3 task 4):
 
-- CM and BF: the oracle REBUILDS the probed sketch state in DuckDB —
-  the seeded hash family ((a·x + b) mod p) mod w is plain integer
-  arithmetic, so the counter mins / bit tests are recomputed in SQL
-  and the ESTIMATE ITSELF is compared bit-for-bit, alongside ok.
-- FM / ECM / elastic: the oracle emits literal 1s (self-asserted
-  envelope) — their estimators fold floats or order-dependent state
-  that SQL cannot reproduce faithfully.
+- CM, BF and FM: the oracle REBUILDS the probed sketch state in
+  DuckDB — the seeded hash family ((a·x + b) mod p) mod w, trailing-
+  zero bitmaps, and counter mins / bit tests are plain integer
+  arithmetic recomputed in SQL; the ESTIMATE ITSELF is compared
+  bit-for-bit alongside ok (FM's single float — the final
+  2^(mean R)/φ — was measured bit-equal across engines with a 0.13
+  truncation margin).
+- ECM / elastic: the oracle emits literal 1s (self-asserted envelope)
+  — their estimators fold order-dependent histogram / heavy-light
+  state that SQL cannot reproduce faithfully.
 
 Hash coefficients are seed-fixed, so these gates are deterministic,
 not flaky.
@@ -211,15 +214,83 @@ FM_PROBES = [(RECTS[0], -1, -1), (RECTS[1], -1, -1), (RECTS[2], -1, -1)]
 
 
 def q_env_distinct_fm(spark, sf_dir) -> DataFrame:
+    """FM count-distinct probes — emits (qid, est, ok); the oracle
+    rebuilds the d=48 trailing-zero bitmaps and the 2^(mean R)/phi
+    estimator in DuckDB (VERDICT r3 task 4 extended to FM). The only
+    float is the final estimate; DuckDB ``pow`` and numpy ``**`` were
+    measured bit-equal here, and the fixture estimate sits 0.13 from
+    its truncation boundary — far beyond any libm ulp (the measured-
+    margin pattern, see cap_filter)."""
     st = _store(spark, sf_dir, "fm")
     eng = SpatialSketchEngine(st)
     qs = [QuerySpec(i, [r], "distinct") for i, (r, _, _) in
           enumerate(FM_PROBES)]
     est = eng.query(qs)
     truth = _truth(spark, sf_dir, FM_PROBES, distinct=True)
-    return _ok(est, truth,
-               (4 * F.col("est") >= F.col("truth"))
-               & (F.col("est") <= 4 * F.col("truth")))
+    return (est.join(truth, "qid")
+            .select("qid", F.col("est").cast("bigint").alias("est"),
+                    ((4 * F.col("est") >= F.col("truth"))
+                     & (F.col("est") <= 4 * F.col("truth")))
+                    .cast("bigint").alias("ok"))
+            .orderBy("qid"))
+
+
+def oracle_env_distinct_fm() -> str:
+    """Full FM recomputation in DuckDB: per (probe, hash row) the OR'd
+    bitmap of trailing-zero positions of ((a·item + b) mod p) over the
+    region's events, R = lowest unset bit ((bits+1) & ~bits), estimate
+    = floor(2^(ΣR / d) / φ); ok = the powers-of-two envelope vs exact
+    COUNT(DISTINCT). All integer arithmetic except the final pow
+    (reference FM.cpp:80-148)."""
+    from .core.kernels import FMKernel, FM_PHI
+    from .geo.events import geo_events_sql
+    cfg = _realistic_cfg()
+    k = FMKernel(max(cfg.eps, 0.25), cfg.delta, cfg.seed)
+    probes = ",".join(
+        f"({qid},{r[0]},{r[1]},{r[2]},{r[3]})"
+        for qid, (r, _, _) in enumerate(FM_PROBES))
+    hrows = ",".join(f"({r},{int(a)}::BIGINT,{int(b)}::BIGINT)"
+                     for r, (a, b) in enumerate(k.coeffs))
+    p = 2147483647
+    return f"""
+WITH geo AS ({geo_events_sql(N)}),
+probes(qid, x1, y1, x2, y2) AS (VALUES {probes}),
+hash(r, a, b) AS (VALUES {hrows}),
+hv AS (
+  SELECT pr.qid, h.r, ((h.a * e.item + h.b) % {p}) AS hval
+  FROM probes pr
+  JOIN geo e ON e.x BETWEEN pr.x1 AND pr.x2
+            AND e.y BETWEEN pr.y1 AND pr.y2
+  CROSS JOIN hash h),
+rowbits AS (
+  SELECT qid, r,
+         bit_or(1::BIGINT << LEAST(CASE WHEN hval = 0 THEN 0
+             ELSE CAST(log2(hval & -hval) AS INT) END, 62)) AS bits
+  FROM hv GROUP BY qid, r),
+rvals AS (
+  SELECT p2.qid, h2.r,
+         COALESCE(CAST(log2((rb.bits + 1) & ~rb.bits) AS BIGINT), 0) AS rr
+  FROM probes p2 CROSS JOIN hash h2
+  LEFT JOIN rowbits rb ON rb.qid = p2.qid AND rb.r = h2.r),
+est AS (
+  -- engine rounds (query.py _estimate_one: int(round(estimate)));
+  -- python round is half-even vs DuckDB half-away, but the fixture
+  -- estimate sits 0.13 from the boundary — far beyond any libm ulp
+  SELECT qid, CAST(ROUND(pow(2.0, SUM(rr) / {k.d}.0) / {FM_PHI})
+                   AS BIGINT) AS est
+  FROM rvals GROUP BY qid),
+truth AS (
+  SELECT pr.qid, COUNT(DISTINCT e.item) AS t
+  FROM probes pr
+  LEFT JOIN geo e ON e.x BETWEEN pr.x1 AND pr.x2
+                 AND e.y BETWEEN pr.y1 AND pr.y2
+  GROUP BY pr.qid)
+SELECT CAST(e.qid AS BIGINT) AS qid, CAST(e.est AS BIGINT) AS est,
+       CAST(CASE WHEN 4 * e.est >= t.t AND e.est <= 4 * t.t
+             THEN 1 ELSE 0 END AS BIGINT) AS ok
+FROM est e JOIN truth t ON t.qid = e.qid
+ORDER BY qid
+"""
 
 
 # --- BF membership ---------------------------------------------------------
@@ -371,8 +442,7 @@ ENVELOPE_GATE = {
     # the self-asserted envelope form (their estimators fold floats /
     # order-dependent state not reproducible in SQL)
     "env_freq_cm": (q_env_freq_cm, oracle_env_freq_cm),
-    "env_distinct_fm": (q_env_distinct_fm,
-                        lambda: _ones_oracle(len(FM_PROBES))),
+    "env_distinct_fm": (q_env_distinct_fm, oracle_env_distinct_fm),
     "env_member_bf": (q_env_member_bf, oracle_env_member_bf),
     "env_window_ecm": (q_env_window_ecm,
                        lambda: _ones_oracle(len(ECM_PROBES))),
