@@ -543,3 +543,36 @@ def test_combine_fingerprints_legacy_manifest_rejected():
     for a, b in ((old, new), (new, old)):
         with pytest.raises(ValueError, match="predates sum_hash"):
             SketchStore._combine_fingerprints(a, b)
+
+
+def test_cover_dedup_all_classes_share_rects(spark, events, exact_store):
+    """The pid-keyed cover dedups identical rect-sets across ALL query
+    classes (count / freq / distinct / member / l2 / window in ONE
+    batch over the same region): per-qid answers must equal issuing
+    each query alone, and the broadcast cover must carry one pid, not
+    six qids."""
+    eng = SpatialSketchEngine(exact_store)
+    r = [(0, 0, 31, 31)]
+    batch = [QuerySpec(0, r, "count"),
+             QuerySpec(1, r, "freq", item=3),
+             QuerySpec(2, r, "distinct"),
+             QuerySpec(3, r, "member", item=3),
+             QuerySpec(4, r, "l2"),
+             QuerySpec(5, r, "window", item=3, t0=100)]
+    got = {row["qid"]: row["est"] for row in eng.query(batch).collect()}
+    for q in batch:
+        alone = eng.query([q]).collect()[0]["est"]
+        assert got[q.qid] == alone, (q.qid, q.qkind)
+    # the cover relation itself is pid-deduped: one rect-set -> one pid
+    cov = eng._cover_df([(0, r)])
+    batch_cov = eng._cover_df([(pid, rs) for pid, rs in [(0, r)]])
+    assert cov.count() == batch_cov.count()
+    # six queries over one rect-set expand exactly the single-set cover
+    groups = {}
+    pid_ranges = []
+    for q in batch:
+        key = tuple(map(tuple, q.ranges))
+        if key not in groups:
+            groups[key] = len(pid_ranges)
+            pid_ranges.append((groups[key], q.ranges))
+    assert len(pid_ranges) == 1
