@@ -402,8 +402,16 @@ def q_polygon_count_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells. The gate emits ok = (|est - truth| <= bound) per query and
     the oracle emits the constant 1 — hash-equal iff every estimate is
     inside its envelope. truth is computed by the same raw-event
-    aggregation that geo_polygon_count proves equal to DuckDB."""
-    return _frac_envelope(spark, sf_dir, _engine(spark, sf_dir))
+    aggregation that geo_polygon_count proves equal to DuckDB.
+
+    Round 4 upgraded this no-drops variant to a FULL recomputation:
+    coverages are dyadic rationals, so cov·cell_total is an exact
+    double and floor of it exact — the oracle rebuilds every cover
+    cell's mass in SQL and compares the ESTIMATE bit-for-bit alongside
+    ok (the dropped-grid variant keeps the envelope-only oracle: its
+    cover depends on the DynSketch's data-dependent drop set)."""
+    return _frac_envelope(spark, sf_dir, _engine(spark, sf_dir),
+                          with_est=True)
 
 
 def q_polygon_count_frac_dyn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,7 +426,8 @@ def q_polygon_count_frac_dyn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _frac_envelope(spark, sf_dir, SpatialSketchEngine(_STORES[key]))
 
 
-def _frac_envelope(spark: SparkSession, sf_dir: str, eng) -> DataFrame:
+def _frac_envelope(spark: SparkSession, sf_dir: str, eng,
+                   with_est: bool = False) -> DataFrame:
     st = eng.store
     shapes_ranges = [shape_to_ranges(POLY_FRAC)] + [
         [(int(x1 + 0.5), int(y1 + 0.5), int(x2 - 0.5), int(y2 - 0.5))]
@@ -451,16 +460,74 @@ def _frac_envelope(spark: SparkSession, sf_dir: str, eng) -> DataFrame:
                  ["grid_key", "cell"])
              .groupBy("qid").agg(F.sum("val_sum").alias("bound")))
 
-    return (est.join(truth, "qid", "left").join(bound, "qid", "left")
-            .select("qid",
-                    F.when(F.abs(F.col("est")
-                                 - F.coalesce("truth", F.lit(0)))
-                           <= F.coalesce("bound", F.lit(0)), 1)
-                    .otherwise(0).cast("bigint").alias("ok"))
-            .orderBy("qid"))
+    ok = (F.when(F.abs(F.col("est") - F.coalesce("truth", F.lit(0)))
+                 <= F.coalesce("bound", F.lit(0)), 1)
+          .otherwise(0).cast("bigint").alias("ok"))
+    j = est.join(truth, "qid", "left").join(bound, "qid", "left")
+    if with_est:
+        # the estimate itself is exactly recomputable (coverages are
+        # dyadic rationals: cov*cell_total is an exact double, floor
+        # exact) — the no-drops gate compares it bit-for-bit
+        return j.select("qid", F.col("est").cast("bigint").alias("est"),
+                        ok).orderBy("qid")
+    return j.select("qid", ok).orderBy("qid")
 
 
 def oracle_polygon_count_frac() -> str:
+    """Full recomputation: every cover cell's mass from the raw events,
+    est = Σ floor(cov · mass) (exact: cov is dyadic), bound = Σ mass
+    over partial-coverage rows, ok = |est − truth| ≤ bound. Cover rows
+    carry a row id so two rects of one query sharing a floor cell stay
+    separate — mirroring the engine's per-rect cover exactly."""
+    from .core.dyadic import cover_2d
+    log_n = 12
+    shapes_ranges = [shape_to_ranges(POLY_FRAC)] + [
+        [(int(x1 + 0.5), int(y1 + 0.5), int(x2 - 0.5), int(y2 - 0.5))]
+        for (x1, y1, x2, y2) in FRAC_RECTS]
+    cover_vals, probe_vals = [], []
+    rid = 0
+    for qid, rs in enumerate(shapes_ranges):
+        for (x1, y1, x2, y2) in rs:
+            probe_vals.append(f"({qid},{x1},{y1},{x2},{y2})")
+            for (kx, ky, cx, cy, cov) in cover_2d(
+                    x1, y1, x2, y2, log_n, MIN_LEVEL, MIN_LEVEL):
+                cover_vals.append(
+                    f"({qid},{rid},{cx << kx},{((cx + 1) << kx) - 1},"
+                    f"{cy << ky},{((cy + 1) << ky) - 1},{cov!r})")
+                rid += 1
+    return f"""
+WITH geo AS ({geo_events_sql(N)}),
+cover(qid, rid, cx1, cx2, cy1, cy2, cov) AS (VALUES {",".join(cover_vals)}),
+probes(qid, x1, y1, x2, y2) AS (VALUES {",".join(probe_vals)}),
+cellsum AS (
+  SELECT c.qid, c.rid, c.cov, COALESCE(SUM(e.value), 0) AS s
+  FROM cover c
+  LEFT JOIN geo e ON e.x BETWEEN c.cx1 AND c.cx2
+                 AND e.y BETWEEN c.cy1 AND c.cy2
+  GROUP BY c.qid, c.rid, c.cov),
+est AS (
+  SELECT qid, CAST(SUM(CAST(FLOOR(cov * s) AS BIGINT)) AS BIGINT) AS est,
+         CAST(SUM(CASE WHEN cov < 1.0 THEN s ELSE 0 END) AS BIGINT)
+           AS bound
+  FROM cellsum GROUP BY qid),
+truth AS (
+  SELECT pr.qid, COALESCE(SUM(e.value), 0) AS t
+  FROM probes pr
+  LEFT JOIN geo e ON e.x BETWEEN pr.x1 AND pr.x2
+                 AND e.y BETWEEN pr.y1 AND pr.y2
+  GROUP BY pr.qid)
+SELECT CAST(e.qid AS BIGINT) AS qid, CAST(e.est AS BIGINT) AS est,
+       CAST(CASE WHEN ABS(e.est - t.t) <= e.bound
+             THEN 1 ELSE 0 END AS BIGINT) AS ok
+FROM est e JOIN truth t ON t.qid = e.qid
+ORDER BY qid
+"""
+
+
+def oracle_polygon_count_frac_dyn() -> str:
+    """Envelope-only oracle for the dropped-grid variant: its cover
+    depends on the DynSketch's data-dependent drop set, which the
+    statically-generated SQL cannot know — ok flags only."""
     return f"""
 SELECT CAST(qid AS BIGINT) AS qid, CAST(1 AS BIGINT) AS ok
 FROM (VALUES {_qid_values(1 + len(FRAC_RECTS))}) t(qid)
@@ -739,7 +806,7 @@ GATE_QUERIES = {
     "geo_polygon_count_frac": (q_polygon_count_frac,
                                oracle_polygon_count_frac),
     "geo_polygon_count_frac_dyn": (q_polygon_count_frac_dyn,
-                                   oracle_polygon_count_frac),
+                                   oracle_polygon_count_frac_dyn),
     "geo_item_range_freq": (q_item_range_freq, oracle_item_range_freq),
     "geo_item_range_dcm": (q_item_range_dcm, oracle_item_range_freq),
     "geo_span_rollup": (q_span_rollup, oracle_span_rollup),
