@@ -793,7 +793,65 @@ ORDER BY ts
 """
 
 
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F10 driver gate: REAL Structured-Streaming ingestion — a file
+    source consumed in availableNow micro-batches through foreachBatch
+    (exactly-once per-batch partials), a SECOND appended batch picked
+    up incrementally from the checkpoint, then ``compact()`` committing
+    a first-class snapshot — queried through the full exact pipeline
+    and compared row-for-row against DuckDB over the union input. The
+    one gate that runs readStream/writeStream inside the driver's
+    correctness harness (reference: continuous Update() loop,
+    experiments.cpp:312-319)."""
+    key = (sf_dir, N, MIN_LEVEL, "stream")
+    st = _STORES.get(key)
+    if st is None:
+        import tempfile
+        from .geo.events import derive_geo_events
+        from .streaming.sketch_stream import StreamingSketch
+        schema = "ts BIGINT, item BIGINT, x BIGINT, y BIGINT, value BIGINT"
+        ev = derive_geo_events(spark, sf_dir, N)
+        base = tempfile.mkdtemp(prefix="gate_stream_")
+        src = f"{base}/src"
+        ev.where(F.col("ts") % 2 == 0).write.mode("overwrite").parquet(src)
+        cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+        ss = StreamingSketch(spark, cfg, "exact", MIN_LEVEL,
+                             f"{base}/store")
+        ss.start(spark.readStream.schema(schema).parquet(src)) \
+            .awaitTermination(300)
+        # append-only source growth -> the next run ingests ONLY the
+        # new files (offsets from the stream checkpoint)
+        ev.where(F.col("ts") % 2 == 1).write.mode("append").parquet(src)
+        ss.start(spark.readStream.schema(schema).parquet(src)) \
+            .awaitTermination(300)
+        st = ss.compact()
+        st.df = st.df.cache()
+        _STORES[key] = st
+    eng = SpatialSketchEngine(st)
+    items = [3, 17, 42, 255]
+    qs = ([QuerySpec(i, [r], "count") for i, r in enumerate(RECTS)]
+          + [QuerySpec(len(RECTS) + i, [r], "freq", item=it)
+             for i, (r, it) in enumerate(zip(RECTS, items))])
+    return _result(eng, qs)
+
+
+def oracle_stream_ingest() -> str:
+    """The streamed store over batch₀ ∪ batch₁ must equal the batch
+    answer over ALL events — same region aggregation the exact gates
+    prove equal to DuckDB."""
+    items = [3, 17, 42, 255]
+    iv = ",".join(f"({len(RECTS) + i},{it})"
+                  for i, it in enumerate(items))
+    agg = ("SELECT m.qid, SUM(m.value) AS v FROM matched m "
+           "LEFT JOIN qi ON qi.qid = m.qid "
+           "WHERE qi.item IS NULL OR qi.item = m.item GROUP BY m.qid")
+    return _region_agg_sql([[r] for r in RECTS] + [[r] for r in RECTS],
+                           agg, extra_values=f"qi(qid, item) AS "
+                                             f"(VALUES {iv}),")
+
+
 GATE_QUERIES = {
+    "geo_stream_ingest": (q_stream_ingest, oracle_stream_ingest),
     "geo_polygon_count": (q_polygon_count, oracle_polygon_count),
     "geo_polygon_count_dynsketch": (q_polygon_count_dynsketch,
                                     oracle_polygon_count),
