@@ -6,7 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .pipeline import dedup, media, relational, similarity, temporal, text
+from .pipeline import (dedup, media, relational, sampling, similarity,
+                       temporal, text)
 
 EMB_QUERY_IDS = [0, 1, 2, 3]
 
@@ -29,6 +30,23 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("text_hash")
+
+
+def q_stratified_sample(spark, sf_dir):
+    # per-(lang, source) quota of 7, hash-rank deterministic — stable
+    # under repartitioning/retries, unlike partition-order df.sample()
+    from pyspark.sql import functions as F
+    return (sampling.stratified_sample(_docs(spark, sf_dir),
+                                       ["lang", "source"], 7)
+            .select(F.col("doc_id").cast("bigint"), "lang", "source")
+            .orderBy("doc_id"))
+
+
+def q_hash_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+    return (sampling.hash_sample(_docs(spark, sf_dir), 0.25)
+            .select(F.col("doc_id").cast("bigint"))
+            .orderBy("doc_id"))
 
 
 def q_jaccard_pairs(spark, sf_dir):
@@ -301,6 +319,11 @@ PIPELINE_GATE = {
     "tmp_range_join_bucketed": (q_range_join_bucketed, oracle_range_join),
     "tmp_time_rollup": (q_time_rollup, oracle_time_rollup),
     "doc_exact_dedup": (q_exact_dedup, dedup.oracle_exact_dedup),
+    "doc_stratified_sample": (
+        q_stratified_sample,
+        lambda: sampling.oracle_stratified_sample(["lang", "source"], 7)),
+    "doc_hash_sample": (q_hash_sample,
+                        lambda: sampling.oracle_hash_sample(0.25)),
     "doc_jaccard_pairs": (q_jaccard_pairs,
                           lambda: dedup.oracle_jaccard_pairs(3, 10)),
     "doc_minhash_lsh": (q_minhash_lsh, dedup.oracle_minhash_candidates),

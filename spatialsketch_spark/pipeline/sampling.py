@@ -1,0 +1,89 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB corpus is rarely consumed whole: pipelines draw per-language /
+per-source quotas (stratified) or fixed-rate subsets (Bernoulli). Both
+operators here are DETERMINISTIC BY CONTENT KEY, not by partition
+order: the sample is a pure function of (id, seed), so it is stable
+across cluster sizes, retries, and AQE re-plans — the property
+`df.sample()` (partition-order-dependent RNG) cannot give — and it is
+exactly reproducible in ANSI SQL, so both operators carry full
+bit-compare DuckDB oracles in the driver gate.
+
+The ordering key is the cross-engine-stable md5 trick the oracle gates
+standardize on: Spark ``conv(substring(md5(s), 1, 15), 16, 10)`` ==
+DuckDB ``('0x' || substr(md5(s), 1, 15))::BIGINT`` — 60 uniform bits.
+
+Scale posture: stratified_sample is ONE shuffle (the per-stratum
+window); hash_sample is a pure map-side filter (no shuffle at all).
+Skewed strata cost a per-stratum external sort — acceptable for
+quota-style n; for top-heavy quotas prefer hash_sample with a
+per-stratum threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+HASH_BITS = 60                       # 15 hex digits
+
+
+def _rank_key(id_col: str, seed: int):
+    """Seeded 60-bit uniform key from the row id — identical text
+    semantics in Spark and DuckDB (see module docstring)."""
+    s = F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def stratified_sample(df: DataFrame, strata_cols: list[str], n: int,
+                      seed: int = 17, id_col: str = "doc_id") -> DataFrame:
+    """Up to ``n`` rows per stratum, chosen by seeded hash rank (ties
+    broken by id). Deterministic: the same (df, seed) always yields the
+    same sample, independent of partitioning."""
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]) \
+              .orderBy(_rank_key(id_col, seed).asc(), F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n).drop("__rk"))
+
+
+def hash_sample(df: DataFrame, fraction: float, seed: int = 17,
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keep rows whose seeded
+    60-bit key falls below fraction·2^60. No shuffle; the expected rate
+    is ``fraction`` with the exact membership a pure function of
+    (id, seed) — re-running, repartitioning, or scaling the cluster
+    reproduces the identical subset."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = int(fraction * (1 << HASH_BITS))
+    return df.where(_rank_key(id_col, seed) < F.lit(threshold))
+
+
+def _key_sql(id_expr: str, seed: int) -> str:
+    return (f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '|' "
+            f"|| '{seed}'), 1, 15))::BIGINT)")
+
+
+def oracle_stratified_sample(strata_cols: list[str], n: int,
+                             seed: int = 17) -> str:
+    strata = ", ".join(strata_cols)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, {strata},
+         ROW_NUMBER() OVER (PARTITION BY {strata}
+                            ORDER BY {_key_sql('doc_id', seed)}, doc_id)
+           AS rk
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {strata}
+FROM ranked WHERE rk <= {n}
+ORDER BY doc_id
+"""
+
+
+def oracle_hash_sample(fraction: float, seed: int = 17) -> str:
+    threshold = int(fraction * (1 << HASH_BITS))
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM documents
+WHERE {_key_sql('doc_id', seed)} < {threshold}
+ORDER BY doc_id
+"""

@@ -527,3 +527,47 @@ def test_gif_malformed_inputs():
         media.decode_gif(good[:20])            # truncated mid-stream
     with _pytest.raises(ValueError, match="no image block"):
         media.decode_gif(good[:6] + good[6:13] + good[13:19] + b";")
+
+
+def test_stratified_sample_quota_and_determinism(spark, docs):
+    """Per-stratum quotas are honored exactly (min(n, stratum size)),
+    and the sample is a pure function of (id, seed) — identical across
+    repartitionings, different under a different seed."""
+    from spatialsketch_spark.pipeline import sampling
+    s = sampling.stratified_sample(docs, ["lang"], 5)
+    per = {r["lang"]: r["cnt"] for r in
+           s.groupBy("lang").count().withColumnRenamed("count", "cnt")
+           .collect()}
+    full = {r["lang"]: r["cnt"] for r in
+            docs.groupBy("lang").count().withColumnRenamed("count", "cnt")
+            .collect()}
+    for lang, c in per.items():
+        assert c == min(5, full[lang]), lang
+    a = sorted(r["doc_id"] for r in s.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               sampling.stratified_sample(docs.repartition(13), ["lang"], 5)
+               .select("doc_id").collect())
+    assert a == b
+    c2 = sorted(r["doc_id"] for r in
+                sampling.stratified_sample(docs, ["lang"], 5, seed=99)
+                .select("doc_id").collect())
+    assert a != c2
+
+
+def test_hash_sample_rate_disjointness_and_bounds(spark, docs):
+    """Bernoulli-by-hash: observed rate near the target, nested
+    fractions give nested subsets (threshold monotonicity), and
+    out-of-range fractions are rejected."""
+    import pytest as _pytest
+    from spatialsketch_spark.pipeline import sampling
+    n = docs.count()
+    s25 = {r["doc_id"] for r in
+           sampling.hash_sample(docs, 0.25).select("doc_id").collect()}
+    s50 = {r["doc_id"] for r in
+           sampling.hash_sample(docs, 0.50).select("doc_id").collect()}
+    assert abs(len(s25) / n - 0.25) < 0.08
+    assert s25 <= s50                      # nested by construction
+    assert sampling.hash_sample(docs, 0.0).count() == 0
+    assert sampling.hash_sample(docs, 1.0).count() == n
+    with _pytest.raises(ValueError):
+        sampling.hash_sample(docs, 1.5)
