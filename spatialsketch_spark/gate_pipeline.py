@@ -49,6 +49,16 @@ def q_hash_sample(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_budget_sample(spark, sf_dir):
+    # "5000 chars per language" curation walk in seeded-hash order
+    from pyspark.sql import functions as F
+    return (sampling.budget_sample(_docs(spark, sf_dir), ["lang"],
+                                   5000, "n_chars")
+            .select(F.col("doc_id").cast("bigint"), "lang",
+                    F.col("n_chars").cast("bigint"))
+            .orderBy("doc_id"))
+
+
 def q_jaccard_pairs(spark, sf_dir):
     # tau = 0.3: 10 * inter >= 3 * union
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), num=3, den=10) \
@@ -324,6 +334,9 @@ PIPELINE_GATE = {
         lambda: sampling.oracle_stratified_sample(["lang", "source"], 7)),
     "doc_hash_sample": (q_hash_sample,
                         lambda: sampling.oracle_hash_sample(0.25)),
+    "doc_budget_sample": (
+        q_budget_sample,
+        lambda: sampling.oracle_budget_sample(["lang"], 5000, "n_chars")),
     "doc_jaccard_pairs": (q_jaccard_pairs,
                           lambda: dedup.oracle_jaccard_pairs(3, 10)),
     "doc_minhash_lsh": (q_minhash_lsh, dedup.oracle_minhash_candidates),

@@ -58,6 +58,23 @@ def hash_sample(df: DataFrame, fraction: float, seed: int = 17,
     return df.where(_rank_key(id_col, seed) < F.lit(threshold))
 
 
+def budget_sample(df: DataFrame, strata_cols: list[str], budget: int,
+                  weight_col: str, seed: int = 17,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-stratum WEIGHT budget instead of a row quota: walk the
+    stratum in seeded-hash order and keep rows while the running sum of
+    ``weight_col`` (tokens, chars, bytes) stays ≤ ``budget``. The
+    common curation shape "N tokens per language": deterministic,
+    one shuffle, integer arithmetic end to end. A row that would
+    overshoot the budget is excluded (its successors too — prefix
+    semantics, so the kept set is still a pure function of (df, seed))."""
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]) \
+              .orderBy(_rank_key(id_col, seed).asc(), F.col(id_col).asc()) \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (df.withColumn("__cum", F.sum(F.col(weight_col)).over(w))
+            .where(F.col("__cum") <= budget).drop("__cum"))
+
+
 def _key_sql(id_expr: str, seed: int) -> str:
     return (f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '|' "
             f"|| '{seed}'), 1, 15))::BIGINT)")
@@ -75,6 +92,23 @@ WITH ranked AS (
   FROM documents)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {strata}
 FROM ranked WHERE rk <= {n}
+ORDER BY doc_id
+"""
+
+
+def oracle_budget_sample(strata_cols: list[str], budget: int,
+                         weight_col: str, seed: int = 17) -> str:
+    strata = ", ".join(strata_cols)
+    return f"""
+WITH walked AS (
+  SELECT doc_id, {strata}, {weight_col},
+         SUM({weight_col}) OVER (PARTITION BY {strata}
+             ORDER BY {_key_sql('doc_id', seed)}, doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {strata},
+       CAST({weight_col} AS BIGINT) AS {weight_col}
+FROM walked WHERE cum <= {budget}
 ORDER BY doc_id
 """
 

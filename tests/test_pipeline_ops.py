@@ -571,3 +571,24 @@ def test_hash_sample_rate_disjointness_and_bounds(spark, docs):
     assert sampling.hash_sample(docs, 1.0).count() == n
     with _pytest.raises(ValueError):
         sampling.hash_sample(docs, 1.5)
+
+
+def test_budget_sample_prefix_semantics(spark, docs):
+    """Token-budget walk: per-stratum weight sums stay <= budget, the
+    kept set is the PREFIX of the hash order (adding budget only ever
+    grows the sample), and it is repartition-stable."""
+    from spatialsketch_spark.pipeline import sampling
+    s1 = sampling.budget_sample(docs, ["lang"], 3000, "n_chars")
+    sums = {r["lang"]: r["s"] for r in
+            s1.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()}
+    assert all(v <= 3000 for v in sums.values()), sums
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in
+            sampling.budget_sample(docs, ["lang"], 6000, "n_chars")
+            .select("doc_id").collect()}
+    assert ids1 <= ids2                    # prefix monotone in budget
+    ids1b = {r["doc_id"] for r in
+             sampling.budget_sample(docs.repartition(11), ["lang"],
+                                    3000, "n_chars")
+             .select("doc_id").collect()}
+    assert ids1 == ids1b
