@@ -70,6 +70,14 @@ def q_minhash_lsh(spark, sf_dir):
         .orderBy("doc_a", "doc_b")
 
 
+def q_dup_clusters(spark, sf_dir):
+    # transitive closure over the SAME minhash-LSH candidate pairs the
+    # doc_minhash_lsh gate proves equal to DuckDB; min-id representative
+    return dedup.dup_clusters(
+        dedup.minhash_lsh_candidates(_docs(spark, sf_dir))) \
+        .orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -340,6 +348,10 @@ PIPELINE_GATE = {
     "doc_jaccard_pairs": (q_jaccard_pairs,
                           lambda: dedup.oracle_jaccard_pairs(3, 10)),
     "doc_minhash_lsh": (q_minhash_lsh, dedup.oracle_minhash_candidates),
+    "doc_dup_clusters": (
+        q_dup_clusters,
+        lambda: dedup.oracle_dup_clusters(
+            dedup.oracle_minhash_candidates())),
     "doc_simhash": (q_simhash, dedup.oracle_simhash),
     "doc_token_stats": (q_token_stats, text.oracle_token_stats),
     "doc_quality": (q_quality, text.oracle_quality_score),

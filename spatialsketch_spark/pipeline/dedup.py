@@ -269,3 +269,70 @@ per AS (SELECT doc_id, {s_exprs} FROM shh GROUP BY doc_id)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({fp} AS BIGINT) AS simhash
 FROM per ORDER BY doc_id
 """
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
+                 id_b: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Transitive closure over near-duplicate candidate PAIRS — the step
+    a curation pipeline needs after LSH banding: connected components
+    with the MIN doc id as the deterministic cluster representative.
+    -> (doc_id, cluster_id), one row per doc appearing in any pair.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels (one join + one
+    groupBy per round); converges in O(component diameter) rounds —
+    near-dup clusters are short-diameter in practice, and the loop
+    stops as soon as a round changes nothing. Each round's frontier is
+    localCheckpointed: iterative plans otherwise grow lineage
+    exponentially (the classic iterative-Spark trap). At cluster scale
+    this is the standard label-propagation connected-components shape
+    (two shuffles per round, no driver-side state beyond the
+    convergence counter)."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .distinct().localCheckpoint()
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("node").alias("b"),
+                                        F.col("label").alias("nl")), "b")
+               .groupBy("a").agg(F.min("nl").alias("nbl")))
+        new = (labels.join(nbr.withColumnRenamed("a", "node"),
+                           "node", "left")
+               .select("node",
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("nbl"), F.col("label")))
+                       .alias("label"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("label", "old"),
+                            "node")
+                   .where(F.col("label") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds the bound; raise max_iter")
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def oracle_dup_clusters(pairs_sql: str) -> str:
+    """DuckDB recursive-CTE closure over the SAME pair definition: the
+    min id reachable from each node. ``pairs_sql`` must yield
+    (doc_a, doc_b)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""

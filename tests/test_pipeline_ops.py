@@ -592,3 +592,20 @@ def test_budget_sample_prefix_semantics(spark, docs):
                                     3000, "n_chars")
              .select("doc_id").collect()}
     assert ids1 == ids1b
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """Multi-hop components: a 6-node chain and a 4-cycle must each
+    collapse to one cluster labeled by its min id, across several
+    propagation rounds (diameter > 1); disconnected pairs stay apart."""
+    chain = [(i, i + 1) for i in range(10, 15)]         # 10-…-15
+    cycle = [(20, 21), (21, 22), (22, 23), (23, 20)]
+    lone = [(30, 31)]
+    pairs = spark.createDataFrame(chain + cycle + lone,
+                                  "doc_a BIGINT, doc_b BIGINT")
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           dedup.dup_clusters(pairs).collect()}
+    assert all(got[i] == 10 for i in range(10, 16))
+    assert all(got[i] == 20 for i in (20, 21, 22, 23))
+    assert got[30] == 30 and got[31] == 30
+    assert len(got) == 12
