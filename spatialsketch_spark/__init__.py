@@ -11,8 +11,9 @@ reference C++ engine at /root/reference) as an idiomatic PySpark engine:
 - rectilinear-polygon -> rectangle partitioning
   (reference: repository/src/spatialsketch/Partitioner.cpp)
 - exact spatial joins (point-in-polygon, kNN, raster<->vector tiling)
-- large-scale training-data pipeline ops (dedup, similarity search,
-  text analysis, multimodal plumbing)
+- large-scale training-data pipeline ops (dedup + duplicate
+  clustering, similarity search, text analysis, deterministic curation
+  sampling, multimodal plumbing)
 
 Architecture is Spark-first, NOT a port: sketch builds are one
 map-side-combined shuffle (mapInPandas partials -> groupBy merge),
