@@ -49,6 +49,45 @@ def q_hash_sample(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation composition — the flow a real training-data
+    job runs, as ONE gated query: quality-score every document, keep
+    quality >= 2, then walk each language's survivors in seeded-hash
+    order under a 4000-char budget. Exercises operator COMPOSITION
+    (filter feeding the window) rather than ops in isolation; the
+    oracle recomputes the whole chain in SQL."""
+    from pyspark.sql import functions as F
+    docs = _docs(spark, sf_dir)
+    kept = docs.join(
+        text.quality_score(docs).where(F.col("quality") >= 2), "doc_id")
+    out = sampling.budget_sample(kept, ["lang"], 4000, "n_chars")
+    return (out.select(F.col("doc_id").cast("bigint"), "lang",
+                       F.col("n_chars").cast("bigint"),
+                       F.col("quality").cast("bigint"))
+            .orderBy("doc_id"))
+
+
+def oracle_curation_pipeline() -> str:
+    qsql = text.oracle_quality_score()
+    key = sampling._key_sql("k.doc_id", 17)
+    return f"""
+WITH q AS ({qsql}),
+kept AS (
+  SELECT d.doc_id, d.lang, d.n_chars, q.quality
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  WHERE q.quality >= 2),
+walked AS (
+  SELECT k.*, SUM(k.n_chars) OVER (PARTITION BY k.lang
+      ORDER BY {key}, k.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM kept k)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(quality AS BIGINT) AS quality
+FROM walked WHERE cum <= 4000
+ORDER BY doc_id
+"""
+
+
 def q_budget_sample(spark, sf_dir):
     # "5000 chars per language" curation walk in seeded-hash order
     from pyspark.sql import functions as F
@@ -138,6 +177,18 @@ def q_lsh_dups(spark, sf_dir):
     # join is demoted to a test-only verifier
     return similarity.lsh_dup_pairs(_emb(spark, sf_dir), 0.3, **LSH_GATE) \
         .orderBy("vec_a", "vec_b")
+
+
+def q_emb_dup_clusters(spark, sf_dir):
+    # closure over the SAME recall-complete LSH near-dup pairs the
+    # emb_lsh_dups gate proves equal to the brute-force oracle
+    from pyspark.sql import functions as F
+    return (dedup.dup_clusters(
+                similarity.lsh_dup_pairs(_emb(spark, sf_dir), 0.3,
+                                         **LSH_GATE),
+                id_a="vec_a", id_b="vec_b")
+            .select(F.col("doc_id").alias("vec_id"), "cluster_id")
+            .orderBy("vec_id"))
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -345,6 +396,8 @@ PIPELINE_GATE = {
     "doc_budget_sample": (
         q_budget_sample,
         lambda: sampling.oracle_budget_sample(["lang"], 5000, "n_chars")),
+    "doc_curation_pipeline": (q_curation_pipeline,
+                              oracle_curation_pipeline),
     "doc_jaccard_pairs": (q_jaccard_pairs,
                           lambda: dedup.oracle_jaccard_pairs(3, 10)),
     "doc_minhash_lsh": (q_minhash_lsh, dedup.oracle_minhash_candidates),
@@ -366,6 +419,11 @@ PIPELINE_GATE = {
                      lambda: similarity.oracle_cosine_topk(EMB_QUERY_IDS, 5)),
     "emb_lsh_dups": (q_lsh_dups,
                      lambda: similarity.oracle_cosine_dup_pairs(0.3)),
+    "emb_dup_clusters": (
+        q_emb_dup_clusters,
+        lambda: dedup.oracle_dup_clusters(
+            similarity.oracle_cosine_dup_pairs(0.3),
+            id_a="vec_a", id_b="vec_b", out_id="vec_id")),
     # adaptive IVF is provably exact (triangle-inequality list pruning
     # bounded by the query's own-list kth-best) — gated against the
     # same exact-top-k oracle as the brute-force baseline

@@ -319,20 +319,22 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
                          F.col("label").alias("cluster_id"))
 
 
-def oracle_dup_clusters(pairs_sql: str) -> str:
+def oracle_dup_clusters(pairs_sql: str, id_a: str = "doc_a",
+                        id_b: str = "doc_b",
+                        out_id: str = "doc_id") -> str:
     """DuckDB recursive-CTE closure over the SAME pair definition: the
     min id reachable from each node. ``pairs_sql`` must yield
-    (doc_a, doc_b)."""
+    (``id_a``, ``id_b``) pairs."""
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
 edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
+  SELECT {id_a} AS a, {id_b} AS b FROM pairs
+  UNION SELECT {id_b}, {id_a} FROM pairs),
 reach(node, label) AS (
   SELECT a, a FROM edges
   UNION
   SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
-SELECT CAST(node AS BIGINT) AS doc_id,
+SELECT CAST(node AS BIGINT) AS {out_id},
        CAST(MIN(label) AS BIGINT) AS cluster_id
-FROM reach GROUP BY node ORDER BY doc_id
+FROM reach GROUP BY node ORDER BY {out_id}
 """
