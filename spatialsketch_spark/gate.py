@@ -215,8 +215,11 @@ def q_polygon_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_polygon_sphere() -> str:
-    from .sources.geocells import lonlat_sql, spherical_pip_expr
-    _cond, pip_sql = spherical_pip_expr(SPHERE_POLY)
+    # SQL-only form: oracle generators must not build Spark Columns
+    # (Column construction asserts an active SparkContext; the driver
+    # may call oracle_sql() before — or without — creating a session)
+    from .sources.geocells import lonlat_sql, spherical_pip_sql
+    pip_sql = spherical_pip_sql(SPHERE_POLY)
     return f"""
 WITH ll AS ({lonlat_sql()}),
 d AS (

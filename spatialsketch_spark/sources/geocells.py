@@ -534,6 +534,34 @@ def spherical_pip_expr(vertices: list[tuple[float, float]]):
     return (total % 2 == 1), "(" + " + ".join(sqls) + ") % 2 = 1"
 
 
+def spherical_pip_sql(vertices: list[tuple[float, float]]) -> str:
+    """SQL-only form of the even-odd spherical PIP — pure string
+    construction with NO Spark Column objects, so oracle_sql() stays
+    callable without an active SparkContext (Column construction
+    asserts one; an oracle generator must never depend on session
+    state)."""
+    import numpy as np
+    verts = [_unit(lo, la) for lo, la in vertices]
+    centroid = np.sum(verts, axis=0)
+    q = -centroid / np.linalg.norm(centroid)
+    sqls = []
+    for i in range(len(verts)):
+        a, b = verts[i], verts[(i + 1) % len(verts)]
+        n_ab = np.cross(a, b)
+        d_abq = float(n_ab @ q)
+        qa, qb = np.cross(q, a), np.cross(q, b)
+
+        def dot_sql(v):
+            return (f"(dx * {float(v[0])!r} + dy * {float(v[1])!r}"
+                    f" + dz * {float(v[2])!r})")
+
+        sqls.append(f"(CASE WHEN {dot_sql(n_ab)} * {d_abq!r} < 0 AND "
+                    f"{dot_sql(qa)} * {dot_sql(qb)} < 0 AND "
+                    f"{dot_sql(n_ab)} * {dot_sql(qb)} > 0 "
+                    "THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(sqls) + ") % 2 = 1"
+
+
 def _pip_batch_filter(vertices: list[tuple[float, float]]):
     """Vectorized exact great-circle PIP as ONE numpy pass per Arrow
     batch (mapInPandas passthrough filter). Chosen over the column-
