@@ -88,3 +88,22 @@ def test_gate_registry_staleness_rotation():
     # never-driver-verified gates (if any) lead the window
     if -1 in stamps:
         assert stamps[0] == -1
+
+
+def test_oracle_sql_builds_without_spark_session():
+    """Every oracle generator must be a pure SQL-string producer: run
+    the whole dict in a subprocess with NO SparkContext — one generator
+    reaching for Spark Columns would take the entire oracle dict down
+    (the failure mode the spherical gate had)."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '.');"
+         "import __spark_entry__ as e; print(len(e.oracle_sql()))"],
+        capture_output=True, text=True, timeout=120,
+        cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(__import__("os").path.abspath(
+                __file__))))
+    assert out.returncode == 0, out.stderr
+    assert int(out.stdout.strip()) >= 60
