@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": N, "unit": "q/s", "queries": {...}, "sf": ...}
+(the "queries" block itself is per-phase wall seconds)
 
 Headline components (BASELINE.json metric):
 - sketch-build rows/s: realistic-CM capped-pyramid build over the
@@ -228,7 +229,7 @@ def run_bench(cpus: int) -> dict:
     return {
         "metric": "polygon_qps_at_le5pct_err",
         "value": round(q_per_s, 2),
-        "unit": "sec",
+        "unit": "q/s",
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "detail": {

@@ -809,27 +809,39 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, N, MIN_LEVEL, "stream")
     st = _STORES.get(key)
     if st is None:
+        import shutil
         import tempfile
         from .geo.events import derive_geo_events
         from .streaming.sketch_stream import StreamingSketch
         schema = "ts BIGINT, item BIGINT, x BIGINT, y BIGINT, value BIGINT"
         ev = derive_geo_events(spark, sf_dir, N)
         base = tempfile.mkdtemp(prefix="gate_stream_")
-        src = f"{base}/src"
-        ev.where(F.col("ts") % 2 == 0).write.mode("overwrite").parquet(src)
-        cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
-        ss = StreamingSketch(spark, cfg, "exact", MIN_LEVEL,
-                             f"{base}/store")
-        ss.start(spark.readStream.schema(schema).parquet(src)) \
-            .awaitTermination(300)
-        # append-only source growth -> the next run ingests ONLY the
-        # new files (offsets from the stream checkpoint)
-        ev.where(F.col("ts") % 2 == 1).write.mode("append").parquet(src)
-        ss.start(spark.readStream.schema(schema).parquet(src)) \
-            .awaitTermination(300)
-        st = ss.compact()
-        st.df = st.df.cache()
-        _STORES[key] = st
+        try:
+            src = f"{base}/src"
+            ev.where(F.col("ts") % 2 == 0).write.mode("overwrite") \
+                .parquet(src)
+            cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
+            ss = StreamingSketch(spark, cfg, "exact", MIN_LEVEL,
+                                 f"{base}/store")
+            ss.start(spark.readStream.schema(schema).parquet(src)) \
+                .awaitTermination(300)
+            # append-only source growth -> the next run ingests ONLY the
+            # new files (offsets from the stream checkpoint)
+            ev.where(F.col("ts") % 2 == 1).write.mode("append") \
+                .parquet(src)
+            ss.start(spark.readStream.schema(schema).parquet(src)) \
+                .awaitTermination(300)
+            st = ss.compact()
+            # pin the snapshot in memory, then drop the temp tree
+            # (ADVICE r4: each driver run leaked src+store+checkpoint);
+            # count() materializes every cached partition so the store
+            # never needs to re-read the deleted parquet
+            st.df = st.df.cache()
+            st.df.count()
+            st.path = None  # snapshot dir is gone; disable re-commit
+            _STORES[key] = st
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
     eng = SpatialSketchEngine(st)
     items = [3, 17, 42, 255]
     qs = ([QuerySpec(i, [r], "count") for i, r in enumerate(RECTS)]
@@ -919,7 +931,18 @@ def _staleness_order(gates: dict) -> dict:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
+        for name, row in rows.items():
+            # only PASSED rows count as driver-verified (ADVICE r4):
+            # a failed row (err set, or any recorded match false) must
+            # keep the gate at the front of the window, not rotate it
+            # out for a round while it is known-broken
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            checks = [row.get(k) for k in
+                      ("rows_match", "schema_match", "hash_match")
+                      if k in row]
+            if not checks or not all(c is True for c in checks):
+                continue
             last_round[name] = max(last_round.get(name, -1), rnd)
     order = sorted(gates, key=lambda n: (last_round.get(n, -1), n))
     return {name: gates[name] for name in order}

@@ -8,16 +8,18 @@ from the raw events in Spark (the aggregation the exact gates prove
 equal to DuckDB), and emits ok = (estimate inside the kernel's proven
 envelope). Two verification tiers (VERDICT r3 task 4):
 
-- CM, BF and FM: the oracle REBUILDS the probed sketch state in
+- CM, BF, FM and ECM: the oracle REBUILDS the probed sketch state in
   DuckDB — the seeded hash family ((a·x + b) mod p) mod w, trailing-
-  zero bitmaps, and counter mins / bit tests are plain integer
-  arithmetic recomputed in SQL; the ESTIMATE ITSELF is compared
-  bit-for-bit alongside ok (FM's single float — the final
+  zero bitmaps, counter mins / bit tests, and (r5) the unit-weight
+  exponential histograms via the closed-form cascade digits are plain
+  integer arithmetic recomputed in SQL; the ESTIMATE ITSELF is
+  compared bit-for-bit alongside ok (FM's single float — the final
   2^(mean R)/φ — was measured bit-equal across engines with a 0.13
-  truncation margin).
-- ECM / elastic: the oracle emits literal 1s (self-asserted envelope)
-  — their estimators fold order-dependent histogram / heavy-light
-  state that SQL cannot reproduce faithfully.
+  truncation margin, asserted programmatically in
+  tests/test_entry_oracle.py::test_fm_estimate_rounding_margin).
+- elastic: the oracle emits literal 1s (self-asserted envelope) — the
+  heavy-part vote/evict state is adversarially order-dependent with
+  no closed form to rebuild from an unordered SQL aggregation.
 
 Hash coefficients are seed-fixed, so these gates are deterministic,
 not flaky.
@@ -55,12 +57,21 @@ def _store(spark: SparkSession, sf_dir: str, kind: str) -> SketchStore:
         cfg = SketchConfig.realistic(n=N, eps=0.1, delta=0.05,
                                      item_domain=ITEM_DOMAIN)
         ev = derive_geo_events(spark, sf_dir, N)
+        nparts = None
         if kind == "ecm":
             # bound the sequential EH fold's python time in the gate:
             # a deterministic 1-in-4 event subset keeps the same
             # semantics at a quarter of the insert count
             ev = ev.where(F.col("ts") % 4 == 0)
-        st = SketchStore.build(spark, ev, cfg, kind, MIN_LEVEL)
+            # single-partial build (r5): one partition -> every cell's
+            # EH is the single-stream ts-sorted fold, the shape the
+            # closed-form DuckDB oracle rebuilds. The multi-partial
+            # flatten/half-weight merge path stays covered by
+            # test_ecm_merge_matches_reference_semantics and the
+            # per-kind merge==rebuild snapshot tests.
+            nparts = 1
+        st = SketchStore.build(spark, ev, cfg, kind, MIN_LEVEL,
+                               num_partitions=nparts)
         st.df = st.df.cache()
         _STORES[key] = st
     return st
@@ -385,7 +396,16 @@ def q_env_window_ecm(spark, sf_dir) -> DataFrame:
     is proportional to the REGION's total window mass (eps * L1), not
     the item's own count — with small per-item truths the collision
     term dominates. ok = truth/2 - 3 <= est <= 1.5*truth +
-    eps*region_window_mass + 3."""
+    eps*region_window_mass + 3.
+
+    r5 (VERDICT r4 task 5): the oracle is no longer literal 1s — the
+    geo-event stream is unit-weight, so every per-cell EH the engine
+    builds has the closed-form shape ``_eh_from_sorted_const`` derives
+    (class counts = the cascade recurrence, proven equal to the closed
+    digit formula in tests/test_kernels.py), window estimates are
+    ADDITIVE over cover cells (query.py:82-88 — no cross-cell merge on
+    the 'window' path), and DuckDB rebuilds the buckets, HistSum and
+    min-over-rows bit-for-bit; est is hash-compared alongside ok."""
     st = _store(spark, sf_dir, "ecm")
     eng = SpatialSketchEngine(st)
     qs = [QuerySpec(i, [r], "window", item=it, t0=t0)
@@ -397,10 +417,128 @@ def q_env_window_ecm(spark, sf_dir) -> DataFrame:
     l1 = _truth(spark, sf_dir, all_probes, t0_col=True, ev_filter=flt) \
         .withColumnRenamed("truth", "l1")
     eps = 0.1
-    return _ok(est.join(l1, "qid"), truth,
-               (2 * F.col("est") >= F.col("truth") - 6)
-               & (F.col("est") <= 1.5 * F.col("truth")
-                  + eps * F.col("l1") + 3))
+    return (est.join(l1, "qid").join(truth, "qid")
+            .select("qid", F.col("est").cast("bigint").alias("est"),
+                    ((2 * F.col("est") >= F.col("truth") - 6)
+                     & (F.col("est") <= 1.5 * F.col("truth")
+                        + eps * F.col("l1") + 3))
+                    .cast("bigint").alias("ok"))
+            .orderBy("qid"))
+
+
+def oracle_env_window_ecm() -> str:
+    """Full ECM recomputation in DuckDB (reference ECM.cpp:89-137 build,
+    254-282 HistSum). Per (probe, cover cell, hash row): the matched
+    substream is every cell event whose item collides with the probe
+    item under that row's hash, ts-sorted. Its exponential histogram is
+    the closed-form unit-weight shape: with m arrivals, capacity k, and
+    u = m + k, the per-class bucket counts are d_i = k + bit_i(u) for
+    i < t and d_t = (u >> t) - k, where t is the largest t with
+    (k+1)·2^t <= u (proven equal to the insert cascade for every m in
+    tests/test_kernels.py::test_eh_unit_counts_closed_form). Bucket
+    (cls, j) covers the ts slice at reverse ranks [off+1, off+2^cls]
+    with off = k·(2^cls - 1) + (u mod 2^cls) + j·2^cls. HistSum(t0) =
+    full buckets with start_ts >= t0 plus half the straddling bucket;
+    cell estimate = floor(min over rows); window estimates are additive
+    over cover cells. est is compared bit-for-bit; ok mirrors the Spark
+    envelope expression IEEE-op-for-op."""
+    from .core.dyadic import cover_2d
+    from .core.kernels import ECMKernel
+    from .geo.events import geo_events_sql
+    cfg = _realistic_cfg()
+    kern = ECMKernel(cfg.cm_width, cfg.cm_depth, cfg.ecm_k, cfg.seed)
+    K, w, p = kern.k, kern.w, 2147483647
+    log_n = cfg.levels - 1
+    cover, probes = [], []
+    for qid, (rect, item, t0) in enumerate(ECM_PROBES):
+        x1, y1, x2, y2 = rect
+        probes.append(f"({qid},{item},{t0},{x1},{y1},{x2},{y2})")
+        for ci, (kx, ky, cx, cy, cov) in enumerate(
+                cover_2d(x1, y1, x2, y2, log_n, MIN_LEVEL, MIN_LEVEL)):
+            assert cov == 1.0, "envelope probes must be block-aligned"
+            cover.append(f"({qid},{ci},{cx << kx},{((cx + 1) << kx) - 1},"
+                         f"{cy << ky},{((cy + 1) << ky) - 1})")
+    hrows = ",".join(f"({r},{int(a)}::BIGINT,{int(b)}::BIGINT)"
+                     for r, (a, b) in enumerate(kern.coeffs))
+    pow2 = ",".join(f"({t},{1 << t}::BIGINT)" for t in range(41))
+    return f"""
+WITH geo AS (
+  SELECT * FROM ({geo_events_sql(N)}) WHERE ts % 4 = 0),
+cover(qid, cid, cx1, cx2, cy1, cy2) AS (VALUES {",".join(cover)}),
+probes(qid, qitem, t0, x1, y1, x2, y2) AS (VALUES {",".join(probes)}),
+hash(r, a, b) AS (VALUES {hrows}),
+pow2(t, v) AS (VALUES {pow2}),
+sub AS (
+  SELECT cv.qid, cv.cid, h.r, e.ts,
+         ROW_NUMBER() OVER (PARTITION BY cv.qid, cv.cid, h.r
+                            ORDER BY e.ts DESC) AS rn
+  FROM cover cv
+  JOIN probes pr ON pr.qid = cv.qid
+  CROSS JOIN hash h
+  JOIN geo e
+    ON e.x BETWEEN cv.cx1 AND cv.cx2
+   AND e.y BETWEEN cv.cy1 AND cv.cy2
+   AND ((h.a * e.item + h.b) % {p}) % {w}
+       = ((h.a * pr.qitem + h.b) % {p}) % {w}),
+grp AS (
+  SELECT qid, cid, r, COUNT(*) AS m, COUNT(*) + {K} AS u
+  FROM sub GROUP BY qid, cid, r),
+shape AS (
+  SELECT g.qid, g.cid, g.r, g.u, MAX(p2.t) AS tt
+  FROM grp g JOIN pow2 p2 ON {K + 1} * p2.v <= g.u
+  GROUP BY g.qid, g.cid, g.r, g.u),
+buckets AS (
+  SELECT s.qid, s.cid, s.r, p2.v AS sz,
+         {K} * (p2.v - 1) + (s.u % p2.v) + j.j * p2.v AS off
+  FROM shape s
+  JOIN pow2 p2 ON p2.t <= s.tt,
+  LATERAL UNNEST(range(0, CASE WHEN p2.t < s.tt
+                               THEN {K} + (s.u // p2.v) % 2
+                               ELSE (s.u // p2.v) - {K} END)) AS j(j)),
+hist AS (
+  SELECT b.qid, b.cid, b.r,
+         SUM(CASE WHEN s1.ts >= pr.t0 THEN CAST(b.sz AS DOUBLE)
+                  WHEN s2.ts >= pr.t0 THEN b.sz / 2.0
+                  ELSE 0.0 END) AS hs
+  FROM buckets b
+  JOIN probes pr ON pr.qid = b.qid
+  JOIN sub s1 ON s1.qid = b.qid AND s1.cid = b.cid AND s1.r = b.r
+             AND s1.rn = b.off + b.sz
+  JOIN sub s2 ON s2.qid = b.qid AND s2.cid = b.cid AND s2.r = b.r
+             AND s2.rn = b.off + 1
+  GROUP BY b.qid, b.cid, b.r),
+scaffold AS (SELECT cv.qid, cv.cid, h.r FROM cover cv CROSS JOIN hash h),
+cell_row AS (
+  SELECT sc.qid, sc.cid, sc.r, COALESCE(hi.hs, 0.0) AS hs
+  FROM scaffold sc
+  LEFT JOIN hist hi ON hi.qid = sc.qid AND hi.cid = sc.cid
+                   AND hi.r = sc.r),
+cell_est AS (
+  SELECT qid, cid, CAST(FLOOR(MIN(hs)) AS BIGINT) AS est
+  FROM cell_row GROUP BY qid, cid),
+est AS (
+  SELECT qid, CAST(SUM(est) AS BIGINT) AS est FROM cell_est GROUP BY qid),
+truth AS (
+  SELECT pr.qid, COALESCE(SUM(e.value), 0) AS t
+  FROM probes pr
+  LEFT JOIN geo e
+    ON e.x BETWEEN pr.x1 AND pr.x2 AND e.y BETWEEN pr.y1 AND pr.y2
+   AND e.item = pr.qitem AND e.ts >= pr.t0
+  GROUP BY pr.qid),
+l1 AS (
+  SELECT pr.qid, COALESCE(SUM(e.value), 0) AS l1
+  FROM probes pr
+  LEFT JOIN geo e
+    ON e.x BETWEEN pr.x1 AND pr.x2 AND e.y BETWEEN pr.y1 AND pr.y2
+   AND e.ts >= pr.t0
+  GROUP BY pr.qid)
+SELECT CAST(e.qid AS BIGINT) AS qid, CAST(e.est AS BIGINT) AS est,
+       CAST(CASE WHEN 2 * e.est >= t.t - 6
+                  AND e.est <= 1.5 * t.t + 0.1 * l.l1 + 3
+             THEN 1 ELSE 0 END AS BIGINT) AS ok
+FROM est e JOIN truth t ON t.qid = e.qid JOIN l1 l ON l.qid = e.qid
+ORDER BY qid
+"""
 
 
 # --- Elastic frequency (same-budget-vs-CM margin) ---------------------------
@@ -437,15 +575,16 @@ def q_env_freq_elastic(spark, sf_dir) -> DataFrame:
 
 
 ENVELOPE_GATE = {
-    # CM and BF carry FULL DuckDB recomputation oracles (hash family
-    # rebuilt in SQL, est compared bit-for-bit); FM/ECM/elastic keep
-    # the self-asserted envelope form (their estimators fold floats /
-    # order-dependent state not reproducible in SQL)
+    # CM, BF, FM and ECM carry FULL DuckDB recomputation oracles (hash
+    # family, counters, trailing-zero bitmaps and exponential
+    # histograms rebuilt in SQL, est compared bit-for-bit); elastic
+    # keeps the self-asserted envelope form — its heavy-part
+    # vote/evict state is adversarially order-dependent, with no
+    # closed form to rebuild from an unordered aggregation
     "env_freq_cm": (q_env_freq_cm, oracle_env_freq_cm),
     "env_distinct_fm": (q_env_distinct_fm, oracle_env_distinct_fm),
     "env_member_bf": (q_env_member_bf, oracle_env_member_bf),
-    "env_window_ecm": (q_env_window_ecm,
-                       lambda: _ones_oracle(len(ECM_PROBES))),
+    "env_window_ecm": (q_env_window_ecm, oracle_env_window_ecm),
     "env_freq_elastic": (q_env_freq_elastic,
                          lambda: _ones_oracle(len(CM_PROBES) + 1)),
 }

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .pipeline import (dedup, media, relational, sampling, similarity,
-                       temporal, text)
+                       spans, temporal, text)
 
 EMB_QUERY_IDS = [0, 1, 2, 3]
 
@@ -30,6 +30,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("text_hash")
+
+
+def q_span_dedup(spark, sf_dir):
+    return spans.span_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    # held-out eval set = a deterministic 1-in-7 doc_id split of the
+    # fixture corpus (stand-in for a real eval-benchmark table)
+    from pyspark.sql import functions as F
+    d = _docs(spark, sf_dir)
+    return spans.decontaminate(d.where(F.col("doc_id") % 7 != 3),
+                               d.where(F.col("doc_id") % 7 == 3)) \
+        .orderBy("doc_id")
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -398,6 +412,11 @@ PIPELINE_GATE = {
         lambda: sampling.oracle_budget_sample(["lang"], 5000, "n_chars")),
     "doc_curation_pipeline": (q_curation_pipeline,
                               oracle_curation_pipeline),
+    "doc_span_dedup": (q_span_dedup, spans.oracle_span_dedup),
+    "doc_decontaminate": (
+        q_decontaminate,
+        lambda: spans.oracle_decontaminate(
+            "doc_id % 7 = 3", "doc_id % 7 <> 3")),
     "doc_jaccard_pairs": (q_jaccard_pairs,
                           lambda: dedup.oracle_jaccard_pairs(3, 10)),
     "doc_minhash_lsh": (q_minhash_lsh, dedup.oracle_minhash_candidates),

@@ -257,10 +257,11 @@ class SketchStore:
     @classmethod
     def build(cls, spark: SparkSession, events: DataFrame,
               cfg: SketchConfig, kind: str, min_level: int = 0,
-              path: str | None = None, mode: str = "zorder"
-              ) -> "SketchStore":
+              path: str | None = None, mode: str = "zorder",
+              num_partitions: int | None = None) -> "SketchStore":
         t0 = time.time()
-        df = build_sketch_df(events, cfg, kind, min_level, mode=mode)
+        df = build_sketch_df(events, cfg, kind, min_level,
+                             num_partitions=num_partitions, mode=mode)
         if path:
             os.makedirs(path, exist_ok=True)
             df.write.mode("overwrite").partitionBy("grid_key") \

@@ -3,17 +3,21 @@ columns with typed metadata.
 
 Decode comes in two tiers:
 
-- REAL decode for formats stdlib can carry — binary PPM (P6) images
-  and PCM WAVE audio by pure-numpy parsers, PNG by stdlib ``zlib``
-  inflate + numpy scanline-filter reconstruction, and GIF by a
+- REAL decode for formats pure numpy/stdlib can carry — binary PPM
+  (P6) images and PCM WAVE audio by pure-numpy parsers, PNG by stdlib
+  ``zlib`` inflate + numpy scanline-filter reconstruction, GIF by a
   pure-python LZW inflate (variable-width codes, KwKwK, deferred clear,
-  interlace) + palette mapping (``decode_ppm`` / ``decode_wav`` /
-  ``decode_png`` / ``decode_gif`` / format-sniffing ``decode_media``).
-  ``synth_real_media_table`` emits genuine PPM/WAV/PNG/GIF blobs so the
-  decode → feature pipeline (``decode_features``) runs end-to-end on
-  real bytes, oracle-gated (the pixel/sample bytes derive from md5, so
-  DuckDB recomputes every decoded statistic with integer arithmetic).
-- CODEC formats (jpeg/mp4/...) still raise a clearly-marked
+  interlace) + palette mapping, and (r5) baseline JPEG by a from-spec
+  sequential-DCT decoder (marker parse, canonical Huffman, dequant,
+  numpy IDCT, restart intervals, grayscale + 4:4:4 color)
+  (``decode_ppm`` / ``decode_wav`` / ``decode_png`` / ``decode_gif`` /
+  ``decode_jpeg`` / format-sniffing ``decode_media``).
+  ``synth_real_media_table`` emits genuine PPM/WAV/PNG/GIF/JPEG blobs
+  so the decode → feature pipeline (``decode_features``) runs
+  end-to-end on real bytes, oracle-gated (the pixel/sample bytes
+  derive from md5, so DuckDB recomputes every decoded statistic with
+  integer arithmetic).
+- VIDEO codec formats (mp4/...) still raise a clearly-marked
   NotImplementedError: the container ships no codec libraries, and
   pretending otherwise would be dishonest. The stub covers ONLY this
   tier.
@@ -471,6 +475,482 @@ def decode_gif(blob: bytes):
     raise ValueError("GIF contains no image block")
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, 8-bit) — pure numpy/stdlib
+# ---------------------------------------------------------------------------
+# The encoder emits its OWN canonical Huffman tables in DHT (computed
+# from the symbol frequencies of the stream being written), so no
+# spec-appendix table transcription is involved; the decoder reads
+# whatever DHT declares, as any baseline decoder must.
+
+# zigzag position -> raster index within an 8x8 block (T.81 Figure 5)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _dct_mat():
+    """Orthonormal 8-point DCT-II matrix M (M @ M.T == I): the 2-D
+    forward transform is M s Mᵀ and the inverse is Mᵀ S M — the
+    float64 basis keeps DC-only blocks exact (constant blocks
+    round-trip bit-for-bit, the property the fixture oracle uses)."""
+    import numpy as np
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    m[0] /= np.sqrt(2)
+    return m
+
+
+def _canonical_huffman(freqs: dict) -> tuple[list, list, dict]:
+    """symbol -> JPEG (BITS, HUFFVAL, code dict): canonical Huffman
+    codes sorted by (length, symbol), lengths from a heap merge,
+    clamped to JPEG's 16-bit cap (never reached at our alphabet
+    sizes — asserted). A one-symbol alphabet gets a 1-bit code (JPEG
+    forbids zero-length codes)."""
+    import heapq
+    import itertools
+    if not freqs:
+        raise ValueError("empty Huffman alphabet")
+    if len(freqs) == 1:
+        sym = next(iter(freqs))
+        lengths = {sym: 1}
+    else:
+        cnt = itertools.count()
+        heap = [(f, next(cnt), {s: 0}) for s, f in freqs.items()]
+        heapq.heapify(heap)
+        while len(heap) > 1:
+            fa, _, da = heapq.heappop(heap)
+            fb, _, db = heapq.heappop(heap)
+            merged = {s: l + 1 for s, l in {**da, **db}.items()}
+            heapq.heappush(heap, (fa + fb, next(cnt), merged))
+        lengths = heap[0][2]
+    if max(lengths.values()) > 16:
+        raise ValueError("Huffman code longer than JPEG's 16-bit cap")
+    order = sorted(lengths, key=lambda s: (lengths[s], s))
+    bits = [0] * 17
+    for s in order:
+        bits[lengths[s]] += 1
+    codes, code, prev_len = {}, 0, 0
+    for s in order:
+        code <<= lengths[s] - prev_len
+        prev_len = lengths[s]
+        codes[s] = (lengths[s], code)
+        code += 1
+    return bits[1:], order, codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (FF -> FF 00)
+    and 1-padding on flush."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, length: int, value: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+
+    def pad_to_byte(self) -> None:
+        if self.n:
+            self.put(8 - self.n, (1 << (8 - self.n)) - 1)
+
+    def put_raw(self, bs: bytes) -> None:
+        """Marker bytes: byte-aligned, never stuffed."""
+        assert self.n == 0
+        self.out += bs
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    """T.81 F.1.2.1: magnitude category (bit length of |v|)."""
+    return int(abs(v)).bit_length()
+
+
+def _encode_block_coeffs(block) -> list:
+    """Spatial 8x8 (level-shifted ints not required — uint8 input) ->
+    zigzag-ordered quantized coefficient list (quant table all 1s:
+    round the FDCT output)."""
+    import numpy as np
+    m = _dct_mat()
+    s = block.astype(np.float64) - 128.0
+    coefs = m @ s @ m.T
+    q = np.round(coefs).astype(np.int64)
+    flat = q.reshape(64)
+    return [int(flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
+
+
+def _block_symbols(zz: list, dc_pred: int) -> tuple[list, int]:
+    """One block's (kind, symbol, extra_len, extra_val) entropy tokens:
+    DC category + amplitude, then AC (run, size) pairs with ZRL/EOB
+    (T.81 F.1.2.2)."""
+    toks = []
+    diff = zz[0] - dc_pred
+    t = _jpeg_category(diff)
+    amp = diff if diff >= 0 else diff + (1 << t) - 1
+    toks.append(("dc", t, t, amp))
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            toks.append(("ac", 0xF0, 0, 0))          # ZRL
+            run -= 16
+        s = _jpeg_category(zz[k])
+        amp = zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1
+        toks.append(("ac", (run << 4) | s, s, amp))
+        run = 0
+    if last_nz < 63:
+        toks.append(("ac", 0x00, 0, 0))              # EOB
+    return toks, zz[0]
+
+
+def encode_jpeg(pixels, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder, quantization all-ones (so DC-only blocks
+    round-trip exactly): grayscale (h, w) or RGB (h, w, 3) uint8 with
+    h, w multiples of 8; RGB is 4:4:4 (no subsampling) through the
+    JFIF YCbCr transform. Huffman tables are computed canonically from
+    the stream's own symbol frequencies and emitted in DHT.
+    restart_interval > 0 emits DRI + RSTn markers every that many MCUs
+    (DC predictors reset — exercises the decoder's restart path)."""
+    import struct
+    import numpy as np
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("pixels must be (h, w) or (h, w, 3) uint8")
+    h, w = px.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg needs dimensions divisible by 8")
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+        planes = [np.clip(np.round(p), 0, 255) for p in planes]
+    # tokenize every block first (tables need global frequencies);
+    # interleave components per MCU position, all sampling factors 1
+    comp_toks: list = []
+    for ci, plane in enumerate(planes):
+        preds, toks, bi = 0, [], 0
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    preds = 0          # RSTn resets the DC predictor
+                zz = _encode_block_coeffs(plane[by:by + 8, bx:bx + 8])
+                t, preds = _block_symbols(zz, preds)
+                toks.append(t)
+                bi += 1
+        comp_toks.append(toks)
+    # two table pairs: id 0 for component 1 (luma), id 1 for the rest
+    table_of = [0] + [1] * (len(planes) - 1)
+    dc_freq: list = [{}, {}]
+    ac_freq: list = [{}, {}]
+    for ci, toks in enumerate(comp_toks):
+        tid = table_of[ci]
+        for block in toks:
+            for kind, sym, _, _ in block:
+                d = dc_freq[tid] if kind == "dc" else ac_freq[tid]
+                d[sym] = d.get(sym, 0) + 1
+    ntab = 1 if gray else 2
+    tables = []
+    for tid in range(ntab):
+        tables.append((_canonical_huffman(dc_freq[tid]),
+                       _canonical_huffman(ac_freq[tid])))
+    bw = _BitWriter()
+    nblocks = (h // 8) * (w // 8)
+    for bi in range(nblocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.pad_to_byte()
+            bw.put_raw(bytes([0xFF,
+                              0xD0 + (bi // restart_interval - 1) % 8]))
+        for ci, toks in enumerate(comp_toks):
+            dc_codes = tables[table_of[ci]][0][2]
+            ac_codes = tables[table_of[ci]][1][2]
+            for kind, sym, xlen, xval in toks[bi]:
+                ln, code = (dc_codes if kind == "dc" else ac_codes)[sym]
+                bw.put(ln, code)
+                if xlen:
+                    bw.put(xlen, xval)
+    body = bw.flush()
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)             # APP0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + b"\x01" * 64
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
+                                     ncomp)            # SOF0
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    for tid, (dc, ac) in enumerate(tables):
+        for cls, (bits, vals, _) in ((0, dc), (1, ac)):
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += struct.pack("B", (cls << 4) | tid)
+            out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)  # SOS
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        out += struct.pack("BB", ci + 1, (tid << 4) | tid)
+    out += b"\x00\x3f\x00"
+    out += body
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy segment with FF00
+    unstuffing; restart markers (FFD0-FFD7) surface via at_marker()."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("hit restart marker mid-symbol")
+            else:
+                raise ValueError(f"marker 0xff{nxt:02x} inside entropy "
+                                 "data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if not self.n:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def at_marker(self):
+        """(marker, next_pos) if byte-aligned at FFxx, else None."""
+        if self.pos + 1 >= len(self.buf):
+            raise ValueError("truncated JPEG entropy stream")
+        if self.buf[self.pos] == 0xFF and self.buf[self.pos + 1] != 0x00:
+            return self.buf[self.pos + 1], self.pos + 2
+        return None
+
+    def align(self) -> None:
+        self.n = 0
+
+
+def _read_huff_table(seg: bytes) -> dict:
+    """DHT payload segment -> {(class, id): code dict mapping
+    (length, code) -> symbol}."""
+    tables = {}
+    i = 0
+    while i < len(seg):
+        tc_th = seg[i]
+        bits = seg[i + 1:i + 17]
+        nvals = sum(bits)
+        vals = seg[i + 17:i + 17 + nvals]
+        if len(vals) != nvals:
+            raise ValueError("truncated DHT")
+        codes = {}
+        code = 0
+        vi = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[(ln, code)] = vals[vi]
+                code += 1
+                vi += 1
+            code <<= 1
+        tables[(tc_th >> 4, tc_th & 15)] = codes
+        i += 17 + nvals
+    return tables
+
+
+def _decode_huff(br: _BitReader, codes: dict) -> int:
+    ln, code = 0, 0
+    while ln < 17:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = codes.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _receive_extend(br: _BitReader, t: int) -> int:
+    if t == 0:
+        return 0
+    v = br.bits(t)
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(blob: bytes):
+    """Baseline JPEG -> (h, w, 3) uint8 RGB (grayscale replicated to
+    three channels, the identity-palette convention the GIF path uses).
+    Supports: baseline sequential DCT (SOF0), 8-bit, any DHT/DQT
+    (8-bit tables), restart intervals (DRI + RSTn), grayscale and
+    3-component 4:4:4 scans. Progressive (SOF2), 12-bit, arithmetic
+    coding and subsampled chroma raise ValueError — this is a
+    deliberately-baseline decoder, not a libjpeg."""
+    import struct
+    import numpy as np
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (no SOI)")
+    i = 2
+    qtabs: dict = {}
+    htabs: dict = {}
+    comps: list = []
+    h = w = None
+    restart_interval = 0
+    while True:
+        if i + 4 > len(blob):
+            raise ValueError("truncated JPEG before SOS")
+        if blob[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        marker = blob[i + 1]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) JPEG is "
+                             "supported")
+        ln = struct.unpack(">H", blob[i + 2:i + 4])[0]
+        seg = blob[i + 4:i + 2 + ln]
+        if marker == 0xDB:                              # DQT
+            j = 0
+            while j < len(seg):
+                pq_tq = seg[j]
+                if pq_tq >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[pq_tq & 15] = np.frombuffer(
+                    seg[j + 1:j + 65], dtype=np.uint8).astype(np.int64)
+                j += 65
+        elif marker == 0xC4:                            # DHT
+            htabs.update(_read_huff_table(seg))
+        elif marker == 0xC0:                            # SOF0
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("subsampled chroma unsupported "
+                                     "(4:4:4 / grayscale only)")
+                comps.append({"id": cid, "tq": tq})
+        elif marker == 0xDD:                            # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                            # SOS
+            ns = seg[0]
+            if ns != len(comps):
+                raise ValueError("partial-scan JPEG unsupported")
+            for c in range(ns):
+                cid, tds = seg[1 + 2 * c:3 + 2 * c]
+                for comp in comps:
+                    if comp["id"] == cid:
+                        comp["td"] = tds >> 4
+                        comp["ta"] = tds & 15
+            i += 2 + ln
+            break
+        elif marker == 0xD9:
+            raise ValueError("EOI before SOS — no image data")
+        i += 2 + ln
+    if h is None or not comps:
+        raise ValueError("missing SOF0 before SOS")
+    m = _dct_mat()
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+              for _ in comps]
+    br = _BitReader(blob, i)
+    preds = [0] * len(comps)
+    nmcu = bh * bw_
+    for mcu in range(nmcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            br.align()
+            mk = br.at_marker()
+            if not mk or not (0xD0 <= mk[0] <= 0xD7):
+                raise ValueError("expected restart marker")
+            br.pos = mk[1]
+            preds = [0] * len(comps)
+        by, bx = divmod(mcu, bw_)
+        for ci, comp in enumerate(comps):
+            dc_codes = htabs.get((0, comp["td"]))
+            ac_codes = htabs.get((1, comp["ta"]))
+            if dc_codes is None or ac_codes is None:
+                raise ValueError("scan references undeclared Huffman "
+                                 "table")
+            zz = np.zeros(64, dtype=np.int64)
+            t = _decode_huff(br, dc_codes)
+            preds[ci] += _receive_extend(br, t)
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _decode_huff(br, ac_codes)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break                               # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _receive_extend(br, s)
+                k += 1
+            q = qtabs.get(comp["tq"])
+            if q is None:
+                raise ValueError("component references undeclared "
+                                 "quant table")
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_JPEG_ZIGZAG] = zz * q
+            block = m.T @ coef.reshape(8, 8) @ m
+            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+    planes = [np.clip(np.round(p + 128.0), 0, 255)[:h, :w]
+              for p in planes]
+    if len(planes) == 1:
+        y = planes[0].astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack([np.clip(np.round(c), 0, 255).astype(np.uint8)
+                     for c in (r, g, b)], axis=2)
+
+
 def decode_media(blob: bytes, kind: str, fake: bool = False):
     """Format-sniffing decode. REAL for codec-free containers: P6 PPM
     -> (h, w, 3) uint8 pixels, PCM WAVE -> (rate, int16 samples).
@@ -489,10 +969,12 @@ def decode_media(blob: bytes, kind: str, fake: bool = False):
         return decode_png(blob)
     if blob[:6] in GIF_SIGS:
         return decode_gif(blob)
+    if blob[:2] == b"\xff\xd8":
+        return decode_jpeg(blob)
     raise NotImplementedError(
-        "codec-library media formats (jpeg/mp4/...) are not decodable in "
-        "this environment; PPM/WAV/PNG/GIF decode is real — see "
-        "decode_ppm/decode_wav/decode_png/decode_gif")
+        "video codec formats (mp4/...) are not decodable in this "
+        "environment; PPM/WAV/PNG/GIF/baseline-JPEG decode is real — "
+        "see decode_ppm/decode_wav/decode_png/decode_gif/decode_jpeg")
 
 
 PPM_W, PPM_H = 4, 3
@@ -502,26 +984,34 @@ DECODE_SCHEMA = ("doc_id BIGINT, kind STRING, width BIGINT, "
                  "val_sum BIGINT")
 
 
+JPEG_W, JPEG_H = 16, 8     # two 8x8 blocks, constant per block
+
+
 def synth_real_media_table(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL media blobs, four genuine formats by
-    doc_id % 4: 0 -> binary 4×3 PPM (P6 header + 36 pixel bytes =
+    """Deterministic REAL media blobs, five genuine formats by
+    doc_id % 5: 0 -> binary 4×3 PPM (P6 header + 36 pixel bytes =
     md5(doc_id) tiled), 1 -> PCM WAVE (canonical 44-byte header + 8
     int16 samples = the md5 bytes), 2 -> a genuine zlib-deflated 4×3
     RGB PNG of the SAME tiled md5 pixels, 3 -> a genuine LZW-compressed
     GIF of the tiled md5 bytes as indices into the identity grayscale
-    palette (r=g=b=index, so decoded val_sum = 3× the byte sum). PPM/
-    WAV are pure column arithmetic; PNG/GIF run ``encode_png``/
-    ``encode_gif`` in an Arrow mapInPandas stage (deflate/LZW are not
-    column functions), with ``hashlib.md5`` bit-equal to SQL ``md5``.
-    Either way DuckDB can recompute every decoded statistic from the
-    same md5 integers."""
+    palette (r=g=b=index, so decoded val_sum = 3× the byte sum),
+    4 (r5) -> a genuine baseline JPEG: 16×8 grayscale, each 8×8 block
+    CONSTANT at md5 byte 0 / byte 1 — constant blocks are DC-only, so
+    the all-ones quantization round-trips them exactly through the
+    Huffman + dequant + IDCT pipeline (val_sum = 3·64·(b0+b1), the
+    grayscale→RGB replication convention the GIF path set). PPM/WAV
+    are pure column arithmetic; PNG/GIF/JPEG run ``encode_png``/
+    ``encode_gif``/``encode_jpeg`` in an Arrow mapInPandas stage
+    (deflate/LZW/Huffman are not column functions), with
+    ``hashlib.md5`` bit-equal to SQL ``md5``. Either way DuckDB can
+    recompute every decoded statistic from the same md5 integers."""
     md5 = F.md5(F.col("doc_id").cast("string"))
     pix = F.unhex(F.concat(md5, md5, F.substring(md5, 1, 8)))
     ppm = F.concat(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n".encode()), pix)
     # 44-byte canonical header sized for 16 data bytes, as a literal
     wav_header = encode_wav([0] * WAV_SAMPLES, WAV_RATE)[:44]
     wav = F.concat(F.lit(wav_header), F.unhex(md5))
-    mod = F.col("doc_id") % 4
+    mod = F.col("doc_id") % 5
     colocol = (F.when(mod == 0, ppm).when(mod == 1, wav)
                .otherwise(F.lit(None)).alias("media"))
     base = docs.select(
@@ -544,14 +1034,19 @@ def synth_real_media_table(docs: DataFrame) -> DataFrame:
                     continue
                 h = hashlib.md5(str(int(did)).encode()).digest()
                 tiled = np.frombuffer(h + h + h[:4], dtype=np.uint8)
-                if int(did) % 4 == 2:
+                m = int(did) % 5
+                if m == 2:
                     blobs.append(encode_png(
                         tiled.reshape(PPM_H, PPM_W, 3)))
-                else:
+                elif m == 3:
                     # 12 palette indices = the first 12 md5 bytes
                     blobs.append(encode_gif(
                         tiled[: PPM_W * PPM_H].reshape(PPM_H, PPM_W),
                         gray))
+                else:
+                    blocks = np.array([[h[0], h[1]]], dtype=np.uint8)
+                    blobs.append(encode_jpeg(
+                        np.kron(blocks, np.ones((8, 8), dtype=np.uint8))))
             pdf = pdf.assign(media=blobs)
             yield pdf
 
@@ -601,10 +1096,13 @@ def oracle_decode_features() -> str:
     """DuckDB recomputation of the REAL decode outputs from the md5
     integers: image val_sum = sum over the 36 tiled pixel bytes
     (md5 byte i with multiplicity 3 for i<4, else 2) — PPM at
-    doc_id%4=0 and PNG at %4=2 carry the bytes as RGB channels, the
-    GIF at %4=3 carries them as indices into the identity grayscale
+    doc_id%5=0 and PNG at %5=2 carry the bytes as RGB channels, the
+    GIF at %5=3 carries them as indices into the identity grayscale
     palette, hence 3× the sum (r=g=b=index, zlib deflate / LZW
-    round-trip back to the same bytes); audio val_sum = sum of 8
+    round-trip back to the same bytes); the baseline JPEG at %5=4 is
+    16×8 grayscale with 8×8 blocks constant at md5 bytes 0 and 1
+    (DC-only blocks are exact under all-ones quantization), replicated
+    to RGB on decode, hence 3·64·(b0+b1); audio val_sum = sum of 8
     little-endian signed int16 built from md5 byte pairs."""
     byte = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {i}, 2))"
             "::BIGINT)")
@@ -613,6 +1111,7 @@ def oracle_decode_features() -> str:
         f"{3 if j < 4 else 2} * {b[j]}" for j in range(16))
     # GIF: 12 indices = md5 bytes 0..11, identity palette -> 3x each
     gif_sum = " + ".join(f"3 * {b[j]}" for j in range(PPM_W * PPM_H))
+    jpeg_sum = f"192 * ({b[0]} + {b[1]})"      # 3 channels x 64 px/block
     samp = [f"({b[2 * s]} + 256 * {b[2 * s + 1]})"
             for s in range(WAV_SAMPLES)]
     wav_sum = " + ".join(
@@ -620,17 +1119,21 @@ def oracle_decode_features() -> str:
         for u in samp)
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE WHEN doc_id % 4 = 1 THEN 'audio' ELSE 'image' END AS kind,
-       CAST(CASE WHEN doc_id % 4 = 1 THEN -1 ELSE {PPM_W} END AS BIGINT)
-         AS width,
-       CAST(CASE WHEN doc_id % 4 = 1 THEN -1 ELSE {PPM_H} END AS BIGINT)
-         AS height,
-       CAST(CASE WHEN doc_id % 4 = 1 THEN {WAV_RATE} ELSE -1 END AS BIGINT)
+       CASE WHEN doc_id % 5 = 1 THEN 'audio' ELSE 'image' END AS kind,
+       CAST(CASE WHEN doc_id % 5 = 1 THEN -1
+                 WHEN doc_id % 5 = 4 THEN {JPEG_W}
+                 ELSE {PPM_W} END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 5 = 1 THEN -1
+                 WHEN doc_id % 5 = 4 THEN {JPEG_H}
+                 ELSE {PPM_H} END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 5 = 1 THEN {WAV_RATE} ELSE -1 END AS BIGINT)
          AS rate,
-       CAST(CASE WHEN doc_id % 4 = 1 THEN {WAV_SAMPLES}
+       CAST(CASE WHEN doc_id % 5 = 1 THEN {WAV_SAMPLES}
+                 WHEN doc_id % 5 = 4 THEN {JPEG_W * JPEG_H}
                  ELSE {PPM_W * PPM_H} END AS BIGINT) AS n_units,
-       CAST(CASE WHEN doc_id % 4 = 1 THEN {wav_sum}
-                 WHEN doc_id % 4 = 3 THEN {gif_sum}
+       CAST(CASE WHEN doc_id % 5 = 1 THEN {wav_sum}
+                 WHEN doc_id % 5 = 3 THEN {gif_sum}
+                 WHEN doc_id % 5 = 4 THEN {jpeg_sum}
                  ELSE {img_sum} END AS BIGINT) AS val_sum
 FROM documents ORDER BY doc_id
 """

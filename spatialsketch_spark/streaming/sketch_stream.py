@@ -172,6 +172,19 @@ class StreamingSketch:
             _merge_partitions(self.cfg, self.kind), schema=SKETCH_SCHEMA)
         seq = int(man.get("snapshot_seq", -1)) + 1
         data_dir = f"sketch_s{seq}"
+        # optimistic concurrency, check #1 (ADVICE r4): verify the
+        # snapshot seq BEFORE overwriting sketch_s<seq> — a racing
+        # merge_events / compact that already committed this seq must
+        # not have its published data dir clobbered by our write (the
+        # pre-commit re-check below would raise only AFTER the damage)
+        disk = self._current_manifest()
+        if int(disk.get("snapshot_seq", -1)) != int(
+                man.get("snapshot_seq", -1)):
+            raise ValueError(
+                f"concurrent snapshot commit detected at {self.path}: "
+                f"on-disk seq {disk.get('snapshot_seq')} != seq "
+                f"{man.get('snapshot_seq')} this compact started from "
+                "— re-run compact() against the new snapshot")
         merged.write.mode("overwrite").partitionBy("grid_key") \
               .parquet(f"{self.path}/{data_dir}")
         out = self.spark.read.parquet(f"{self.path}/{data_dir}")
@@ -201,11 +214,13 @@ class StreamingSketch:
                 "build_mode": "streaming_compact",
             },
         }
-        # optimistic concurrency (mirrors merge_events, ADVICE r3): a
-        # compact racing a merge_events / second compact on this path
-        # would compute the same seq and overwrite sketch_s<seq> +
-        # manifest_s<seq>; re-read the manifest right before committing
-        # and reject if another commit advanced it since compact began
+        # optimistic concurrency, check #2 (mirrors merge_events,
+        # ADVICE r3): re-read right before committing too, catching a
+        # racer that landed between our data write and the manifest
+        # commit (our orphan sketch_s<seq> write loses; theirs stands
+        # only if they committed a manifest pointing at data they wrote
+        # after ours — the narrow residue a filesystem manifest can't
+        # close without a real catalog CAS, documented in COVERAGE.md)
         disk = self._current_manifest()
         if int(disk.get("snapshot_seq", -1)) != int(
                 man.get("snapshot_seq", -1)):

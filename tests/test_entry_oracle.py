@@ -107,3 +107,43 @@ def test_oracle_sql_builds_without_spark_session():
                 __file__))))
     assert out.returncode == 0, out.stderr
     assert int(out.stdout.strip()) >= 60
+
+
+def test_fm_estimate_rounding_margin(spark):
+    """ADVICE r4: the FM envelope oracle compares the ROUNDED estimate
+    bit-for-bit across engines, which is safe only while the raw
+    estimate keeps a clear margin from the .5 rounding boundary
+    (python round is half-even, DuckDB ROUND half-away; libm pow
+    agreement covers ulps, not boundary straddles). Assert the margin
+    programmatically so a fixture or probe change that lands an
+    estimate near a boundary fails HERE with a clear message instead
+    of hash-mismatching in the driver gate. FM state over a region is
+    insertion-order-free (OR of trailing-zero bitmaps), so the direct
+    rebuild below equals the engine's merged cover-cell state."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spatialsketch_spark import gate_envelope as ge
+    from spatialsketch_spark.core.kernels import FMKernel
+    from spatialsketch_spark.geo.events import derive_geo_events
+
+    cfg = ge._realistic_cfg()
+    kern = FMKernel(max(cfg.eps, 0.25), cfg.delta, cfg.seed)
+    ev = derive_geo_events(spark, SF_ORACLE, ge.N)
+    for qid, ((x1, y1, x2, y2), _, _) in enumerate(ge.FM_PROBES):
+        items = np.array(
+            [r["item"] for r in ev.where(
+                F.col("x").between(x1, x2)
+                & F.col("y").between(y1, y2)).select("item").collect()],
+            dtype=np.int64)
+        zeros = np.zeros(len(items), dtype=np.int64)
+        ones = np.ones(len(items), dtype=np.int64)
+        _, states = kern.build_grouped(zeros, items, ones, zeros)
+        raw = kern.estimate(states[0])
+        dist = abs((raw - np.floor(raw)) - 0.5)
+        assert dist >= 0.02, (
+            f"FM probe {qid}: raw estimate {raw!r} sits {dist:.4f} from "
+            f"the .5 rounding boundary — python half-even and DuckDB "
+            f"half-away rounding could disagree there; adjust "
+            f"gate_envelope.FM_PROBES or the fixture so the estimate "
+            f"clears the boundary")

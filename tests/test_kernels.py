@@ -361,3 +361,25 @@ def test_cm_codec_rejects_shape_mismatch():
             b.deserialize(blob)
         with pytest.raises(ValueError):
             b.deserialize_batch([a.serialize(sparse)])
+
+
+def test_eh_unit_counts_closed_form():
+    """The closed digit formula the ECM DuckDB oracle rebuilds in SQL
+    (gate_envelope.oracle_env_window_ecm) must equal the kernel's
+    cascade recurrence for EVERY stream length: with m arrivals,
+    capacity k and u = m + k, class counts are k + bit_i(u) below the
+    top class t (largest t with (k+1)*2^t <= u) and (u >> t) - k at the
+    top."""
+    for k in (1, 2, 3, 5, 62):
+        kern = ECMKernel(width=4, depth=1, k=k, seed=7)
+        for m in range(20001):
+            if m == 0:
+                expect = ()
+            else:
+                u = m + k
+                t = 0
+                while (k + 1) << (t + 1) <= u:
+                    t += 1
+                expect = tuple([k + ((u >> i) & 1) for i in range(t)]
+                               + [(u >> t) - k])
+            assert kern._unit_counts(m) == expect, (k, m)

@@ -387,36 +387,43 @@ def test_ppm_wav_roundtrip_and_sniffing():
     with pytest.raises(ValueError):
         media.decode_wav(b"RIFFxxxxWAVE")     # missing chunks
     with pytest.raises(NotImplementedError):
+        # mp4 ftyp box: the honest remaining codec stub (video only)
+        media.decode_media(b"\x00\x00\x00\x18ftypmp42rest", "video")
+    with pytest.raises(ValueError):
+        # JPEG now ROUTES to the real decoder, which rejects garbage
         media.decode_media(b"\xff\xd8\xff\xe0jpegdata", "image")
 
 
 def test_synth_real_media_decodes(spark, docs):
-    """The synthesized blobs are REAL files: doc_id%4=0 decodes as a
-    4x3 PPM whose pixels are the tiled md5 bytes, %4=1 as an 8-sample
-    WAV of the md5 int16s, %4=2 as a genuine zlib-deflated PNG of the
-    same tiled pixels, %4=3 as a genuine LZW GIF of the tiled bytes
-    through the identity grayscale palette (val_sum = 3x byte sum)."""
+    """The synthesized blobs are REAL files: doc_id%5=0 decodes as a
+    4x3 PPM whose pixels are the tiled md5 bytes, %5=1 as an 8-sample
+    WAV of the md5 int16s, %5=2 as a genuine zlib-deflated PNG of the
+    same tiled pixels, %5=3 as a genuine LZW GIF of the tiled bytes
+    through the identity grayscale palette (val_sum = 3x byte sum),
+    %5=4 as a genuine baseline JPEG whose two constant 8x8 blocks are
+    md5 bytes 0/1 (DC-only blocks round-trip exactly)."""
     import hashlib
     import numpy as np
-    m = media.synth_real_media_table(docs.limit(24))
+    m = media.synth_real_media_table(docs.limit(30))
     blobs = {int(r["doc_id"]): bytes(r["media"]) for r in m.collect()}
     rows = media.decode_features(m).collect()
-    assert len(rows) == 24
-    seen_png = seen_gif = 0
+    assert len(rows) == 30
+    seen_png = seen_gif = seen_jpg = 0
     for r in rows:
         h = hashlib.md5(str(r["doc_id"]).encode()).digest()
         if r["kind"] == "image":
             tiled = (h + h + h[:4])
-            assert (r["width"], r["height"], r["rate"]) == (4, 3, -1)
             blob = blobs[r["doc_id"]]
-            if r["doc_id"] % 4 == 2:       # PNG branch: genuine file
+            if r["doc_id"] % 5 == 2:       # PNG branch: genuine file
+                assert (r["width"], r["height"], r["rate"]) == (4, 3, -1)
                 assert blob[:8] == media.PNG_SIG
                 assert np.array_equal(
                     media.decode_png(blob).reshape(-1),
                     np.frombuffer(tiled, dtype=np.uint8))
                 assert r["val_sum"] == sum(tiled)
                 seen_png += 1
-            elif r["doc_id"] % 4 == 3:     # GIF branch: genuine file
+            elif r["doc_id"] % 5 == 3:     # GIF branch: genuine file
+                assert (r["width"], r["height"], r["rate"]) == (4, 3, -1)
                 assert blob[:6] in media.GIF_SIGS
                 px = media.decode_gif(blob)
                 assert np.array_equal(
@@ -424,13 +431,22 @@ def test_synth_real_media_decodes(spark, docs):
                     np.frombuffer(tiled[:12], dtype=np.uint8))
                 assert r["val_sum"] == 3 * sum(tiled[:12])
                 seen_gif += 1
+            elif r["doc_id"] % 5 == 4:     # JPEG branch: genuine file
+                assert (r["width"], r["height"], r["rate"]) == (16, 8, -1)
+                assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+                px = media.decode_jpeg(blob)
+                assert (px[:, :8, 0] == h[0]).all()
+                assert (px[:, 8:, 0] == h[1]).all()
+                assert r["val_sum"] == 3 * 64 * (h[0] + h[1])
+                seen_jpg += 1
             else:
+                assert (r["width"], r["height"], r["rate"]) == (4, 3, -1)
                 assert r["val_sum"] == sum(tiled)
         else:
             s = np.frombuffer(h, dtype="<i2").astype(int)
             assert (r["width"], r["rate"]) == (-1, media.WAV_RATE)
             assert r["n_units"] == 8 and r["val_sum"] == s.sum()
-    assert seen_png >= 5 and seen_gif >= 5
+    assert seen_png >= 5 and seen_gif >= 5 and seen_jpg >= 5
 
 
 def test_png_roundtrip_all_filters_and_shapes():
@@ -609,3 +625,49 @@ def test_dup_clusters_transitive_closure(spark):
     assert all(got[i] == 20 for i in (20, 21, 22, 23))
     assert got[30] == 30 and got[31] == 30
     assert len(got) == 12
+
+
+def test_jpeg_roundtrip_and_errors():
+    """Baseline JPEG codec (VERDICT r4 task 6): block-constant images
+    are DC-only and round-trip EXACTLY under all-ones quantization;
+    arbitrary images round-trip within DCT float-rounding tolerance
+    (quant=1, so the only loss is coefficient rounding); restart
+    markers decode (DC predictors reset); RGB goes through the JFIF
+    YCbCr transform; malformed/unsupported inputs raise ValueError."""
+    import numpy as np
+    rng = np.random.default_rng(17)
+    # exact: block-constant grayscale
+    blocks = rng.integers(0, 256, (3, 4)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    dec = media.decode_jpeg(media.encode_jpeg(img))
+    assert dec.shape == (24, 32, 3)
+    for c in range(3):
+        assert (dec[:, :, c] == img).all()
+    # tolerance: random grayscale + RGB 4:4:4
+    g = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    assert np.abs(media.decode_jpeg(media.encode_jpeg(g))[:, :, 0]
+                  .astype(int) - g.astype(int)).max() <= 2
+    rgbimg = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    assert np.abs(media.decode_jpeg(media.encode_jpeg(rgbimg))
+                  .astype(int) - rgbimg.astype(int)).max() <= 4
+    # restart markers: byte-realigned entropy + DC predictor reset
+    blob_r = media.encode_jpeg(img, restart_interval=3)
+    assert b"\xff\xdd" in blob_r
+    assert any(bytes([0xFF, 0xD0 + k]) in blob_r for k in range(8))
+    dec_r = media.decode_jpeg(blob_r)
+    assert (dec_r[:, :, 0] == img).all()
+    # malformed / unsupported
+    import pytest as _pytest
+    blob = media.encode_jpeg(img)
+    with _pytest.raises(ValueError):
+        media.decode_jpeg(b"not a jpeg")
+    with _pytest.raises(ValueError):
+        media.decode_jpeg(blob[:40])
+    with _pytest.raises(ValueError):
+        media.decode_jpeg(blob[:-20])
+    prog = bytearray(blob)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        media.decode_jpeg(bytes(prog))
+    with _pytest.raises(ValueError):
+        media.encode_jpeg(np.zeros((10, 8), dtype=np.uint8))  # not /8

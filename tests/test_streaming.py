@@ -239,8 +239,11 @@ def test_streaming_session_windows(spark, tmp_path):
 def test_compact_concurrent_commit_rejected(spark, tmp_path, monkeypatch):
     """A compact racing another commit on the same path must not
     clobber the winner's sketch_s<seq>/manifest_s<seq>: compact
-    re-reads the manifest immediately before committing and rejects if
-    the seq advanced after it started (mirrors merge_events)."""
+    verifies the on-disk seq BEFORE writing its data dir (ADVICE r4 —
+    the pre-commit re-check alone would raise only after the winner's
+    published sketch_s<seq> had already been overwritten) and again
+    before committing the manifest. Asserts post-race data integrity,
+    not just the exception."""
     ev = derive_geo_events(spark, SF_UNIT, N).cache()
     cfg = SketchConfig.exact_mode(item_domain=ITEM_DOMAIN, n=N)
     p = str(tmp_path / "sk")
@@ -252,15 +255,23 @@ def test_compact_concurrent_commit_rejected(spark, tmp_path, monkeypatch):
     # advances the on-disk seq after compact() has read the manifest
     ss._process_batch(ev.filter(F.col("ts") >= 500), 1)
     orig = StreamingSketch._accumulated_state
+    racer = []
 
     def racing(self):
         out = orig(self)
-        st0.merge_events(ev.limit(10))       # concurrent commit -> seq 1
+        racer.append(st0.merge_events(ev.limit(10)))   # commit -> seq 1
         return out
 
     monkeypatch.setattr(StreamingSketch, "_accumulated_state", racing)
     with pytest.raises(ValueError, match="concurrent snapshot commit"):
         ss.compact()
     monkeypatch.undo()
+    # the loser must NOT have touched the winner's published data dir:
+    # sketch_s1 on disk still holds exactly what the racer committed
+    want = sorted(tuple(r) for r in racer[0].df.collect())
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(f"{p}/sketch_s1").select(
+                     *racer[0].df.columns).collect())
+    assert got == want
     st2 = ss.compact()                       # fresh attempt succeeds
     assert st2.manifest["snapshot_seq"] == 2
