@@ -128,12 +128,16 @@ def run_bench(cpus: int) -> dict:
             qid += 1
     eng = SpatialSketchEngine(store)
     # warm pass (plan + code paths), then the timed steady-state pass —
-    # the reference also reports warm-structure query times (Table 3)
-    eng.query(queries[:6]).collect()
+    # the reference also reports warm-structure query times (Table 3).
+    # query_values = the low-latency batch surface (driver partial
+    # fold; identical answers to query(), pinned by test_plans) — the
+    # engine's serving path, matching the reference's in-process query
+    # API shape (SpatialSketch.cpp:837-855 returns scalars too)
+    eng.query_values(queries[:6])
     t_query = None
     for _ in range(int(os.environ.get("BENCH_QUERY_TRIALS", "1"))):
         t0 = time.time()
-        res = {r["qid"]: r["est"] for r in eng.query(queries).collect()}
+        res = eng.query_values(queries)
         t = time.time() - t0
         t_query = t if t_query is None else min(t_query, t)
     timings["polygon_queries"] = round(t_query, 3)

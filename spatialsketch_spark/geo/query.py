@@ -577,3 +577,65 @@ class SpatialSketchEngine:
         # runtime, but the hint makes it the planned shape)
         return (all_qids.join(F.broadcast(res), "qid", "left")
                 .select("qid", F.coalesce("est", F.lit(0)).alias("est")))
+
+    def query_values(self, queries: list[QuerySpec]) -> dict:
+        """Low-latency batch answers -> {qid: est} (VERDICT r4 task 2).
+
+        Same semantics as ``query()`` (asserted equal in
+        tests/test_plans.py), but the per-partition additive partials
+        — at most |queries| x #partitions tiny (qid, est) rows — are
+        collected and folded on the DRIVER instead of flowing through
+        a groupBy shuffle plus a qid-fill broadcast join. A fresh
+        600-query batch drops from ~1.45 s to ~0.9 s on the sandbox
+        (each batch sheds one shuffle stage, one broadcast exchange
+        and one job; profiled in scripts/profile_prepared_batch.py).
+
+        Scale posture: the driver fold is O(|queries|) — exactly the
+        size of the answer the caller receives either way (the
+        reference's query API returns the same, SpatialSketch.cpp:
+        837-855); no payload or per-cell row is ever collected. Merge
+        kinds (distinct/member/l2/window_merge) need their cross-cell
+        shuffle regardless and fall through to ``query()``.
+        ``query()`` remains the DataFrame surface for SQL-integrated
+        consumers (the driver gate included)."""
+        additive = [q for q in queries
+                    if q.qkind in ("freq", "range_freq", "window",
+                                   "count")]
+        out: dict[int, int] = {}
+        if len(additive) < len(queries):
+            rest = [q for q in queries if q.qkind not in
+                    ("freq", "range_freq", "window", "count")]
+            for r in self.query(rest).collect():
+                out[int(r["qid"])] = int(r["est"])
+        if not additive:
+            return out
+        # re-validate through query()'s guard table by reusing its
+        # kind check (a range_freq at a plain-CM store must fail here
+        # too, not return garbage)
+        kind = "exact" if self.store.cfg.exact else self.store.kind
+        _allowed = {"count": None,
+                    "freq": {"exact", "cm", "ecm", "elastic"},
+                    "range_freq": {"exact", "dcm"},
+                    "window": {"exact", "ecm"}}
+        for q in additive:
+            allowed = _allowed[q.qkind]
+            if allowed is not None and kind not in allowed:
+                raise ValueError(
+                    f"query kind {q.qkind!r} is not answerable by a "
+                    f"{self.store.kind!r} store")
+        m_all = self._matched(additive)
+        m = m_all.where(F.col("qkind").isin(
+            "freq", "range_freq", "window", "count")).select(
+            "qid", "coverage", "qkind", "item", "item_end", "t0",
+            "val_sum",
+            F.when(F.col("qkind") == "count", F.lit(None))
+            .otherwise(F.col("payload")).alias("payload"))
+        partial = m.mapInPandas(
+            _additive_estimator(self.store.cfg, self.store.kind,
+                                with_counts=True),
+            schema=RESULT_SCHEMA)
+        for q in additive:
+            out[q.qid] = 0
+        for r in partial.collect():
+            out[int(r["qid"])] += int(r["est"])
+        return out

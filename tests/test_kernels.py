@@ -383,3 +383,32 @@ def test_eh_unit_counts_closed_form():
                 expect = tuple([k + ((u >> i) & 1) for i in range(t)]
                                + [(u >> t) - k])
             assert kern._unit_counts(m) == expect, (k, m)
+
+
+def test_ecm_mixed_weight_fold_cost_bound():
+    """VERDICT r4 task 8: non-uniform value streams take the residual
+    per-event python path (_eh_insert fold — inherently sequential
+    order-dependent state, same class as the reference's C++ insert
+    loop). Document and PIN the accepted cost class: one fully hot
+    cell at realistic (w=28, d=3, k=2) parameters sustains ~50k
+    events/s/core on this box; assert a 10x-slack floor so only a
+    complexity-class regression (e.g. a quadratic cascade scan), not
+    box noise, can trip it. The map-side-combined build bounds any
+    cell to one partition's events before merge, which is the
+    structural mitigation at scale."""
+    import time
+    kern = ECMKernel(width=28, depth=3, k=2, seed=7)
+    n = 60_000
+    rng = np.random.default_rng(11)
+    items = rng.integers(0, 256, n).astype(np.int64)
+    vals = rng.integers(1, 5, n).astype(np.int64)   # non-uniform
+    ts = np.arange(n, dtype=np.int64)
+    cells = np.zeros(n, dtype=np.int64)
+    t0 = time.perf_counter()
+    _, st = kern.build_grouped(cells, items, vals, ts)
+    rate = n / (time.perf_counter() - t0)
+    assert rate > 5_000, f"mixed-weight ECM fold: {rate:,.0f} ev/s"
+    # mass conservation on the same build (cheap invariant)
+    for r in range(kern.d):
+        tot = sum(b[0] for slot in st[0][r] for b in slot)
+        assert tot == vals.sum()

@@ -102,3 +102,37 @@ def test_probe_scan_sized_small_store_not_bucketed_path(spark):
         assert "Coalesce" not in p2.split("InMemoryTableScan")[0], p2
     finally:
         SpatialSketchEngine.BROADCAST_COVER_ROWS = orig
+
+
+def test_query_values_equals_query(spark):
+    """query_values (driver partial fold, the low-latency batch
+    surface bench.py measures) must return IDENTICAL answers to the
+    DataFrame query() path for every query class — additive kinds
+    folded on the driver, merge kinds falling through to query()."""
+    from spatialsketch_spark.gate import exact_store
+    from spatialsketch_spark.geo.query import (QuerySpec,
+                                               SpatialSketchEngine)
+    eng = SpatialSketchEngine(exact_store(spark, SF_ORACLE))
+    rects = [(0, 0, 2047, 2047), (1024, 512, 3071, 1535),
+             (100, 100, 1000, 900)]
+    qs, qid = [], 0
+    for r in rects:
+        for kind, item, t0 in (("count", -1, -1), ("freq", 17, -1),
+                               ("window", 3, 1000), ("distinct", -1, -1),
+                               ("member", 42, -1), ("l2", -1, -1)):
+            qs.append(QuerySpec(qid, [r], kind, item=item, t0=t0))
+            qid += 1
+    want = {int(r["qid"]): int(r["est"]) for r in eng.query(qs).collect()}
+    got = eng.query_values(qs)
+    assert got == want and len(got) == len(qs)
+    # kind-guard parity: a bad dispatch must raise, not return garbage
+    from spatialsketch_spark.config import SketchConfig
+    from spatialsketch_spark.geo.build import SketchStore
+    from spatialsketch_spark.geo.events import ITEM_DOMAIN, derive_geo_events
+    cfg = SketchConfig.realistic(n=4096, eps=0.1, delta=0.05,
+                                 item_domain=ITEM_DOMAIN)
+    ev = derive_geo_events(spark, SF_ORACLE, 4096).limit(1000)
+    cm = SpatialSketchEngine(SketchStore.build(spark, ev, cfg, "cm", 4))
+    with pytest.raises(ValueError, match="not answerable"):
+        cm.query_values([QuerySpec(0, [rects[0]], "range_freq",
+                                   item=1, item_end=5)])
