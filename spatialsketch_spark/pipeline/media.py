@@ -622,25 +622,34 @@ def _block_symbols(zz: list, dc_pred: int) -> tuple[list, int]:
     return toks, zz[0]
 
 
-def encode_jpeg(pixels, restart_interval: int = 0) -> bytes:
+def encode_jpeg(pixels, restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
     """Baseline JFIF encoder, quantization all-ones (so DC-only blocks
     round-trip exactly): grayscale (h, w) or RGB (h, w, 3) uint8 with
-    h, w multiples of 8; RGB is 4:4:4 (no subsampling) through the
-    JFIF YCbCr transform. Huffman tables are computed canonically from
-    the stream's own symbol frequencies and emitted in DHT.
-    restart_interval > 0 emits DRI + RSTn markers every that many MCUs
-    (DC predictors reset — exercises the decoder's restart path)."""
+    h, w multiples of 8 (16 for 4:2:0); RGB goes through the JFIF
+    YCbCr transform at 4:4:4 or, with subsampling='420', 2x2-box-mean
+    chroma (the dominant real-world layout; MCU-interleaved
+    Y00 Y01 Y10 Y11 Cb Cr block order). Huffman tables are computed
+    canonically from the stream's own symbol frequencies and emitted
+    in DHT. restart_interval > 0 emits DRI + RSTn markers every that
+    many MCUs (DC predictors reset — exercises the decoder's restart
+    path)."""
     import struct
     import numpy as np
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("pixels must be (h, w) or (h, w, 3) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = (not gray) and subsampling == "420"
     h, w = px.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("encode_jpeg needs dimensions divisible by 8")
+    if h % 8 or w % 8 or (sub and (h % 16 or w % 16)):
+        raise ValueError("encode_jpeg needs dimensions divisible by 8 "
+                         "(16 for 4:2:0)")
     if gray:
         planes = [px.astype(np.float64)]
+        samps = [(1, 1)]
     else:
         r = px[..., 0].astype(np.float64)
         g = px[..., 1].astype(np.float64)
@@ -649,19 +658,38 @@ def encode_jpeg(pixels, restart_interval: int = 0) -> bytes:
                   -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
                   0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
         planes = [np.clip(np.round(p), 0, 255) for p in planes]
-    # tokenize every block first (tables need global frequencies);
-    # interleave components per MCU position, all sampling factors 1
+        if sub:
+            # 2x2 box-mean chroma downsample
+            planes[1:] = [np.round(
+                p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)))
+                for p in planes[1:]]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1)] * 3
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+    # tokenize per component in MCU-interleaved block order (tables
+    # need global frequencies before any bits are written)
     comp_toks: list = []
     for ci, plane in enumerate(planes):
-        preds, toks, bi = 0, [], 0
-        for by in range(0, h, 8):
-            for bx in range(0, w, 8):
-                if restart_interval and bi and bi % restart_interval == 0:
-                    preds = 0          # RSTn resets the DC predictor
-                zz = _encode_block_coeffs(plane[by:by + 8, bx:bx + 8])
-                t, preds = _block_symbols(zz, preds)
-                toks.append(t)
-                bi += 1
+        hi, vi = samps[ci]
+        preds = 0
+        toks = []          # one entry per MCU: that component's tokens
+        for mcu in range(mcux * mcuy):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                preds = 0          # RSTn resets the DC predictor
+            my, mx = divmod(mcu, mcux)
+            mcu_toks = []
+            for iv in range(vi):
+                for ih in range(hi):
+                    by = (my * vi + iv) * 8
+                    bx = (mx * hi + ih) * 8
+                    zz = _encode_block_coeffs(
+                        plane[by:by + 8, bx:bx + 8])
+                    t, preds = _block_symbols(zz, preds)
+                    mcu_toks.extend(t)
+            toks.append(mcu_toks)
         comp_toks.append(toks)
     # two table pairs: id 0 for component 1 (luma), id 1 for the rest
     table_of = [0] + [1] * (len(planes) - 1)
@@ -679,16 +707,15 @@ def encode_jpeg(pixels, restart_interval: int = 0) -> bytes:
         tables.append((_canonical_huffman(dc_freq[tid]),
                        _canonical_huffman(ac_freq[tid])))
     bw = _BitWriter()
-    nblocks = (h // 8) * (w // 8)
-    for bi in range(nblocks):
-        if restart_interval and bi and bi % restart_interval == 0:
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
             bw.pad_to_byte()
             bw.put_raw(bytes([0xFF,
-                              0xD0 + (bi // restart_interval - 1) % 8]))
+                              0xD0 + (mcu // restart_interval - 1) % 8]))
         for ci, toks in enumerate(comp_toks):
             dc_codes = tables[table_of[ci]][0][2]
             ac_codes = tables[table_of[ci]][1][2]
-            for kind, sym, xlen, xval in toks[bi]:
+            for kind, sym, xlen, xval in toks[mcu]:
                 ln, code = (dc_codes if kind == "dc" else ac_codes)[sym]
                 bw.put(ln, code)
                 if xlen:
@@ -704,7 +731,9 @@ def encode_jpeg(pixels, restart_interval: int = 0) -> bytes:
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
                                      ncomp)            # SOF0
     for ci in range(ncomp):
-        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        hi, vi = samps[ci]
+        out += struct.pack("BBB", ci + 1, (hi << 4) | vi,
+                           0 if ci == 0 else 1)
     for tid, (dc, ac) in enumerate(tables):
         for cls, (bits, vals, _) in ((0, dc), (1, ac)):
             out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
@@ -825,9 +854,11 @@ def decode_jpeg(blob: bytes):
     three channels, the identity-palette convention the GIF path uses).
     Supports: baseline sequential DCT (SOF0), 8-bit, any DHT/DQT
     (8-bit tables), restart intervals (DRI + RSTn), grayscale and
-    3-component 4:4:4 scans. Progressive (SOF2), 12-bit, arithmetic
-    coding and subsampled chroma raise ValueError — this is a
-    deliberately-baseline decoder, not a libjpeg."""
+    interleaved multi-component scans at any integer-ratio sampling
+    (4:4:4, 4:2:0, 4:2:2 — subsampled planes upsampled
+    nearest-neighbor). Progressive (SOF2), 12-bit and arithmetic
+    coding raise ValueError — this is a deliberately-baseline decoder,
+    not a libjpeg."""
     import struct
     import numpy as np
     if blob[:2] != b"\xff\xd8":
@@ -867,10 +898,10 @@ def decode_jpeg(blob: bytes):
                 raise ValueError("only 8-bit precision supported")
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("subsampled chroma unsupported "
-                                     "(4:4:4 / grayscale only)")
-                comps.append({"id": cid, "tq": tq})
+                hi, vi = samp >> 4, samp & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("invalid sampling factors")
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
         elif marker == 0xDD:                            # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                            # SOS
@@ -891,13 +922,15 @@ def decode_jpeg(blob: bytes):
     if h is None or not comps:
         raise ValueError("missing SOF0 before SOS")
     m = _dct_mat()
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
-              for _ in comps]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                       dtype=np.float64) for c in comps]
     br = _BitReader(blob, i)
     preds = [0] * len(comps)
-    nmcu = bh * bw_
-    for mcu in range(nmcu):
+    for mcu in range(mcux * mcuy):
         if restart_interval and mcu and mcu % restart_interval == 0:
             br.align()
             mk = br.at_marker()
@@ -905,41 +938,52 @@ def decode_jpeg(blob: bytes):
                 raise ValueError("expected restart marker")
             br.pos = mk[1]
             preds = [0] * len(comps)
-        by, bx = divmod(mcu, bw_)
+        my, mx = divmod(mcu, mcux)
         for ci, comp in enumerate(comps):
             dc_codes = htabs.get((0, comp["td"]))
             ac_codes = htabs.get((1, comp["ta"]))
             if dc_codes is None or ac_codes is None:
                 raise ValueError("scan references undeclared Huffman "
                                  "table")
-            zz = np.zeros(64, dtype=np.int64)
-            t = _decode_huff(br, dc_codes)
-            preds[ci] += _receive_extend(br, t)
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _decode_huff(br, ac_codes)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break                               # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _receive_extend(br, s)
-                k += 1
             q = qtabs.get(comp["tq"])
             if q is None:
                 raise ValueError("component references undeclared "
                                  "quant table")
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_JPEG_ZIGZAG] = zz * q
-            block = m.T @ coef.reshape(8, 8) @ m
-            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-    planes = [np.clip(np.round(p + 128.0), 0, 255)[:h, :w]
-              for p in planes]
+            for iv in range(comp["v"]):
+                for ih in range(comp["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = _decode_huff(br, dc_codes)
+                    preds[ci] += _receive_extend(br, t)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huff(br, ac_codes)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break                       # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _receive_extend(br, s)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_JPEG_ZIGZAG] = zz * q
+                    block = m.T @ coef.reshape(8, 8) @ m
+                    by = (my * comp["v"] + iv) * 8
+                    bx = (mx * comp["h"] + ih) * 8
+                    planes[ci][by:by + 8, bx:bx + 8] = block
+    # nearest-neighbor upsample subsampled components, then crop
+    ups = []
+    for ci, comp in enumerate(comps):
+        p = np.clip(np.round(planes[ci] + 128.0), 0, 255)
+        fy, fx = vmax // comp["v"], hmax // comp["h"]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        ups.append(p[:h, :w])
+    planes = ups
     if len(planes) == 1:
         y = planes[0].astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)

@@ -671,3 +671,85 @@ def test_jpeg_roundtrip_and_errors():
         media.decode_jpeg(bytes(prog))
     with _pytest.raises(ValueError):
         media.encode_jpeg(np.zeros((10, 8), dtype=np.uint8))  # not /8
+
+
+def test_jpeg_420_subsampling():
+    """4:2:0 (the dominant real-world layout): MCU-interleaved
+    Y00 Y01 Y10 Y11 Cb Cr block order, 2x2 box-mean chroma on encode,
+    nearest-neighbor upsample on decode. 16x16-constant color tiles
+    have constant chroma per MCU, so the round-trip is within color
+    rounding; random content keeps luma tight (chroma is smoothed by
+    design). Also combined with restart markers."""
+    import numpy as np
+    rng = np.random.default_rng(23)
+    tiles = rng.integers(30, 220, (2, 3, 3)).astype(np.uint8)
+    img = np.kron(tiles, np.ones((16, 16, 1), dtype=np.uint8)) \
+        .reshape(32, 48, 3)
+    dec = media.decode_jpeg(media.encode_jpeg(img, subsampling="420"))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    dec_r = media.decode_jpeg(
+        media.encode_jpeg(img, restart_interval=2, subsampling="420"))
+    assert np.abs(dec_r.astype(int) - img.astype(int)).max() <= 4
+    r = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    d = media.decode_jpeg(media.encode_jpeg(r, subsampling="420"))
+    y_src = 0.299 * r[..., 0] + 0.587 * r[..., 1] + 0.114 * r[..., 2]
+    y_dec = 0.299 * d[..., 0] + 0.587 * d[..., 1] + 0.114 * d[..., 2]
+    # recomputed luma from the clipped RGB; chroma smoothing leaks a
+    # bounded amount through the transform + clip on random content
+    assert np.abs(y_src - y_dec).max() <= 32
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        media.encode_jpeg(np.zeros((24, 24, 3), dtype=np.uint8),
+                          subsampling="420")   # needs /16 dims
+
+
+def test_span_dedup_semantics_handcrafted(spark):
+    """Ground-truth check independent of the DuckDB oracle (which
+    shares the hash formulas): a 6-token span shared between two docs
+    at k=4 is removed from the LATER doc only (keep-one = min
+    (doc_id, pos)); overlapping duplicated k-grams merge into ONE
+    maximal span; a doc with no repeated k-gram is untouched and its
+    kept_fp equals the fingerprint of its full text."""
+    import hashlib
+    from spatialsketch_spark.pipeline import spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"start one two {shared} tail1 tailx"),
+        (2, f"other words here {shared} more stuff"),
+        (3, "entirely unique tokens nothing repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in spans.span_dedup(df, k=4).collect()}
+    # doc 1 holds the keeper occurrences -> nothing removed
+    assert out[1]["n_dup_tokens"] == 0 and out[1]["n_dup_spans"] == 0
+    # doc 2 loses exactly the 6 shared tokens as ONE maximal span
+    assert out[2]["n_dup_tokens"] == 6 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_tokens"] == 0
+
+    def fp(text):
+        norm = " ".join(text.strip().lower().split())
+        return int(hashlib.md5(norm.encode()).hexdigest()[:15], 16)
+
+    assert out[3]["kept_fp"] == fp(rows[2][1])
+    assert out[1]["kept_fp"] == fp(rows[0][1])
+    kept2 = "other words here more stuff"
+    assert out[2]["kept_fp"] == fp(kept2)
+
+
+def test_decontaminate_semantics_handcrafted(spark):
+    """A corpus doc containing an eval doc's 4-gram is flagged iff the
+    hit ratio reaches 1/10; a clean doc scores zero hits."""
+    from spatialsketch_spark.pipeline import spans
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id BIGINT, text STRING")
+    corpus = spark.createDataFrame(
+        [(1, "prefix words the quick brown fox jumps suffix words here"),
+         (2, "totally clean document with no overlap whatsoever in it")],
+        "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in
+           spans.decontaminate(corpus, ev, k=4).collect()}
+    # doc 1: 10 tokens -> 7 windows; eval has 2 windows, both present
+    assert out[1]["n_positions"] == 7 and out[1]["n_hits"] == 2
+    assert out[1]["contaminated"] == 1          # 10*2 >= 7
+    assert out[2]["n_hits"] == 0 and out[2]["contaminated"] == 0
