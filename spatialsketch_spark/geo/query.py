@@ -230,6 +230,121 @@ def _additive_estimator(cfg, kind: str, with_counts: bool = False):
     return fn
 
 
+def _pid_additive_estimator(cfg, kind: str, qmeta: dict):
+    """Placement-granular additive partials: input rows carry (pid,
+    coverage, val_sum, payload) ONCE per matched cell per distinct
+    rect-set; the per-query metadata lives in the task closure
+    (``qmeta``: pid -> (qids, qkinds, items, item_ends, t0s) numpy
+    arrays — a few KB for any realistic batch) and the expansion to
+    per-(query, cell) contributions happens in numpy AFTER the Arrow
+    transfer. Vs the per-qid flow this halves (or better) the Arrow
+    payload bytes for paired count+freq workloads and removes the
+    qmap broadcast exchange from the plan entirely.
+
+    CM fast path probes the (B, d, w) counter stack through an
+    expansion index (payloads deserialized once per CELL, not per
+    query); other kernels synthesize the expanded pdf and reuse
+    ``_additive_batch_ests``. Emits one (qid, partial) row set per
+    partition, same contract as ``_additive_estimator``."""
+    # flatten the per-pid query lists ONCE on the driver; the closure
+    # captures plain numpy arrays (KBs), not python object graphs
+    offsets: dict[int, int] = {}
+    nq_of: dict[int, int] = {}
+    qids_l, qkinds_l, items_l, iends_l, t0s_l = [], [], [], [], []
+    for pid, (qids, qkinds, items, iends, t0s) in qmeta.items():
+        offsets[pid] = len(qids_l)
+        nq_of[pid] = len(qids)
+        qids_l.extend(qids)
+        qkinds_l.extend(qkinds)
+        items_l.extend(items)
+        iends_l.extend(iends)
+        t0s_l.extend(t0s)
+    f_qids = np.asarray(qids_l, dtype=np.int64)
+    f_qkinds = np.asarray(qkinds_l, dtype=object)
+    f_items = np.asarray(items_l, dtype=np.int64)
+    f_iends = np.asarray(iends_l, dtype=np.int64)
+    f_t0s = np.asarray(t0s_l, dtype=np.int64)
+    f_is_cnt = f_qkinds == "count"
+
+    def fn(batches):
+        kernel = make_kernel(kind, cfg)
+        sums: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pids = pdf["pid"].to_numpy(np.int64)
+            covs = pdf["coverage"].to_numpy(np.float64)
+            # expansion: rows of one pid x that pid's queries
+            order = np.argsort(pids, kind="stable")
+            ps = pids[order]
+            upids, starts = np.unique(ps, return_index=True)
+            bounds = np.append(starts, len(ps))
+            row_parts, qi_parts = [], []
+            for ui, pid in enumerate(upids.tolist()):
+                rows = order[bounds[ui]:bounds[ui + 1]]
+                nq = nq_of[pid]
+                row_parts.append(np.repeat(rows, nq))
+                qi_parts.append(np.tile(
+                    np.arange(offsets[pid], offsets[pid] + nq),
+                    len(rows)))
+            row_idx = np.concatenate(row_parts)
+            qpos = np.concatenate(qi_parts)
+            g_qids = f_qids[qpos]
+            g_is_cnt = f_is_cnt[qpos]
+            ests = np.zeros(len(row_idx), dtype=np.int64)
+            if g_is_cnt.any():
+                vs = pdf["val_sum"].to_numpy(np.int64)
+                ests[g_is_cnt] = vs[row_idx[g_is_cnt]]
+            ncnt = ~g_is_cnt
+            if ncnt.any():
+                if kernel.kind == "cm":
+                    # mirror _additive_batch_ests' dispatch guards
+                    if (f_iends[qpos[ncnt]] >= 0).any():
+                        raise ValueError(
+                            "CM answers point frequencies only; item "
+                            "ranges need a 'dcm' (or exact-mode) store")
+                    if (f_t0s[qpos[ncnt]] > 0).any():
+                        raise ValueError(
+                            "CM has no time dimension; window queries "
+                            "need an 'ecm' (or exact-mode) store")
+                    # deserialize each referenced cell ONCE (count-only
+                    # placements carry NULL payloads and are never
+                    # referenced here)
+                    ri = row_idx[ncnt]
+                    uniq_rows, ri_compact = np.unique(
+                        ri, return_inverse=True)
+                    counters = kernel.deserialize_batch(
+                        pdf["payload"].iloc[uniq_rows]
+                        .reset_index(drop=True))
+                    h = kernel.hash(f_items[qpos[ncnt]])      # (d, E)
+                    ests[ncnt] = counters[
+                        ri_compact[:, None],
+                        np.arange(kernel.d)[None, :],
+                        h.T].min(axis=1)
+                else:
+                    sub = pd.DataFrame({
+                        "payload": pdf["payload"].iloc[
+                            row_idx[ncnt]].reset_index(drop=True),
+                        "item": f_items[qpos[ncnt]],
+                        "item_end": f_iends[qpos[ncnt]],
+                        "t0": f_t0s[qpos[ncnt]],
+                        "qkind": f_qkinds[qpos[ncnt]],
+                    })
+                    ests[ncnt] = _additive_batch_ests(kernel, sub)
+            contrib = np.floor(covs[row_idx] * ests).astype(np.int64)
+            uq, inv = np.unique(g_qids, return_inverse=True)
+            part = int_group_sum(inv, contrib, len(uq))
+            for q, v in zip(uq.tolist(), part.tolist()):
+                sums[q] = sums.get(q, 0) + v
+        if sums:
+            yield pd.DataFrame({
+                "qid": pd.array(list(sums.keys()), dtype="int64"),
+                "est": pd.array(list(sums.values()), dtype="int64"),
+            })
+
+    return fn
+
+
 def _finisher(cfg, kind: str):
     """Partition-level finisher: after repartition(qid), all of a
     query's matched cells share a partition; one Python/Arrow round
@@ -419,14 +534,15 @@ class SpatialSketchEngine:
             return None
         return max(1, -(-int(cells) // self.CELLS_PER_SCAN_TASK))
 
-    def _matched(self, queries: list[QuerySpec]):
-        # dedup identical rect-sets (e.g. the count and the freq probe
-        # of one placement, or repeated canned regions): the cover is
-        # expanded and broadcast once per DISTINCT rect-set; per-query
-        # metadata rides a tiny broadcast qid-map joined on pid after
-        # the sketch join, so the payload-bearing join probes half (or
-        # less) the hash table a per-qid cover would need
-        spark = self.store.spark
+    def _matched_pids(self, queries: list[QuerySpec]):
+        """Payload-bearing matched rows at PLACEMENT granularity:
+        dedup identical rect-sets (e.g. the count and the freq probe
+        of one placement, or repeated canned regions) so the cover is
+        expanded and broadcast once per DISTINCT rect-set, join the
+        sketch table, and return (matched_df(pid, coverage, sketch
+        cols), qmap_rows) — per-query metadata attachment is the
+        caller's choice (broadcast join for the DataFrame path, a
+        python-side expansion for query_values)."""
         groups: dict[tuple, int] = {}
         pid_ranges: list = []
         qmap_rows = []
@@ -440,7 +556,6 @@ class SpatialSketchEngine:
             qmap_rows.append((pid, q.qid, q.qkind, q.item,
                               q.item_end, q.t0))
         cover = self._cover_df(pid_ranges)
-        qmap = spark.createDataFrame(qmap_rows, schema=QMAP_SCHEMA)
         if len(queries) < 64:
             # precise grid_key pruning list, driver-computed
             needed = sorted({self.store.cfg.grid_key(kx, ky)
@@ -474,6 +589,16 @@ class SpatialSketchEngine:
             pruned = self.store.bucketed_df().where(
                 F.col("grid_key").isin(needed))
             m = pruned.join(cover, ["grid_key", "cell"])
+        return m, qmap_rows
+
+    def _matched(self, queries: list[QuerySpec]):
+        # per-query metadata rides a tiny broadcast qid-map joined on
+        # pid after the sketch join, so the payload-bearing join
+        # probes half (or less) the hash table a per-qid cover would
+        # need
+        spark = self.store.spark
+        m, qmap_rows = self._matched_pids(queries)
+        qmap = spark.createDataFrame(qmap_rows, schema=QMAP_SCHEMA)
         return m.join(F.broadcast(qmap), "pid").drop("pid")
 
     def query(self, queries: list[QuerySpec]) -> DataFrame:
@@ -623,16 +748,34 @@ class SpatialSketchEngine:
                 raise ValueError(
                     f"query kind {q.qkind!r} is not answerable by a "
                     f"{self.store.kind!r} store")
-        m_all = self._matched(additive)
-        m = m_all.where(F.col("qkind").isin(
-            "freq", "range_freq", "window", "count")).select(
-            "qid", "coverage", "qkind", "item", "item_end", "t0",
-            "val_sum",
-            F.when(F.col("qkind") == "count", F.lit(None))
-            .otherwise(F.col("payload")).alias("payload"))
-        partial = m.mapInPandas(
-            _additive_estimator(self.store.cfg, self.store.kind,
-                                with_counts=True),
+        # placement-granular matched rows: payloads cross Arrow once
+        # per (distinct rect-set, cell); per-query metadata travels in
+        # the estimator closure, so the qmap broadcast exchange
+        # disappears from the plan and paired count+freq workloads
+        # halve their Arrow bytes
+        m, qmap_rows = self._matched_pids(additive)
+        qmeta: dict = {}
+        for pid, qid, qkind, item, item_end, t0 in qmap_rows:
+            e = qmeta.setdefault(pid, ([], [], [], [], []))
+            e[0].append(qid)
+            e[1].append(qkind)
+            e[2].append(item)
+            e[3].append(item_end)
+            e[4].append(t0)
+        pure_count_pids = [pid for pid, e in qmeta.items()
+                           if all(k == "count" for k in e[1])]
+        if pure_count_pids:
+            # count-only placements never read the blob
+            payload_col = (F.when(F.col("pid").isin(pure_count_pids),
+                                  F.lit(None))
+                           .otherwise(F.col("payload")))
+        else:
+            payload_col = F.col("payload")
+        sel = m.select("pid", "coverage", "val_sum",
+                       payload_col.alias("payload"))
+        partial = sel.mapInPandas(
+            _pid_additive_estimator(self.store.cfg, self.store.kind,
+                                    qmeta),
             schema=RESULT_SCHEMA)
         for q in additive:
             out[q.qid] = 0

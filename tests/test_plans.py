@@ -136,3 +136,14 @@ def test_query_values_equals_query(spark):
     with pytest.raises(ValueError, match="not answerable"):
         cm.query_values([QuerySpec(0, [rects[0]], "range_freq",
                                    item=1, item_end=5)])
+    # CM fast path (counter-stack probe through the expansion index)
+    # must also equal the DataFrame path, including paired count+freq
+    # placements sharing a pid and a count-ONLY placement (NULL blob)
+    qs_cm = []
+    for i, r in enumerate(rects):
+        qs_cm.append(QuerySpec(2 * i, [r], "count"))
+        if i < 2:
+            qs_cm.append(QuerySpec(2 * i + 1, [r], "freq", item=17 + i))
+    want_cm = {int(r["qid"]): int(r["est"])
+               for r in cm.query(qs_cm).collect()}
+    assert cm.query_values(qs_cm) == want_cm
