@@ -46,6 +46,28 @@ def q_decontaminate(spark, sf_dir):
         .orderBy("doc_id")
 
 
+_PII_TEXT_SQL = ("text || ' contact user' || CAST(doc_id AS VARCHAR) "
+                 "|| '@mail' || CAST(doc_id % 50 AS VARCHAR) "
+                 "|| '.example.com from 10.' "
+                 "|| CAST(doc_id % 256 AS VARCHAR) || '.0.' "
+                 "|| CAST(doc_id % 100 AS VARCHAR)")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over a deterministically-PII-seeded text column
+    (the raw fixture has none): both engines derive the same string
+    with pure concat/cast arithmetic, then scrub emails + IPv4s."""
+    from pyspark.sql import functions as F
+    d = _docs(spark, sf_dir).withColumn("text", F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string")))
+    return text.pii_scrub(d).orderBy("doc_id")
+
+
 def q_stratified_sample(spark, sf_dir):
     # per-(lang, source) quota of 7, hash-rank deterministic — stable
     # under repartitioning/retries, unlike partition-order df.sample()
@@ -412,6 +434,8 @@ PIPELINE_GATE = {
         lambda: sampling.oracle_budget_sample(["lang"], 5000, "n_chars")),
     "doc_curation_pipeline": (q_curation_pipeline,
                               oracle_curation_pipeline),
+    "doc_pii_scrub": (q_pii_scrub,
+                      lambda: text.oracle_pii_scrub(_PII_TEXT_SQL)),
     "doc_span_dedup": (q_span_dedup, spans.oracle_span_dedup),
     "doc_decontaminate": (
         q_decontaminate,

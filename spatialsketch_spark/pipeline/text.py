@@ -355,3 +355,54 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
             % {FP_MOD} AS BIGINT) AS fingerprint
 FROM e GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (r5) — the standard pre-training redaction pass
+# ---------------------------------------------------------------------------
+# Patterns are deliberately restricted to the regex subset on which
+# Java regex (Spark) and RE2 (DuckDB) agree exactly: character
+# classes, +, bounded repetition and literals — no backrefs,
+# lookaround or lazy quantifiers. Email first, then IPv4 (the email
+# replacement token contains no digit-dot runs, so ordering is safe).
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+PII_IPV4 = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and IPv4 literals from the (normalized) text:
+    -> (doc_id, n_emails, n_ips, scrubbed_fp) where scrubbed_fp
+    fingerprints the post-redaction text (md5 -> int64), proving the
+    exact surviving byte sequence. Pure column functions — zero
+    shuffles, zero Python; the 100 TB posture is a map-only pass."""
+    norm = norm_text_col(F.col(text_col))
+    n_emails = F.size(F.regexp_extract_all(norm, F.lit(PII_EMAIL), 0))
+    step1 = F.regexp_replace(norm, PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(step1, F.lit(PII_IPV4), 0))
+    scrubbed = F.regexp_replace(step1, PII_IPV4, "<IP>")
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ips.cast("bigint").alias("n_ips"),
+        F.conv(F.substring(F.md5(scrubbed), 1, 15), 16, 10)
+        .cast("bigint").alias("scrubbed_fp"))
+
+
+def oracle_pii_scrub(text_sql: str = "text") -> str:
+    # SQL single-quoted literals pass backslashes through verbatim, so
+    # the python-level patterns embed unchanged (same as _NORM's \s+)
+    email = PII_EMAIL
+    ipv4 = PII_IPV4
+    norm = (f"regexp_replace(lower(trim({text_sql})), '\\s+', ' ', 'g')")
+    step1 = f"regexp_replace({norm}, '{email}', '<EMAIL>', 'g')"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all({norm}, '{email}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all({step1}, '{ipv4}')) AS BIGINT)
+         AS n_ips,
+       ('0x' || substr(md5(
+           regexp_replace({step1}, '{ipv4}', '<IP>', 'g')),
+           1, 15))::BIGINT AS scrubbed_fp
+FROM documents ORDER BY doc_id
+"""

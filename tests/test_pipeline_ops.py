@@ -753,3 +753,29 @@ def test_decontaminate_semantics_handcrafted(spark):
     assert out[1]["n_positions"] == 7 and out[1]["n_hits"] == 2
     assert out[1]["contaminated"] == 1          # 10*2 >= 7
     assert out[2]["n_hits"] == 0 and out[2]["contaminated"] == 0
+
+
+def test_pii_scrub_semantics(spark):
+    """Ground truth for the redaction pass: counts, ordering (emails
+    before IPv4s so the replacement token is never re-matched), and
+    the exact post-redaction fingerprint."""
+    import hashlib
+    from spatialsketch_spark.pipeline import text as t
+    rows = [
+        (1, "Reach me at Bob.Smith+x@Corp.Example.COM or 192.168.0.1"),
+        (2, "two mails a@b.co c@d.org and ips 1.2.3.4 5.6.7.8"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in t.pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"]) == (1, 1)
+    assert (out[2]["n_emails"], out[2]["n_ips"]) == (2, 2)
+    assert (out[3]["n_emails"], out[3]["n_ips"]) == (0, 0)
+
+    def fp(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    assert out[1]["scrubbed_fp"] == fp("reach me at <EMAIL> or <IP>")
+    assert out[2]["scrubbed_fp"] == fp(
+        "two mails <EMAIL> <EMAIL> and ips <IP> <IP>")
+    assert out[3]["scrubbed_fp"] == fp("nothing sensitive here at all")

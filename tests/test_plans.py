@@ -147,3 +147,20 @@ def test_query_values_equals_query(spark):
     want_cm = {int(r["qid"]): int(r["est"])
                for r in cm.query(qs_cm).collect()}
     assert cm.query_values(qs_cm) == want_cm
+
+
+def test_span_ops_stay_jvm_side(spark):
+    """span_dedup and decontaminate must plan WITHOUT any Python
+    stage (higher-order array functions + window + md5 only) and
+    without a sort-merge join at fixture scale — the whole curation
+    pass stays inside codegen."""
+    from spatialsketch_spark.pipeline import spans
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    p1 = spans.span_dedup(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" not in p1 and "BatchEvalPython" not in p1
+    dc = spans.decontaminate(docs.where(F.col("doc_id") % 7 != 3),
+                             docs.where(F.col("doc_id") % 7 == 3))
+    p2 = dc._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in p2 and "BatchEvalPython" not in p2
+    assert "BroadcastHashJoin" in p2      # eval k-gram set is a dim
