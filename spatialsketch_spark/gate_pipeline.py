@@ -36,6 +36,10 @@ def q_span_dedup(spark, sf_dir):
     return spans.span_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_repetition(spark, sf_dir):
+    return spans.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_decontaminate(spark, sf_dir):
     # held-out eval set = a deterministic 1-in-7 doc_id split of the
     # fixture corpus (stand-in for a real eval-benchmark table)
@@ -437,6 +441,7 @@ PIPELINE_GATE = {
     "doc_pii_scrub": (q_pii_scrub,
                       lambda: text.oracle_pii_scrub(_PII_TEXT_SQL)),
     "doc_span_dedup": (q_span_dedup, spans.oracle_span_dedup),
+    "doc_repetition": (q_repetition, spans.oracle_repetition_stats),
     "doc_decontaminate": (
         q_decontaminate,
         lambda: spans.oracle_decontaminate(

@@ -216,3 +216,39 @@ FROM fps f LEFT JOIN hits h ON h.doc_id = f.doc_id
 WHERE {corpus_pred_sql.replace('doc_id', 'f.doc_id')}
 ORDER BY doc_id
 """
+
+
+REP_DEN = 5     # repetitive when duplicated k-grams >= 1/REP_DEN of all
+
+
+def repetition_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Intra-document repetition signal (the Gopher-class quality
+    rule): n_kgrams = k-gram windows in the doc, n_distinct = distinct
+    k-gram hashes, repetitive = 1 iff the duplicated fraction reaches
+    1/REP_DEN (integer arithmetic: REP_DEN*(n - distinct) >= n > 0).
+    Pure column functions — zero shuffles, map-only at any scale.
+    -> (doc_id, n_kgrams, n_distinct_kgrams, repetitive)."""
+    d = _with_kgrams(docs, k)
+    n = F.size("_fps")
+    nd = F.size(F.array_distinct("_fps"))
+    return d.select(
+        F.col("doc_id").cast("bigint"),
+        n.cast("bigint").alias("n_kgrams"),
+        nd.cast("bigint").alias("n_distinct_kgrams"),
+        ((n > 0) & (REP_DEN * (n - nd) >= n))
+        .cast("bigint").alias("repetitive"))
+
+
+def oracle_repetition_stats(k: int = SPAN_K) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_WHS_SQL} AS whs FROM documents),
+fps AS (SELECT doc_id, {_fps_sql(k)} AS fps FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(fps) AS BIGINT) AS n_kgrams,
+       CAST(len(list_distinct(fps)) AS BIGINT) AS n_distinct_kgrams,
+       CAST(CASE WHEN len(fps) > 0
+                  AND {REP_DEN} * (len(fps) - len(list_distinct(fps)))
+                      >= len(fps)
+             THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+FROM fps ORDER BY doc_id
+"""

@@ -779,3 +779,21 @@ def test_pii_scrub_semantics(spark):
     assert out[2]["scrubbed_fp"] == fp(
         "two mails <EMAIL> <EMAIL> and ips <IP> <IP>")
     assert out[3]["scrubbed_fp"] == fp("nothing sensitive here at all")
+
+
+def test_repetition_stats_semantics(spark):
+    """The fixture corpus has no repetitive docs (gate verdicts are all
+    zero there), so pin the rule on crafted inputs: a spam doc trips
+    the 1/5 duplicated-k-gram threshold, a clean doc does not."""
+    from spatialsketch_spark.pipeline import spans
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "six completely distinct words here now"),
+         (3, "ab")],                       # shorter than k -> 0 kgrams
+        "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in
+           spans.repetition_stats(df, k=4).collect()}
+    assert out[1]["n_kgrams"] == 3 and out[1]["n_distinct_kgrams"] == 1
+    assert out[1]["repetitive"] == 1
+    assert out[2]["repetitive"] == 0
+    assert out[3]["n_kgrams"] == 0 and out[3]["repetitive"] == 0
