@@ -36,6 +36,15 @@ def q_span_dedup(spark, sf_dir):
     return spans.span_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_gzip_roundtrip(spark, sf_dir):
+    """Compressed-corpus ingestion (WARC-ish front door): deflate the
+    fixture text, inflate it back, fingerprint — the oracle compares
+    against the uncompressed source, proving the byte-exact
+    round-trip."""
+    return text.decompress_corpus(
+        text.synth_zlib_corpus(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
 def q_repetition(spark, sf_dir):
     return spans.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -442,6 +451,8 @@ PIPELINE_GATE = {
                       lambda: text.oracle_pii_scrub(_PII_TEXT_SQL)),
     "doc_span_dedup": (q_span_dedup, spans.oracle_span_dedup),
     "doc_repetition": (q_repetition, spans.oracle_repetition_stats),
+    "doc_gzip_roundtrip": (q_gzip_roundtrip,
+                           text.oracle_decompress_corpus),
     "doc_decontaminate": (
         q_decontaminate,
         lambda: spans.oracle_decontaminate(

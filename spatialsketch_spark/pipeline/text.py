@@ -406,3 +406,63 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
            1, 15))::BIGINT AS scrubbed_fp
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Compressed-corpus ingestion (r5) — the WARC-ish text pipeline front
+# ---------------------------------------------------------------------------
+
+def synth_zlib_corpus(docs: DataFrame, level: int = 6) -> DataFrame:
+    """Deterministic compressed-corpus fixture: each document's text
+    zlib-deflated (stdlib, no gzip header — gzip embeds an mtime and
+    would break determinism) in an Arrow mapInPandas stage.
+    -> (doc_id, blob BINARY). Stands in for a real compressed text
+    corpus (WARC/WET shards) as an ingestion source."""
+    import zlib
+
+    def fn(batches):
+        for pdf in batches:
+            pdf = pdf[["doc_id", "text"]].copy()
+            pdf["blob"] = [zlib.compress(t.encode("utf-8"), level)
+                           for t in pdf["text"]]
+            yield pdf[["doc_id", "blob"]]
+
+    return docs.mapInPandas(fn, schema="doc_id BIGINT, blob BINARY")
+
+
+def decompress_corpus(blobs: DataFrame) -> DataFrame:
+    """Inflate a compressed text corpus and emit per-doc ingestion
+    stats: -> (doc_id, n_bytes, text_fp) where text_fp fingerprints
+    the DECOMPRESSED bytes (md5 -> int64) — the oracle proves the
+    exact round-trip against the uncompressed source. Arrow-batched;
+    malformed streams raise (zlib.error) rather than yielding
+    corrupt rows."""
+    import zlib
+
+    def fn(batches):
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "text_fp": []}
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = zlib.decompress(bytes(blob))
+                out["doc_id"].append(int(did))
+                out["n_bytes"].append(len(raw))
+                out["text_fp"].append(
+                    int(hashlib.md5(raw).hexdigest()[:15], 16))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        fn, schema="doc_id BIGINT, n_bytes BIGINT, text_fp BIGINT")
+
+
+def oracle_decompress_corpus() -> str:
+    """The round-trip must reproduce the source text byte-for-byte:
+    n_bytes = UTF-8 byte length, text_fp = md5 of the raw text."""
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_fp
+FROM documents ORDER BY doc_id
+"""

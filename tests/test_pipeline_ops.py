@@ -797,3 +797,25 @@ def test_repetition_stats_semantics(spark):
     assert out[1]["repetitive"] == 1
     assert out[2]["repetitive"] == 0
     assert out[3]["n_kgrams"] == 0 and out[3]["repetitive"] == 0
+
+
+def test_zlib_corpus_roundtrip_and_errors(spark):
+    """Compressed-corpus ingestion: byte-exact round-trip incl.
+    unicode, and a corrupt stream fails the job rather than emitting
+    corrupt rows."""
+    import hashlib
+    from pyspark.sql.utils import PythonException
+    from spatialsketch_spark.pipeline import text as t
+    rows = [(1, "plain ascii text"), (2, "unicode: héllo wörld ✓")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in
+           t.decompress_corpus(t.synth_zlib_corpus(df)).collect()}
+    for did, txt in rows:
+        raw = txt.encode("utf-8")
+        assert out[did]["n_bytes"] == len(raw)
+        assert out[did]["text_fp"] == int(
+            hashlib.md5(raw).hexdigest()[:15], 16)
+    bad = spark.createDataFrame([(9, bytearray(b"not zlib data"))],
+                                "doc_id BIGINT, blob BINARY")
+    with pytest.raises(PythonException):
+        t.decompress_corpus(bad).collect()
