@@ -9,7 +9,7 @@ Decode comes in two tiers:
   pure-python LZW inflate (variable-width codes, KwKwK, deferred clear,
   interlace) + palette mapping, and (r5) baseline JPEG by a from-spec
   sequential-DCT decoder (marker parse, canonical Huffman, dequant,
-  numpy IDCT, restart intervals, grayscale + 4:4:4 color)
+  numpy IDCT, restart intervals, grayscale + 4:4:4/4:2:2/4:2:0 color)
   (``decode_ppm`` / ``decode_wav`` / ``decode_png`` / ``decode_gif`` /
   ``decode_jpeg`` / format-sniffing ``decode_media``).
   ``synth_real_media_table`` emits genuine PPM/WAV/PNG/GIF/JPEG blobs
@@ -626,10 +626,10 @@ def encode_jpeg(pixels, restart_interval: int = 0,
                 subsampling: str = "444") -> bytes:
     """Baseline JFIF encoder, quantization all-ones (so DC-only blocks
     round-trip exactly): grayscale (h, w) or RGB (h, w, 3) uint8 with
-    h, w multiples of 8 (16 for 4:2:0); RGB goes through the JFIF
-    YCbCr transform at 4:4:4 or, with subsampling='420', 2x2-box-mean
-    chroma (the dominant real-world layout; MCU-interleaved
-    Y00 Y01 Y10 Y11 Cb Cr block order). Huffman tables are computed
+    h, w multiples of 8 (16 where a dimension is subsampled); RGB goes
+    through the JFIF YCbCr transform at 4:4:4, 4:2:2 (2x1 box-mean
+    chroma) or 4:2:0 (2x2 — the dominant real-world layout;
+    MCU-interleaved Y00 Y01 Y10 Y11 Cb Cr block order). Huffman tables are computed
     canonically from the stream's own symbol frequencies and emitted
     in DHT. restart_interval > 0 emits DRI + RSTn markers every that
     many MCUs (DC predictors reset — exercises the decoder's restart
@@ -640,13 +640,16 @@ def encode_jpeg(pixels, restart_interval: int = 0,
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("pixels must be (h, w) or (h, w, 3) uint8")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    sub = (not gray) and subsampling == "420"
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
+    fy, fx = {"444": (1, 1), "422": (1, 2), "420": (2, 2)}[subsampling]
+    if gray:
+        fy = fx = 1
     h, w = px.shape[:2]
-    if h % 8 or w % 8 or (sub and (h % 16 or w % 16)):
-        raise ValueError("encode_jpeg needs dimensions divisible by 8 "
-                         "(16 for 4:2:0)")
+    if h % (8 * fy) or w % (8 * fx):
+        raise ValueError(
+            f"encode_jpeg needs dimensions divisible by {8 * fy} "
+            f"(rows) x {8 * fx} (cols) at {subsampling}")
     if gray:
         planes = [px.astype(np.float64)]
         samps = [(1, 1)]
@@ -658,12 +661,12 @@ def encode_jpeg(pixels, restart_interval: int = 0,
                   -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
                   0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
         planes = [np.clip(np.round(p), 0, 255) for p in planes]
-        if sub:
-            # 2x2 box-mean chroma downsample
+        if fy > 1 or fx > 1:
+            # box-mean chroma downsample by (fy, fx)
             planes[1:] = [np.round(
-                p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)))
+                p.reshape(h // fy, fy, w // fx, fx).mean(axis=(1, 3)))
                 for p in planes[1:]]
-            samps = [(2, 2), (1, 1), (1, 1)]
+            samps = [(fx, fy), (1, 1), (1, 1)]
         else:
             samps = [(1, 1)] * 3
     hmax = max(s[0] for s in samps)

@@ -819,3 +819,18 @@ def test_zlib_corpus_roundtrip_and_errors(spark):
                                 "doc_id BIGINT, blob BINARY")
     with pytest.raises(PythonException):
         t.decompress_corpus(bad).collect()
+
+
+def test_jpeg_422_subsampling():
+    """4:2:2 (horizontal-only chroma subsample): MCU = Y0 Y1 Cb Cr,
+    8x16-constant tiles round-trip within color rounding."""
+    import numpy as np
+    rng = np.random.default_rng(31)
+    tiles = rng.integers(30, 220, (2, 2, 3)).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 16, 1), dtype=np.uint8)) \
+        .reshape(16, 32, 3)
+    d = media.decode_jpeg(media.encode_jpeg(img, subsampling="422"))
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 4
+    d2 = media.decode_jpeg(media.encode_jpeg(img, subsampling="422",
+                                             restart_interval=2))
+    assert np.abs(d2.astype(int) - img.astype(int)).max() <= 4
