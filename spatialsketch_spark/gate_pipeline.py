@@ -36,6 +36,11 @@ def q_span_dedup(spark, sf_dir):
     return spans.span_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_model_filter(spark, sf_dir):
+    return text.model_quality_filter(_docs(spark, sf_dir)) \
+        .orderBy("doc_id")
+
+
 def q_gzip_roundtrip(spark, sf_dir):
     """Compressed-corpus ingestion (WARC-ish front door): deflate the
     fixture text, inflate it back, fingerprint — the oracle compares
@@ -453,6 +458,8 @@ PIPELINE_GATE = {
     "doc_repetition": (q_repetition, spans.oracle_repetition_stats),
     "doc_gzip_roundtrip": (q_gzip_roundtrip,
                            text.oracle_decompress_corpus),
+    "doc_model_filter": (q_model_filter,
+                         text.oracle_model_quality_filter),
     "doc_decontaminate": (
         q_decontaminate,
         lambda: spans.oracle_decontaminate(

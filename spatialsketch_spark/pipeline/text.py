@@ -466,3 +466,67 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_fp
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (r5) — the classifier-filter hook
+# ---------------------------------------------------------------------------
+
+QFILTER_THRESHOLD = 500   # keep when score_milli >= threshold
+
+
+def _hash_scorer(texts):
+    """Deterministic stand-in scorer: md5 of the normalized text mod
+    1001 (integer milli-units). The container ships no model runtimes
+    (fastText / ONNX), so — same honest-stub pattern as the media
+    codec tier — the MODEL is faked deterministically while the
+    surrounding Spark plumbing (Arrow batch shape, schema, partition
+    behavior, threshold semantics) is real and oracle-gated."""
+    import hashlib
+    out = []
+    for t in texts:
+        norm = " ".join(t.strip().lower().split())
+        out.append(int(hashlib.md5(norm.encode()).hexdigest()[:15], 16)
+                   % 1001)
+    return out
+
+
+def model_quality_filter(docs: DataFrame, scorer=None,
+                         threshold: int = QFILTER_THRESHOLD
+                         ) -> DataFrame:
+    """Classifier-style quality filtering (the fastText/model-filter
+    curation mode): ``scorer`` is any callable mapping a list of raw
+    text strings to integer scores in [0, 1000] (milli-units keep the
+    comparison integer-exact), applied per Arrow batch inside
+    mapInPandas — exactly where a real model's batched predict would
+    run (load the model once per worker, score a batch at a time).
+    scorer=None uses the deterministic hash stand-in.
+    -> (doc_id, score_milli, keep)."""
+    score_fn = scorer or _hash_scorer
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            scores = score_fn(list(pdf["text"]))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "score_milli": pd.array(scores, dtype="int64"),
+                "keep": pd.array([1 if s >= threshold else 0
+                                  for s in scores], dtype="int64"),
+            })
+
+    return docs.mapInPandas(
+        fn, schema="doc_id BIGINT, score_milli BIGINT, keep BIGINT")
+
+
+def oracle_model_quality_filter(threshold: int = QFILTER_THRESHOLD
+                                ) -> str:
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    score = f"(('0x' || substr(md5({norm}), 1, 15))::BIGINT) % 1001"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({score} AS BIGINT) AS score_milli,
+       CAST(CASE WHEN {score} >= {threshold} THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM documents ORDER BY doc_id
+"""

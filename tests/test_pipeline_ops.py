@@ -834,3 +834,21 @@ def test_jpeg_422_subsampling():
     d2 = media.decode_jpeg(media.encode_jpeg(img, subsampling="422",
                                              restart_interval=2))
     assert np.abs(d2.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_model_quality_filter_pluggable(spark):
+    """The classifier-filter hook: a CUSTOM scorer (here length-based)
+    flows through the same Arrow-batched path as the default hash
+    stand-in, and the threshold semantics hold."""
+    from spatialsketch_spark.pipeline import text as t
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "a much longer document " * 50)],
+        "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in t.model_quality_filter(
+        df, scorer=lambda ts: [min(len(x), 1000) for x in ts]).collect()}
+    assert out[1]["score_milli"] == 5 and out[1]["keep"] == 0
+    assert out[2]["score_milli"] == 1000 and out[2]["keep"] == 1
+    # default hash scorer is deterministic across calls
+    a = t.model_quality_filter(df).collect()
+    b = t.model_quality_filter(df).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
