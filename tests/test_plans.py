@@ -164,3 +164,32 @@ def test_span_ops_stay_jvm_side(spark):
     p2 = dc._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in p2 and "BatchEvalPython" not in p2
     assert "BroadcastHashJoin" in p2      # eval k-gram set is a dim
+
+
+def test_query_values_equals_query_dcm_ecm(spark):
+    """The pid-granular estimator's generic fallback (non-CM kernels:
+    per-expanded-row deserialize + _additive_batch_ests) must equal
+    the DataFrame path on REAL dcm (range_freq) and ecm (window)
+    stores — the two kinds with per-row python estimation."""
+    from spatialsketch_spark.config import SketchConfig
+    from spatialsketch_spark.geo.build import SketchStore
+    from spatialsketch_spark.geo.events import (ITEM_DOMAIN,
+                                                derive_geo_events)
+    from spatialsketch_spark.geo.query import (QuerySpec,
+                                               SpatialSketchEngine)
+    cfg = SketchConfig.realistic(n=4096, eps=0.1, delta=0.05,
+                                 item_domain=ITEM_DOMAIN)
+    ev = derive_geo_events(spark, SF_ORACLE, 4096).limit(4000)
+    rects = [(0, 0, 2047, 2047), (512, 512, 1535, 2047)]
+    dcm = SpatialSketchEngine(SketchStore.build(spark, ev, cfg, "dcm", 4))
+    qs = [QuerySpec(i, [r], "range_freq", item=10, item_end=40)
+          for i, r in enumerate(rects)]
+    qs.append(QuerySpec(9, [rects[0]], "count"))
+    want = {int(r["qid"]): int(r["est"]) for r in dcm.query(qs).collect()}
+    assert dcm.query_values(qs) == want
+    ecm = SpatialSketchEngine(SketchStore.build(spark, ev, cfg, "ecm", 4))
+    qs2 = [QuerySpec(i, [r], "window", item=3 + i, t0=500)
+           for i, r in enumerate(rects)]
+    want2 = {int(r["qid"]): int(r["est"])
+             for r in ecm.query(qs2).collect()}
+    assert ecm.query_values(qs2) == want2
