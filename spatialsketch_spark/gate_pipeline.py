@@ -6,8 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .pipeline import (dedup, media, relational, sampling, similarity,
-                       spans, temporal, text)
+from .pipeline import (dedup, media, packing, relational, sampling,
+                       similarity, spans, temporal, text)
 
 EMB_QUERY_IDS = [0, 1, 2, 3]
 
@@ -177,6 +177,33 @@ def q_simhash(spark, sf_dir):
 
 def q_token_stats(spark, sf_dir):
     return text.token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_tfidf(spark, sf_dir):
+    return text.tfidf_topk(_docs(spark, sf_dir)).orderBy("doc_id", "rk")
+
+
+PACK_LEN, PACK_SHARDS = 128, 4
+
+
+def _packed_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = text.token_stats(docs).select("doc_id", "n_tokens")
+    d = docs.select("doc_id", "lang").join(toks, "doc_id")
+    return packing.pack_sequences(d, PACK_LEN, "n_tokens", ["lang"],
+                                  shards=PACK_SHARDS)
+
+
+def q_seq_pack(spark, sf_dir):
+    return _packed_docs(spark, sf_dir).select(
+        "doc_id", "lang", "shard", "n_tokens", "start_off",
+        "first_seq", "last_seq", "n_seqs").orderBy("doc_id")
+
+
+def q_seq_manifest(spark, sf_dir):
+    return packing.sequence_manifest(
+        _packed_docs(spark, sf_dir), ["lang"]) \
+        .orderBy("lang", "shard", "seq_id")
 
 
 def q_quality(spark, sf_dir):
@@ -473,6 +500,15 @@ PIPELINE_GATE = {
             dedup.oracle_minhash_candidates())),
     "doc_simhash": (q_simhash, dedup.oracle_simhash),
     "doc_token_stats": (q_token_stats, text.oracle_token_stats),
+    "doc_tfidf": (q_tfidf, text.oracle_tfidf_topk),
+    "doc_seq_pack": (q_seq_pack, lambda: packing.oracle_pack_sequences(
+        PACK_LEN, f"CAST(len({text._WORDS}) AS BIGINT)", ["lang"],
+        PACK_SHARDS)),
+    "doc_seq_manifest": (
+        q_seq_manifest,
+        lambda: packing.oracle_sequence_manifest(
+            PACK_LEN, f"CAST(len({text._WORDS}) AS BIGINT)", ["lang"],
+            PACK_SHARDS)),
     "doc_quality": (q_quality, text.oracle_quality_score),
     "doc_lang_id": (q_lang_id, text.oracle_lang_id),
     "doc_fingerprint": (q_fingerprint, text.oracle_doc_fingerprint),

@@ -530,3 +530,80 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
             AS BIGINT) AS keep
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+def tfidf_topk(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf rank.
+
+    Float-free variant so the DuckDB oracle compares bit-for-bit: the
+    score is the LINEAR-idf ``floor(tf · N · 10^6 / df)`` (monotone in
+    tf/df like the classic log form; the log only compresses the
+    ordering, and any log-vs-linear rank differences are a definition
+    choice, not an approximation). Ties broken by term ascending —
+    fully deterministic.
+
+    Scale posture: explode → two hash aggregations (both map-side
+    partial), one join on term (vocab-sized — shuffle; AQE broadcasts
+    it when the dictionary is small), one tiny broadcast for N, and a
+    per-doc window for top-k. No all-pairs anywhere; the explode is
+    output-proportional (one row per token occurrence, the same volume
+    a tokenizer already produces).
+
+    -> (doc_id, term, tf, df_docs, score_micro, rk), rk in [1, k].
+    """
+    d = _with_words(docs)
+    terms = (d.select("doc_id", F.explode("_words").alias("term"))
+             .where(F.col("term") != "")
+             .groupBy("doc_id", "term")
+             .agg(F.count("*").cast("bigint").alias("tf")))
+    dfreq = (terms.groupBy("term")
+             .agg(F.count("*").cast("bigint").alias("df_docs")))
+    ndocs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("score_micro").desc(), F.col("term").asc()))
+    return (terms.join(dfreq, "term")
+            .crossJoin(F.broadcast(ndocs))
+            .withColumn("score_micro",
+                        F.floor(F.col("tf") * F.col("n_docs")
+                                * F.lit(1_000_000) / F.col("df_docs"))
+                        .cast("bigint"))
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= k)
+            .select(F.col("doc_id").cast("bigint"), "term", "tf",
+                    "df_docs", "score_micro", "rk"))
+
+
+def oracle_tfidf_topk(k: int = TFIDF_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+), terms AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs
+  FROM terms GROUP BY term
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df_docs,
+         CAST(FLOOR(t.tf * n.n_docs * 1000000 / d.df_docs) AS BIGINT)
+           AS score_micro
+  FROM terms t JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY score_micro DESC, term ASC)
+            AS BIGINT) AS rk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df_docs,
+       score_micro, rk
+FROM ranked WHERE rk <= {k} ORDER BY doc_id, rk
+"""
