@@ -179,6 +179,17 @@ def q_token_stats(spark, sf_dir):
     return text.token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    seen = docs.where("doc_id % 3 = 0")
+    new = docs.where("doc_id % 3 <> 0")
+    return dedup.incremental_dedup(new, seen).orderBy("text_hash")
+
+
+def q_length_quantiles(spark, sf_dir):
+    return text.length_quantiles(_docs(spark, sf_dir)).orderBy("lang")
+
+
 def q_tfidf(spark, sf_dir):
     return text.tfidf_topk(_docs(spark, sf_dir)).orderBy("doc_id", "rk")
 
@@ -501,6 +512,12 @@ PIPELINE_GATE = {
     "doc_simhash": (q_simhash, dedup.oracle_simhash),
     "doc_token_stats": (q_token_stats, text.oracle_token_stats),
     "doc_tfidf": (q_tfidf, text.oracle_tfidf_topk),
+    "doc_incremental_dedup": (
+        q_incremental_dedup,
+        lambda: dedup.oracle_incremental_dedup(
+            "doc_id % 3 <> 0", "doc_id % 3 = 0")),
+    "doc_length_quantiles": (q_length_quantiles,
+                             text.oracle_length_quantiles),
     "doc_seq_pack": (q_seq_pack, lambda: packing.oracle_pack_sequences(
         PACK_LEN, f"CAST(len({text._WORDS}) AS BIGINT)", ["lang"],
         PACK_SHARDS)),

@@ -338,3 +338,49 @@ SELECT CAST(node AS BIGINT) AS {out_id},
        CAST(MIN(label) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node ORDER BY {out_id}
 """
+
+
+def incremental_dedup(new_docs: DataFrame, seen_docs: DataFrame
+                      ) -> DataFrame:
+    """Ingest-time dedup of a NEW shard against an already-ingested
+    corpus: keep only new docs whose normalized content hash does not
+    appear in the seen corpus, and within the new shard keep the min
+    doc_id per hash (the same survivor rule as :func:`exact_dedup`).
+
+    Scale posture: the seen side reduces to a distinct-hash set before
+    the join (hash-sized, not corpus-sized); the anti join is a single
+    shuffle on the hash — or map-side when the seen set broadcasts. At
+    real scale the seen-hash set is the incrementally-maintained output
+    of previous ingests, so each new shard pays one hash-join against a
+    pre-deduped dictionary, never a self-join of the full corpus.
+
+    -> (text_hash, keep_id, n_dups) for surviving NEW docs only.
+    """
+    seen_hashes = (seen_docs
+                   .select(F.md5(norm_text_col(F.col("text")))
+                           .alias("text_hash"))
+                   .distinct())
+    return (new_docs
+            .select("doc_id",
+                    F.md5(norm_text_col(F.col("text"))).alias("text_hash"))
+            .join(seen_hashes, "text_hash", "left_anti")
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_dups"))
+            .select("text_hash", F.col("keep_id").cast("bigint"),
+                    F.col("n_dups").cast("bigint")))
+
+
+def oracle_incremental_dedup(new_pred: str, seen_pred: str) -> str:
+    return f"""
+WITH docs_n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+seen AS (SELECT DISTINCT md5(norm) AS text_hash
+         FROM docs_n WHERE {seen_pred}),
+novel AS (
+  SELECT md5(norm) AS text_hash, doc_id FROM docs_n
+  WHERE {new_pred} AND md5(norm) NOT IN (SELECT text_hash FROM seen)
+)
+SELECT text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM novel GROUP BY text_hash ORDER BY text_hash
+"""

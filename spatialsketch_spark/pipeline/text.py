@@ -607,3 +607,42 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df_docs,
        score_micro, rk
 FROM ranked WHERE rk <= {k} ORDER BY doc_id, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus distribution stats (discrete quantiles)
+# ---------------------------------------------------------------------------
+
+QUANTILES = (0.25, 0.5, 0.9)
+
+
+def length_quantiles(docs: DataFrame, col: str = "n_chars",
+                     strata_cols: list[str] = ("lang",),
+                     qs: tuple = QUANTILES) -> DataFrame:
+    """Per-stratum discrete quantiles of an integer column — the
+    corpus-profiling step behind length/outlier filter thresholds.
+
+    ``percentile_disc`` (ANSI discrete percentile: smallest element
+    with cum_dist ≥ p) returns an ACTUAL element, so the output stays
+    integer and the DuckDB ``quantile_disc`` oracle compares
+    bit-for-bit — no interpolation, no floats. One shuffle (the
+    per-stratum sort inside the aggregate); at 100 TB swap in
+    approx_percentile for a sketch-merge plan if the exact sort ever
+    binds, keeping this as the audit oracle.
+    """
+    aggs = [F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})")
+            .cast("bigint").alias(f"p{int(q * 100)}") for q in qs]
+    aggs.append(F.count("*").cast("bigint").alias("n"))
+    return docs.groupBy(*strata_cols).agg(*aggs)
+
+
+def oracle_length_quantiles(col: str = "n_chars",
+                            strata_sql: str = "lang",
+                            qs: tuple = QUANTILES) -> str:
+    sel = ", ".join(
+        f"CAST(quantile_disc({col}, {q}) AS BIGINT) AS p{int(q * 100)}"
+        for q in qs)
+    return f"""
+SELECT {strata_sql}, {sel}, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY {strata_sql} ORDER BY {strata_sql}
+"""

@@ -852,3 +852,32 @@ def test_model_quality_filter_pluggable(spark):
     a = t.model_quality_filter(df).collect()
     b = t.model_quality_filter(df).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_incremental_dedup_novel_only(spark, docs):
+    from spatialsketch_spark.pipeline import text as _t
+    seen = docs.where("doc_id % 3 = 0")
+    new = docs.where("doc_id % 3 <> 0")
+    out = dedup.incremental_dedup(new, seen)
+    seen_hashes = {r["text_hash"] for r in dedup.exact_dedup(seen)
+                   .select("text_hash").collect()}
+    rows = out.collect()
+    assert rows, "no novel docs survived"
+    assert all(r["text_hash"] not in seen_hashes for r in rows)
+    # survivors are exactly exact_dedup(new) minus the seen hashes
+    full = {r["text_hash"]: (r["keep_id"], r["n_dups"])
+            for r in dedup.exact_dedup(new).collect()}
+    assert {r["text_hash"]: (r["keep_id"], r["n_dups"]) for r in rows} \
+        == {h: v for h, v in full.items() if h not in seen_hashes}
+
+
+def test_length_quantiles_are_elements(spark, docs):
+    from spatialsketch_spark.pipeline import text as _t
+    out = {r["lang"]: r for r in _t.length_quantiles(docs).collect()}
+    vals = {r["lang"]: set() for r in docs.select("lang").distinct().collect()}
+    for r in docs.select("lang", "n_chars").collect():
+        vals[r["lang"]].add(r["n_chars"])
+    for lang, r in out.items():
+        assert r["p25"] <= r["p50"] <= r["p90"]
+        for p in ("p25", "p50", "p90"):
+            assert r[p] in vals[lang], (lang, p)
