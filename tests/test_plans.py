@@ -193,3 +193,26 @@ def test_query_values_equals_query_dcm_ecm(spark):
     want2 = {int(r["qid"]): int(r["est"])
              for r in ecm.query(qs2).collect()}
     assert ecm.query_values(qs2) == want2
+
+
+def test_curation_ops_stay_jvm_side(spark):
+    """packing, tfidf, quantiles and incremental dedup are pure column
+    programs — no Python eval stage may appear in any of their plans."""
+    from spatialsketch_spark.pipeline import dedup, packing, text
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    toks = text.token_stats(docs).select("doc_id", "n_tokens")
+    packed = packing.pack_sequences(
+        docs.select("doc_id", "lang").join(toks, "doc_id"),
+        128, "n_tokens", ["lang"], shards=4)
+    plans = [
+        packed,
+        packing.sequence_manifest(packed, ["lang"]),
+        text.tfidf_topk(docs),
+        text.length_quantiles(docs),
+        dedup.incremental_dedup(docs.where("doc_id % 3 <> 0"),
+                                docs.where("doc_id % 3 = 0")),
+    ]
+    for df in plans:
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in p and "BatchEvalPython" not in p \
+            and "ArrowEvalPython" not in p
