@@ -209,6 +209,7 @@ def run_bench(cpus: int) -> dict:
     skip_pipe = os.environ.get("BENCH_SKIP_PIPELINE") == "1"
     pipe_trials = int(os.environ.get("BENCH_PIPE_TRIALS", "2"))
     for name in ([] if skip_pipe else ["doc_exact_dedup", "doc_minhash_lsh", "doc_token_stats",
+                 "doc_seq_pack", "doc_tfidf",
                  "emb_cosine_topk", "emb_ivf_topk", "geo_pip_assign",
                  "geo_knn", "geo_cap_filter"]):
         fn = GATE_QUERIES[name][0]
