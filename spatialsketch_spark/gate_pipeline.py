@@ -190,6 +190,18 @@ def q_length_quantiles(spark, sf_dir):
     return text.length_quantiles(_docs(spark, sf_dir)).orderBy("lang")
 
 
+SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_assign_splits(spark, sf_dir):
+    return sampling.assign_splits(_docs(spark, sf_dir), SPLIT_FRACS) \
+        .select("doc_id", "lang", "split").orderBy("doc_id")
+
+
+def q_ngram_counts(spark, sf_dir):
+    return text.ngram_counts(_docs(spark, sf_dir))
+
+
 def q_tfidf(spark, sf_dir):
     return text.tfidf_topk(_docs(spark, sf_dir)).orderBy("doc_id", "rk")
 
@@ -518,6 +530,12 @@ PIPELINE_GATE = {
             "doc_id % 3 <> 0", "doc_id % 3 = 0")),
     "doc_length_quantiles": (q_length_quantiles,
                              text.oracle_length_quantiles),
+    "doc_assign_splits": (
+        q_assign_splits,
+        lambda: "SELECT doc_id, lang, split FROM ("
+                + sampling.oracle_assign_splits(SPLIT_FRACS).strip()
+                + ") ORDER BY doc_id"),
+    "doc_ngram_counts": (q_ngram_counts, text.oracle_ngram_counts),
     "doc_seq_pack": (q_seq_pack, lambda: packing.oracle_pack_sequences(
         PACK_LEN, f"CAST(len({text._WORDS}) AS BIGINT)", ["lang"],
         PACK_SHARDS)),

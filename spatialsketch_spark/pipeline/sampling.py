@@ -121,3 +121,51 @@ FROM documents
 WHERE {_key_sql('doc_id', seed)} < {threshold}
 ORDER BY doc_id
 """
+
+
+def assign_splits(df: DataFrame, fractions: dict, seed: int = 17,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment: the seeded 60-bit key
+    is mapped onto cumulative fraction brackets, so every row gets
+    exactly one split label as a pure function of (id, seed) — stable
+    across cluster sizes, retries and re-runs, and disjoint by
+    construction (the property separate `df.sample()` calls cannot
+    give). Fractions must sum to ≤ 1; any remainder maps to the LAST
+    split (so {'train': .9, 'val': .05, 'test': .05} is exact).
+
+    Map-side only — zero shuffles; the standard corpus-splitting shape.
+    """
+    total = sum(fractions.values())
+    if not 0.0 < total <= 1.0 + 1e-9:
+        raise ValueError("fractions must sum to (0, 1]")
+    key = _rank_key(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cut = int(acc * (1 << HASH_BITS))
+        cond = key < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def oracle_assign_splits(fractions: dict, seed: int = 17,
+                         id_sql: str = "doc_id",
+                         src: str = "documents") -> str:
+    key = _key_sql(id_sql, seed)
+    names = list(fractions)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += fractions[name]
+        cut = int(acc * (1 << HASH_BITS))
+        whens.append(f"WHEN {key} < {cut} THEN '{name}'")
+    case = ("CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+            if whens else f"'{names[-1]}'")
+    return f"""
+SELECT *, {case} AS split FROM {src} ORDER BY {id_sql}
+"""

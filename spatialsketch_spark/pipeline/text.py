@@ -646,3 +646,61 @@ def oracle_length_quantiles(col: str = "n_chars",
 SELECT {strata_sql}, {sel}, CAST(COUNT(*) AS BIGINT) AS n
 FROM documents GROUP BY {strata_sql} ORDER BY {strata_sql}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram count table
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 3
+NGRAM_TOPK = 50
+
+
+def ngram_counts(docs: DataFrame, n: int = NGRAM_N,
+                 topk: int = NGRAM_TOPK) -> DataFrame:
+    """Corpus-level n-gram count table, top-``topk`` by (count desc,
+    ngram asc) — the raw material for contamination screens, LM count
+    tables and quality heuristics.
+
+    The per-doc n-gram list is built with a JVM-side ``transform`` over
+    the word array (no explode-then-window), then exploded once and
+    hash-aggregated: one shuffle, map-side partial aggregation, and the
+    final top-k is a single-partition sort of an already-tiny aggregate.
+    -> (ngram, n_occurrences, n_docs).
+    """
+    d = _with_words(docs)
+    w = F.col("_words")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(F.slice(w, 1, F.greatest(F.size(w) - (n - 1),
+                                             F.lit(0))),
+                    lambda _, i: F.concat_ws(
+                        " ", *[F.element_at(w, i + j + 1)
+                               for j in range(n)]))
+    ).otherwise(F.array())
+    ex = d.select("doc_id", F.explode(grams).alias("ngram"))
+    return (ex.groupBy("ngram")
+            .agg(F.count("*").cast("bigint").alias("n_occurrences"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+            .limit(topk))
+
+
+def oracle_ngram_counts(n: int = NGRAM_N, topk: int = NGRAM_TOPK) -> str:
+    # DuckDB: generate positions 1..len-n+1, slice the split list
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents
+), pos AS (
+  SELECT doc_id, words,
+         unnest(generate_series(1, len(words) - {n - 1})) AS p
+  FROM w WHERE len(words) >= {n}
+), grams AS (
+  SELECT doc_id, array_to_string(words[p:p+{n - 1}], ' ') AS ngram
+  FROM pos
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT {topk}
+"""

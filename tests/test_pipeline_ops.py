@@ -881,3 +881,34 @@ def test_length_quantiles_are_elements(spark, docs):
         assert r["p25"] <= r["p50"] <= r["p90"]
         for p in ("p25", "p50", "p90"):
             assert r[p] in vals[lang], (lang, p)
+
+
+def test_assign_splits_partition_and_rates(spark, docs):
+    from spatialsketch_spark.pipeline import sampling
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sampling.assign_splits(docs, fr)
+    n = docs.count()
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == n          # exhaustive + disjoint
+    assert abs(counts["train"] / n - 0.8) < 0.06
+    # deterministic under repartitioning
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["split"]) for r in
+               sampling.assign_splits(docs.repartition(13), fr).collect())
+    assert a == b
+
+
+def test_ngram_counts_hand_fixture(spark):
+    from spatialsketch_spark.pipeline import text as _t
+    d = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d"), (3, "x y")],
+        "doc_id long, text string")
+    rows = {r["ngram"]: (r["n_occurrences"], r["n_docs"])
+            for r in _t.ngram_counts(d, n=3, topk=10).collect()}
+    # doc1 trigrams: abc bca cab abc ; doc2: abc bcd
+    assert rows["a b c"] == (3, 2)
+    assert rows["b c a"] == (1, 1)
+    assert rows["b c d"] == (1, 1)
+    assert "x y" not in rows          # shorter than n contributes nothing
+    assert len(rows) == 4
