@@ -422,12 +422,19 @@ class SpatialSketchEngine:
                         pids.append(pid)
                 ridx, kx, ky, cx, cy, cov = cover_2d_np(
                     rects, cfg.levels - 1, self.store.min_level)
-                cover_pdf = pd.DataFrame({
+                # pyarrow Table, straight from the numpy arrays: skips
+                # the pandas block consolidation AND the row-based py4j
+                # conversion — measured ~2x faster plan assembly than
+                # createDataFrame(pandas) at cover sizes (the dominant
+                # fresh-batch floor component, PLANS.md)
+                import pyarrow as pa
+                tbl = pa.table({
                     "pid": np.asarray(pids, dtype=np.int64)[ridx],
-                    "grid_key": (kx + ky * cfg.levels).astype("int32"),
-                    "cell": cx * cfg.n + cy,
-                    "coverage": cov,
+                    "grid_key": (kx + ky * cfg.levels).astype(np.int32),
+                    "cell": (cx * cfg.n + cy).astype(np.int64),
+                    "coverage": cov.astype(np.float64),
                 })
+                return spark.createDataFrame(tbl, schema=COVER_SCHEMA)
             else:
                 rows = []
                 log_n = cfg.levels - 1
