@@ -202,6 +202,12 @@ def q_ngram_counts(spark, sf_dir):
     return text.ngram_counts(_docs(spark, sf_dir))
 
 
+def q_jsonl_ingest(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return text.jsonl_ingest(text.synth_jsonl_corpus(docs)) \
+        .orderBy("doc_id")
+
+
 def q_tfidf(spark, sf_dir):
     return text.tfidf_topk(_docs(spark, sf_dir)).orderBy("doc_id", "rk")
 
@@ -536,6 +542,7 @@ PIPELINE_GATE = {
                 + sampling.oracle_assign_splits(SPLIT_FRACS).strip()
                 + ") ORDER BY doc_id"),
     "doc_ngram_counts": (q_ngram_counts, text.oracle_ngram_counts),
+    "doc_jsonl_ingest": (q_jsonl_ingest, text.oracle_jsonl_ingest),
     "doc_seq_pack": (q_seq_pack, lambda: packing.oracle_pack_sequences(
         PACK_LEN, f"CAST(len({text._WORDS}) AS BIGINT)", ["lang"],
         PACK_SHARDS)),

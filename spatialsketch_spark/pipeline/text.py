@@ -704,3 +704,59 @@ SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
 FROM grams GROUP BY ngram
 ORDER BY n_occurrences DESC, ngram ASC LIMIT {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingestion (the jsonlines corpus front door)
+# ---------------------------------------------------------------------------
+
+
+def synth_jsonl_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic JSONL fixture: one JSON object per doc, built with
+    the same concatenation in Spark and DuckDB (escape-safe fields only
+    — ids, lang codes, md5 hex — so the byte strings agree exactly).
+    -> (doc_id, line)."""
+    line = F.concat(
+        F.lit('{"id": '), F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'), F.col("lang"),
+        F.lit('", "h": "'), F.md5(F.col("text")),
+        F.lit('", "n": '), F.col("n_chars").cast("string"), F.lit("}"))
+    return docs.select("doc_id", line.alias("line"))
+
+
+def jsonl_ingest(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse a JSONL corpus into typed columns with ``from_json`` —
+    the scale path for jsonlines shards: a pure JVM projection (Jackson
+    inside codegen), no shuffle, malformed lines surface as NULL structs
+    (counted by the caller, never silently dropped rows).
+    -> (doc_id, id, lang, h, n, ok)."""
+    schema = "id BIGINT, lang STRING, h STRING, n BIGINT"
+    j = F.from_json(F.col(line_col), schema)
+    return (lines
+            .withColumn("_j", j)
+            .select("doc_id",
+                    F.col("_j.id").alias("id"),
+                    F.col("_j.lang").alias("lang"),
+                    F.col("_j.h").alias("h"),
+                    F.col("_j.n").alias("n"),
+                    F.when(F.col("_j").isNotNull()
+                           & F.col("_j.id").isNotNull(), 1)
+                    .otherwise(0).cast("bigint").alias("ok")))
+
+
+def oracle_jsonl_ingest() -> str:
+    line = ("'{\"id\": ' || CAST(doc_id AS VARCHAR) || "
+            "', \"lang\": \"' || lang || "
+            "'\", \"h\": \"' || md5(text) || "
+            "'\", \"n\": ' || CAST(n_chars AS VARCHAR) || '}'")
+    return f"""
+WITH j AS (SELECT doc_id, {line} AS line FROM documents)
+SELECT doc_id,
+       CAST(json_extract(line, '$.id') AS BIGINT) AS id,
+       json_extract_string(line, '$.lang') AS lang,
+       json_extract_string(line, '$.h') AS h,
+       CAST(json_extract(line, '$.n') AS BIGINT) AS n,
+       CAST(CASE WHEN json_valid(line) THEN 1 ELSE 0 END AS BIGINT)
+         AS ok
+FROM j ORDER BY doc_id
+"""

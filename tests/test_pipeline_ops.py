@@ -912,3 +912,20 @@ def test_ngram_counts_hand_fixture(spark):
     assert rows["b c d"] == (1, 1)
     assert "x y" not in rows          # shorter than n contributes nothing
     assert len(rows) == 4
+
+
+def test_jsonl_ingest_malformed_lines_flagged(spark):
+    from spatialsketch_spark.pipeline import text as _t
+    d = spark.createDataFrame(
+        [(1, '{"id": 1, "lang": "en", "h": "ab", "n": 5}'),
+         (2, 'not json at all'),
+         (3, '{"id": 3}'),
+         (4, '{"truncated": ')],
+        "doc_id long, line string")
+    rows = {r["doc_id"]: r for r in _t.jsonl_ingest(d).collect()}
+    assert rows[1]["ok"] == 1 and rows[1]["id"] == 1 \
+        and rows[1]["lang"] == "en" and rows[1]["n"] == 5
+    assert rows[2]["ok"] == 0 and rows[2]["id"] is None
+    assert rows[3]["ok"] == 1 and rows[3]["lang"] is None  # partial ok
+    assert rows[4]["ok"] == 0
+    assert len(rows) == 4     # malformed lines are kept, never dropped
