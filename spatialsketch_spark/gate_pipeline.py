@@ -208,6 +208,132 @@ def q_jsonl_ingest(spark, sf_dir):
         .orderBy("doc_id")
 
 
+_STREAM_DEDUP = {}
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming ingest-time dedup: a file-source doc stream deduped on
+    content hash with ``dropDuplicates`` STATE persisting across two
+    availableNow runs of the same checkpoint — a hash first seen in
+    batch 0 must NOT re-emit when batch 1 replays it (the state-store
+    restart contract), so each surviving hash carries the run that
+    first saw it. Deterministic at batch granularity regardless of
+    partition order: the emitted SET per run is fixed even though
+    within-run arrival order is not. Oracle: first-arrival set
+    arithmetic over the two halves in DuckDB."""
+    key = (sf_dir, "stream_dedup")
+    res = _STREAM_DEDUP.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from .pipeline.dedup import norm_text_col
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = tempfile.mkdtemp(prefix="gate_sdedup_")
+        try:
+            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
+            docs.where("doc_id % 2 = 0").write.mode("overwrite") \
+                .parquet(src)
+            schema = docs.schema
+
+            def run(tag):
+                stream = (spark.readStream.schema(schema).parquet(src)
+                          .select(F.md5(norm_text_col(F.col("text")))
+                                  .alias("text_hash"))
+                          .dropDuplicates(["text_hash"]))
+
+                def sink(bdf, _bid):
+                    bdf.withColumn("run",
+                                   F.lit(tag).cast("bigint")) \
+                        .write.mode("append").parquet(out)
+
+                (stream.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            run(0)
+            # batch 1 = the odd half PLUS a replay of a quarter of
+            # batch 0's documents — the replayed hashes are already in
+            # the dedup state, so a single run=1 row for any of them
+            # means the state store did not survive the restart (and
+            # the oracle compare below would catch it)
+            docs.where("doc_id % 2 = 1") \
+                .unionAll(docs.where("doc_id % 4 = 0")) \
+                .write.mode("append").parquet(src)
+            run(1)
+            res = spark.read.parquet(out).cache()
+            res.count()
+            _STREAM_DEDUP[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("text_hash")
+
+
+def oracle_stream_dedup() -> str:
+    from .pipeline.dedup import NORM_SQL
+    return f"""
+WITH n AS (SELECT doc_id, md5({NORM_SQL}) AS h FROM documents),
+b0 AS (SELECT DISTINCT h FROM n WHERE doc_id % 2 = 0),
+b1 AS (SELECT DISTINCT h FROM n WHERE doc_id % 2 = 1
+       AND h NOT IN (SELECT h FROM b0))
+SELECT h AS text_hash, CAST(0 AS BIGINT) AS run FROM b0
+UNION ALL
+SELECT h AS text_hash, CAST(1 AS BIGINT) AS run FROM b1
+ORDER BY text_hash
+"""
+
+
+def q_curation_to_pack(spark, sf_dir):
+    """END-TO-END chain from raw corpus to training-sequence placement,
+    as ONE gated query: exact-dedup (keep min doc_id per content hash)
+    -> deterministic 50% hash sample (seed 17) -> train split of an
+    80/20 assignment (seed 23 — a DIFFERENT seed: reusing the sample's
+    key would correlate the brackets and make every sampled row
+    'train') -> tokenize -> pack into 64-token sequences per (lang x 2
+    shards). The oracle recomputes the whole chain as one DuckDB query."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.dedup import norm_text_col
+    docs = _docs(spark, sf_dir)
+    keep = dedup.exact_dedup(docs).select(
+        F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id")
+    sampled = sampling.hash_sample(kept, 0.5, seed=17)
+    train = sampling.assign_splits(sampled, {"train": 0.8, "val": 0.2},
+                                   seed=23).where("split = 'train'")
+    with_n = train.withColumn(
+        "n_tokens",
+        F.size(F.split(norm_text_col(F.col("text")), " ")).cast("bigint"))
+    return packing.pack_sequences(
+        with_n.select("doc_id", "lang", "n_tokens"), 64, "n_tokens",
+        ["lang"], shards=2).orderBy("doc_id")
+
+
+def oracle_curation_to_pack() -> str:
+    from .pipeline.dedup import NORM_SQL
+    from .pipeline.sampling import HASH_BITS, _key_sql
+    cut_sample = int(0.5 * (1 << HASH_BITS))
+    cut_train = int(0.8 * (1 << HASH_BITS))
+    k17 = _key_sql("doc_id", 17)
+    k23 = _key_sql("doc_id", 23)
+    toks = (f"CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT)")
+    src = f"""(
+      WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id, {NORM_SQL} AS norm FROM documents)
+        GROUP BY md5(norm)
+      )
+      SELECT d.doc_id, d.lang, d.text FROM documents d
+      JOIN keepers k USING (doc_id)
+      WHERE {k17} < {cut_sample} AND {k23} < {cut_train}
+    )"""
+    from .pipeline.packing import oracle_pack_sequences
+    return oracle_pack_sequences(64, toks, ["lang"], shards=2, src=src)
+
+
 def q_tfidf(spark, sf_dir):
     return text.tfidf_topk(_docs(spark, sf_dir)).orderBy("doc_id", "rk")
 
@@ -543,6 +669,8 @@ PIPELINE_GATE = {
                 + ") ORDER BY doc_id"),
     "doc_ngram_counts": (q_ngram_counts, text.oracle_ngram_counts),
     "doc_jsonl_ingest": (q_jsonl_ingest, text.oracle_jsonl_ingest),
+    "doc_curation_to_pack": (q_curation_to_pack, oracle_curation_to_pack),
+    "doc_stream_dedup": (q_stream_dedup, oracle_stream_dedup),
     "doc_seq_pack": (q_seq_pack, lambda: packing.oracle_pack_sequences(
         PACK_LEN, f"CAST(len({text._WORDS}) AS BIGINT)", ["lang"],
         PACK_SHARDS)),
