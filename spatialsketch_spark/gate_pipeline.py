@@ -6,8 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .pipeline import (dedup, media, packing, relational, sampling,
-                       similarity, spans, temporal, text)
+from .pipeline import (dedup, events, media, packing, relational,
+                       sampling, similarity, spans, temporal, text)
 
 EMB_QUERY_IDS = [0, 1, 2, 3]
 
@@ -206,6 +206,21 @@ def q_jsonl_ingest(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return text.jsonl_ingest(text.synth_jsonl_corpus(docs)) \
         .orderBy("doc_id")
+
+
+def q_evt_funnel(spark, sf_dir):
+    return events.funnel(events._events(spark, sf_dir)) \
+        .orderBy("user_id")
+
+
+def q_evt_props(spark, sf_dir):
+    return events.props_stats(events._events(spark, sf_dir)) \
+        .orderBy("event_type")
+
+
+def q_knn_label(spark, sf_dir):
+    return similarity.knn_label(_emb(spark, sf_dir), EMB_QUERY_IDS, 5) \
+        .orderBy("qid")
 
 
 _STREAM_DEDUP = {}
@@ -671,6 +686,11 @@ PIPELINE_GATE = {
     "doc_jsonl_ingest": (q_jsonl_ingest, text.oracle_jsonl_ingest),
     "doc_curation_to_pack": (q_curation_to_pack, oracle_curation_to_pack),
     "doc_stream_dedup": (q_stream_dedup, oracle_stream_dedup),
+    "evt_funnel": (q_evt_funnel, events.oracle_funnel),
+    "evt_props_stats": (q_evt_props, events.oracle_props_stats),
+    "emb_knn_label": (
+        q_knn_label,
+        lambda: similarity.oracle_knn_label(EMB_QUERY_IDS, 5)),
     "doc_seq_pack": (q_seq_pack, lambda: packing.oracle_pack_sequences(
         PACK_LEN, f"CAST(len({text._WORDS}) AS BIGINT)", ["lang"],
         PACK_SHARDS)),

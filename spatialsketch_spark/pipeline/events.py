@@ -1,0 +1,111 @@
+"""Event-analytics operators over the driver's `events` stream table:
+ordered-funnel analysis (sequential pattern matching) and typed JSON
+property extraction. Both integer-valued outputs (epoch micros /
+counts) so the DuckDB oracles compare bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+FUNNEL = ("view", "click", "purchase")
+
+# events.ts is TIMESTAMP_NTZ; unix_micros() rejects NTZ and a cast to
+# TIMESTAMP would inject the session timezone. Wall-clock micros via
+# timestampdiff against an NTZ epoch literal is zone-free and equals
+# DuckDB's epoch_us(ts) bit-for-bit.
+_TS_US = ("timestampdiff(MICROSECOND, "
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def funnel(ev: DataFrame, stages: tuple = FUNNEL) -> DataFrame:
+    """Ordered funnel: for each user, the earliest time each stage was
+    reached STRICTLY AFTER the previous stage (the classic
+    view→click→purchase conversion shape — an operator class the
+    reference has nothing like).
+
+    Sequential dependency as a chain of stage aggregations: stage k is
+    a filtered min-aggregate joined on the stage-(k-1) frontier. Each
+    stage is one shuffle on user_id with map-side partial mins, and
+    every stage's frontier is strictly smaller than the last — the
+    standard distributed funnel plan (no per-user event sorting, no
+    window over full history).
+
+    -> (user_id, t1..tK as epoch-micro BIGINTs, NULL once dropped off,
+        stages_reached).
+    """
+    t_prev = None
+    out = None
+    for i, stage in enumerate(stages, start=1):
+        s = ev.where(F.col("event_type") == stage)
+        if out is None:
+            cur = s.groupBy("user_id").agg(
+                F.min(F.expr(_TS_US)).alias(f"t{i}"))
+            out = cur
+        else:
+            cur = (s.select("user_id", F.expr(_TS_US).alias("_ts"))
+                   .join(out.select("user_id", F.col(t_prev)), "user_id")
+                   .where(F.col("_ts") > F.col(t_prev))
+                   .groupBy("user_id")
+                   .agg(F.min("_ts").alias(f"t{i}")))
+            out = out.join(cur.select("user_id", f"t{i}"), "user_id",
+                           "left")
+        t_prev = f"t{i}"
+    # deepest stage must be tested first (t3 implies t2 implies t1)
+    reached = F.when(F.col(f"t{len(stages)}").isNotNull(), len(stages))
+    for i in range(len(stages) - 1, 0, -1):
+        reached = reached.when(F.col(f"t{i}").isNotNull(), i)
+    return out.withColumn("stages_reached",
+                          reached.otherwise(0).cast("bigint"))
+
+
+def oracle_funnel(stages: tuple = FUNNEL, src: str = "events") -> str:
+    k = len(stages)
+    ctes = [f"s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 "
+            f"FROM {src} WHERE event_type = '{stages[0]}' "
+            f"GROUP BY user_id)"]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t{i} "
+            f"FROM {src} e JOIN s{i-1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{stages[i-1]}' "
+            f"AND epoch_us(e.ts) > p.t{i-1} GROUP BY e.user_id)")
+    joins = " ".join(f"LEFT JOIN s{i} USING (user_id)"
+                     for i in range(2, k + 1))
+    tcols = ", ".join(f"t{i}" for i in range(1, k + 1))
+    reach = "CASE " + " ".join(
+        f"WHEN t{i} IS NOT NULL THEN {i}"
+        for i in range(k, 0, -1)) + " ELSE 0 END"
+    return f"""
+WITH {", ".join(ctes)}
+SELECT user_id, {tcols}, CAST({reach} AS BIGINT) AS stages_reached
+FROM s1 {joins} ORDER BY user_id
+"""
+
+
+def props_stats(ev: DataFrame) -> DataFrame:
+    """Typed extraction of the `props` JSON column on the REAL events
+    table (vs the synthesized-JSON gate): per event_type, count, sum
+    and max of the integer `k` property. Pure codegen projection +
+    one aggregation."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("k").cast("bigint").alias("k_sum"),
+                 F.max("k").cast("bigint").alias("k_max")))
+
+
+def oracle_props_stats(src: str = "events") -> str:
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_max
+FROM {src} GROUP BY event_type ORDER BY event_type
+"""

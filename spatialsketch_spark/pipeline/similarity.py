@@ -643,3 +643,48 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
        CAST(vec_id AS BIGINT) AS vec_id
 FROM ranked WHERE rank <= {k} ORDER BY qid, rank
 """
+
+
+def knn_label(emb: DataFrame, query_ids: list[int], k: int = 5
+              ) -> DataFrame:
+    """kNN majority-vote classification over the embedding space — the
+    standard label-propagation/eval shape: each query point takes the
+    modal label of its k exact-cosine neighbours (ties broken by the
+    smaller label, fully deterministic).
+
+    Builds on :func:`cosine_topk` (broadcast brute baseline — swap in
+    `ivf_topk` candidates for the 100 TB path, same vote finisher).
+    -> (qid, pred_label, n_votes).
+    """
+    top = cosine_topk(emb, query_ids, k)
+    lab = emb.select("vec_id", F.col("label").cast("bigint")
+                     .alias("pred_label"))
+    votes = (top.join(lab, "vec_id")
+             .groupBy("qid", "pred_label")
+             .agg(F.count("*").cast("bigint").alias("n_votes")))
+    w = Window.partitionBy("qid").orderBy(F.desc("n_votes"),
+                                          F.asc("pred_label"))
+    return (votes.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(F.col("qid").cast("bigint"), "pred_label",
+                    "n_votes"))
+
+
+def oracle_knn_label(query_ids: list[int], k: int = 5) -> str:
+    inner = oracle_cosine_topk(query_ids, k)
+    return f"""
+WITH topk AS (SELECT * FROM ({inner})),
+votes AS (
+  SELECT t.qid, CAST(e.label AS BIGINT) AS pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+  GROUP BY t.qid, e.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY n_votes DESC, pred_label ASC) AS r
+  FROM votes
+)
+SELECT CAST(qid AS BIGINT) AS qid, pred_label, n_votes
+FROM ranked WHERE r = 1 ORDER BY qid
+"""

@@ -929,3 +929,35 @@ def test_jsonl_ingest_malformed_lines_flagged(spark):
     assert rows[3]["ok"] == 1 and rows[3]["lang"] is None  # partial ok
     assert rows[4]["ok"] == 0
     assert len(rows) == 4     # malformed lines are kept, never dropped
+
+
+def test_funnel_strictly_after_semantics(spark):
+    from datetime import datetime as DT
+
+    from spatialsketch_spark.pipeline import events as _e
+    rows = [
+        # u1: full ordered funnel
+        (1, DT(2024, 1, 1, 0, 0, 1), "view"),
+        (1, DT(2024, 1, 1, 0, 0, 2), "click"),
+        (1, DT(2024, 1, 1, 0, 0, 3), "purchase"),
+        # u2: purchase BEFORE click -> only 2 stages count
+        (2, DT(2024, 1, 1, 0, 0, 1), "view"),
+        (2, DT(2024, 1, 1, 0, 0, 2), "purchase"),
+        (2, DT(2024, 1, 1, 0, 0, 3), "click"),
+        # u3: click with no prior view -> not even in the funnel
+        (3, DT(2024, 1, 1, 0, 0, 1), "click"),
+        (3, DT(2024, 1, 1, 0, 0, 2), "purchase"),
+        # u4: view only
+        (4, DT(2024, 1, 1, 0, 0, 9), "view"),
+        # u5: click SAME instant as view -> strictly-after excludes it
+        (5, DT(2024, 1, 1, 0, 0, 5), "view"),
+        (5, DT(2024, 1, 1, 0, 0, 5), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string")
+    out = {r["user_id"]: r for r in _e.funnel(df).collect()}
+    assert out[1]["stages_reached"] == 3
+    assert out[2]["stages_reached"] == 2 and out[2]["t3"] is None
+    assert 3 not in out                   # no view -> no funnel row
+    assert out[4]["stages_reached"] == 1
+    assert out[5]["stages_reached"] == 1  # same-instant click rejected
