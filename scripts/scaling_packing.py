@@ -10,7 +10,7 @@ FIXED shard count (identical logical job at both parallelism levels),
 and reports rows/s at local[8] (taskset-pinned) vs local[32].
 
 Usage:  python scripts/scaling_packing.py            # both legs + efficiency
-        python scripts/scaling_packing.py --cpus 8   # one leg (internal)
+        python scripts/scaling_packing.py --cpus 8   # one leg (subprocess mode)
 """
 
 import json
