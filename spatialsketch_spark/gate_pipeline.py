@@ -103,6 +103,18 @@ def q_hash_sample(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_mixture_sample(spark, sf_dir):
+    # per-language epoch weights incl. fractional + >1 (replication)
+    return sampling.mixture_sample(_docs(spark, sf_dir)) \
+        .orderBy("doc_id", "epoch")
+
+
+def q_surprisal_filter(spark, sf_dir):
+    # perplexity-filter analogue: self-trained unigram LM, integer
+    # floor(log2 N/cnt) surprisal — see text.surprisal_filter
+    return text.surprisal_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_curation_pipeline(spark, sf_dir):
     """END-TO-END curation composition — the flow a real training-data
     job runs, as ONE gated query: quality-score every document, keep
@@ -644,6 +656,9 @@ PIPELINE_GATE = {
         lambda: sampling.oracle_stratified_sample(["lang", "source"], 7)),
     "doc_hash_sample": (q_hash_sample,
                         lambda: sampling.oracle_hash_sample(0.25)),
+    "doc_mixture_sample": (q_mixture_sample, sampling.oracle_mixture_sample),
+    "doc_surprisal_filter": (q_surprisal_filter,
+                             text.oracle_surprisal_filter),
     "doc_budget_sample": (
         q_budget_sample,
         lambda: sampling.oracle_budget_sample(["lang"], 5000, "n_chars")),

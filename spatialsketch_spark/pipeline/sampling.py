@@ -169,3 +169,71 @@ def oracle_assign_splits(fractions: dict, seed: int = 17,
     return f"""
 SELECT *, {case} AS split FROM {src} ORDER BY {id_sql}
 """
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling: per-domain epoch weights with replication (r5)
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS_MILLI = {"en": 2500, "de": 1000, "fr": 1250,
+                     "es": 500, "zh": 750}
+MIX_SEED = 29
+
+
+def mixture_sample(df: DataFrame, weights_milli: dict = None,
+                   key_col: str = "lang", seed: int = MIX_SEED,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Training-mixture construction: each domain (``key_col`` value)
+    is consumed for a target number of EPOCHS, possibly fractional —
+    the data-mixing step every pre-training run performs (e.g. web at
+    0.5 epochs, wiki at 2.5). Weights are integer milli-epochs so the
+    arithmetic is float-free: a row gets ``w // 1000`` full copies
+    plus one extra copy iff ``hash60(id|seed) % 1000 < w % 1000`` —
+    deterministic by content key, so the mixture is identical across
+    cluster sizes, retries, and AQE re-plans.
+
+    Map-side only (a when-chain lookup + explode(sequence)); zero
+    shuffles — at 100 TB the replication factor is the only cost, and
+    it is exactly the requested epoch mass. Unknown keys get weight 0
+    (dropped). -> (doc_id, key, n_copies, epoch), epoch in
+    [0, n_copies)."""
+    weights = MIX_WEIGHTS_MILLI if weights_milli is None else weights_milli
+    w = None
+    for k, v in weights.items():
+        cond = F.col(key_col) == k
+        w = F.when(cond, v) if w is None else w.when(cond, v)
+    w = w.otherwise(0).cast("bigint")
+    key = _rank_key(id_col, seed)
+    n = (F.expr(f"{'_w'} div 1000")
+         + F.when(key % 1000 < F.col("_w") % 1000, 1).otherwise(0))
+    return (df.withColumn("_w", w)
+            .withColumn("n_copies", n.cast("bigint"))
+            .where(F.col("n_copies") >= 1)
+            .select(F.col(id_col).cast("bigint").alias(id_col),
+                    F.col(key_col).alias("key"), "n_copies",
+                    F.explode(F.sequence(
+                        F.lit(0).cast("bigint"),
+                        F.col("n_copies") - 1)).alias("epoch")))
+
+
+def oracle_mixture_sample(weights_milli: dict = None,
+                          key_col: str = "lang", seed: int = MIX_SEED,
+                          id_sql: str = "doc_id",
+                          src: str = "documents") -> str:
+    weights = MIX_WEIGHTS_MILLI if weights_milli is None else weights_milli
+    whens = " ".join(f"WHEN {key_col} = '{k}' THEN {v}"
+                     for k, v in weights.items())
+    w = f"(CASE {whens} ELSE 0 END)"
+    key = _key_sql(id_sql, seed)
+    n = f"({w} // 1000 + CASE WHEN {key} % 1000 < {w} % 1000 THEN 1 ELSE 0 END)"
+    return f"""
+WITH c AS (
+  SELECT {id_sql} AS doc_id, {key_col} AS key,
+         CAST({n} AS BIGINT) AS n_copies
+  FROM {src}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, key, n_copies,
+       CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS epoch
+FROM c WHERE n_copies >= 1
+ORDER BY doc_id, epoch
+"""

@@ -533,6 +533,79 @@ FROM documents ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Perplexity-style filtering via a self-trained unigram LM (r5)
+# ---------------------------------------------------------------------------
+
+SURPRISAL_THRESHOLD_MILLI = 4040  # keep when mean surprisal <= 4.04 bits/tok
+
+
+def surprisal_filter(docs: DataFrame,
+                     threshold_milli: int = SURPRISAL_THRESHOLD_MILLI
+                     ) -> DataFrame:
+    """Perplexity-filter analogue (CCNet-style LM filtering) with a
+    unigram LM trained on the corpus itself, integer-exact so the
+    DuckDB oracle compares bit-for-bit.
+
+    Token surprisal is the integer ``floor(log2(N / cnt(w)))`` computed
+    WITHOUT floats as ``length(bin(N div cnt)) - 1`` (binary-string
+    length == bit_length, exact in both engines; the real-valued log
+    only smooths the same ordering). Per doc: total surprisal bits,
+    token count, mean milli-bits/token (integer div), and the keep
+    verdict ``mean <= threshold`` — high mean surprisal = rare-token
+    soup = filtered, exactly the role model perplexity plays in a real
+    curation stack (a learned LM plugs in via model_quality_filter's
+    scorer hook).
+
+    Scale shape: one explode + groupBy(token) shuffle for the vocab
+    (map-side partial aggs), one shuffle join tokens->counts (AQE
+    broadcasts the vocab side when it fits), one groupBy(doc_id). The
+    corpus total N rides in via a broadcast 1-row cross join, never a
+    driver collect. -> (doc_id, n_tokens, total_surprisal_bits,
+    mean_surprisal_milli, keep)."""
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.split(norm_text_col(F.col("text")), " ")).alias("w"))
+    vocab = ex.groupBy("w").agg(F.count("*").cast("bigint").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    s = (F.length(F.bin(F.expr("n_total div cnt"))) - 1).cast("bigint")
+    scored = (ex.join(vocab, "w").crossJoin(F.broadcast(total))
+              .select("doc_id", s.alias("s")))
+    mean_milli = F.expr("(sum(s) * 1000) div count(*)")
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.sum("s").cast("bigint").alias("total_surprisal_bits"),
+                 mean_milli.cast("bigint").alias("mean_surprisal_milli"))
+            .select(F.col("doc_id").cast("bigint"), "n_tokens",
+                    "total_surprisal_bits", "mean_surprisal_milli",
+                    F.when(F.col("mean_surprisal_milli")
+                           <= threshold_milli, 1).otherwise(0)
+                    .cast("bigint").alias("keep")))
+
+
+def oracle_surprisal_filter(
+        threshold_milli: int = SURPRISAL_THRESHOLD_MILLI) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+), vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab
+), scored AS (
+  SELECT t.doc_id, CAST(length(bin(n_total // cnt)) - 1 AS BIGINT) AS s
+  FROM tok t JOIN vocab USING (w) CROSS JOIN tot
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s) AS BIGINT) AS total_surprisal_bits,
+       CAST((SUM(s) * 1000) // COUNT(*) AS BIGINT) AS mean_surprisal_milli,
+       CAST(CASE WHEN (SUM(s) * 1000) // COUNT(*) <= {threshold_milli}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF keyword extraction
 # ---------------------------------------------------------------------------
 

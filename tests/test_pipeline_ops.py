@@ -961,3 +961,57 @@ def test_funnel_strictly_after_semantics(spark):
     assert 3 not in out                   # no view -> no funnel row
     assert out[4]["stages_reached"] == 1
     assert out[5]["stages_reached"] == 1  # same-instant click rejected
+
+
+def test_mixture_sample_epoch_semantics(spark, docs):
+    """Mixture construction: integer milli-weights give exactly
+    w//1000 copies plus a hash-Bernoulli extra; epochs enumerate
+    0..n_copies-1; unknown keys drop; repartition-stable (the property
+    a cluster-size change must not break)."""
+    from spatialsketch_spark.pipeline import sampling
+    m = sampling.mixture_sample(docs).cache()
+    try:
+        rows = m.collect()
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault((r["doc_id"], r["key"], r["n_copies"]),
+                               set()).add(r["epoch"])
+        for (_, key, n), epochs in per_doc.items():
+            assert epochs == set(range(n))          # dense epoch range
+            w = sampling.MIX_WEIGHTS_MILLI[key]
+            assert n in (w // 1000, w // 1000 + 1)  # floor or +1 only
+        # integer-epoch domains replicate every doc exactly w//1000 times
+        de = [n for (_, k, n) in per_doc if k == "de"]
+        n_de = docs.where(F.col("lang") == "de").count()
+        assert de == [1] * n_de
+        # fractional mass lands near target (deterministic, not random)
+        en_docs = docs.where(F.col("lang") == "en").count()
+        en_mass = sum(n for (_, k, n) in per_doc if k == "en")
+        assert abs(en_mass / en_docs - 2.5) < 0.15
+        a = sorted((r["doc_id"], r["epoch"]) for r in rows)
+        b = sorted((r["doc_id"], r["epoch"]) for r in
+                   sampling.mixture_sample(docs.repartition(13)).collect())
+        assert a == b
+    finally:
+        m.unpersist()
+
+
+def test_surprisal_filter_handcrafted(spark):
+    """Unigram-LM surprisal on a 3-doc corpus small enough to verify by
+    hand: 8 total tokens, cnt(a)=4 -> s=1 bit, cnt(b)=2 -> 2 bits,
+    cnt(c)=cnt(d)=1 -> 3 bits. Common-token docs score low (kept),
+    rare-token docs high (filtered)."""
+    from spatialsketch_spark.pipeline import text as _t
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "b b"), (2, "c d")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in _t.surprisal_filter(df).collect()}
+    assert out[0]["total_surprisal_bits"] == 4      # 4 tokens x 1 bit
+    assert out[0]["mean_surprisal_milli"] == 1000
+    assert out[1]["mean_surprisal_milli"] == 2000
+    assert out[2]["mean_surprisal_milli"] == 3000
+    assert out[0]["keep"] == 1 and out[1]["keep"] == 1
+    assert out[2]["keep"] == 1  # threshold 4040 milli-bits
+    strict = {r["doc_id"]: r["keep"] for r in
+              _t.surprisal_filter(df, threshold_milli=2500).collect()}
+    assert strict == {0: 1, 1: 1, 2: 0}
