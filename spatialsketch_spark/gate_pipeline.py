@@ -235,6 +235,20 @@ def q_knn_label(spark, sf_dir):
         .orderBy("qid")
 
 
+def q_evt_retention(spark, sf_dir):
+    return events.retention(events._events(spark, sf_dir)) \
+        .orderBy("cohort_day", "day_offset")
+
+
+def q_global_shuffle(spark, sf_dir):
+    return sampling.global_shuffle(_docs(spark, sf_dir)).orderBy("pos")
+
+
+def q_quantize_int8(spark, sf_dir):
+    return similarity.quantize_int8(_emb(spark, sf_dir)) \
+        .orderBy("vec_id")
+
+
 _STREAM_DEDUP = {}
 
 
@@ -703,6 +717,11 @@ PIPELINE_GATE = {
     "doc_stream_dedup": (q_stream_dedup, oracle_stream_dedup),
     "evt_funnel": (q_evt_funnel, events.oracle_funnel),
     "evt_props_stats": (q_evt_props, events.oracle_props_stats),
+    "evt_retention": (q_evt_retention, events.oracle_retention),
+    "doc_global_shuffle": (q_global_shuffle,
+                           sampling.oracle_global_shuffle),
+    "emb_quantize_int8": (q_quantize_int8,
+                          similarity.oracle_quantize_int8),
     "emb_knn_label": (
         q_knn_label,
         lambda: similarity.oracle_knn_label(EMB_QUERY_IDS, 5)),

@@ -109,3 +109,49 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          AS k_max
 FROM {src} GROUP BY event_type ORDER BY event_type
 """
+
+
+_DAY_US = 86_400_000_000
+
+
+def retention(ev: DataFrame) -> DataFrame:
+    """Cohort retention: group users by first-activity day (their
+    cohort), then count how many of each cohort are active again N days
+    later — the standard product-analytics retention matrix, and the
+    shape a training-data freshness audit takes (per-ingest-cohort
+    survival).
+
+    Plan: one distinct on (user_id, day) — the raw stream collapses to
+    at most users×days rows before anything else — then a min-agg for
+    cohorts and a join that reuses the user_id hash partitioning from
+    the agg (co-partitioned, no extra exchange), then a map-side-
+    combinable count. All integer day arithmetic (epoch-micros div
+    86.4e9) so the oracle compares bit-for-bit.
+
+    -> (cohort_day, day_offset, n_users), offset 0 row = cohort size.
+    """
+    day = F.expr(f"({_TS_US}) div {_DAY_US}")
+    active = ev.select("user_id", day.alias("d")).distinct()
+    cohort = active.groupBy("user_id").agg(
+        F.min("d").alias("cohort_day"))
+    return (active.join(cohort, "user_id")
+            .groupBy("cohort_day",
+                     (F.col("d") - F.col("cohort_day")).alias("day_offset"))
+            .agg(F.count("*").cast("bigint").alias("n_users"))
+            .select(F.col("cohort_day").cast("bigint"),
+                    F.col("day_offset").cast("bigint"), "n_users"))
+
+
+def oracle_retention(src: str = "events") -> str:
+    return f"""
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM {src}
+), cohort AS (
+  SELECT user_id, MIN(d) AS cohort_day FROM active GROUP BY user_id
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(d - cohort_day AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active JOIN cohort USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

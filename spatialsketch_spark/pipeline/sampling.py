@@ -237,3 +237,59 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, key, n_copies,
 FROM c WHERE n_copies >= 1
 ORDER BY doc_id, epoch
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (training-order assignment) (r5)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 31
+_BUCKET_SHIFT = HASH_BITS - 8        # 256 range buckets on the top bits
+
+
+def global_shuffle(df: DataFrame, seed: int = SHUFFLE_SEED,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign every row a dense global position 0..N-1 in seeded-hash
+    order — the pre-training "shuffle the corpus once, then stream it"
+    step. Deterministic by (id, seed): the permutation is identical
+    across cluster sizes, retries, and AQE re-plans, and a different
+    seed gives an independent epoch order.
+
+    A naive global ``row_number()`` collapses to ONE task; instead the
+    60-bit key's top 8 bits range-bucket the data (uniform by md5), a
+    256-row bucket-count aggregate (map-side combined) turns into
+    cumulative offsets on the driver-scale side and broadcasts back,
+    and each bucket ranks internally in parallel:
+    ``pos = bucket_offset + rank_within_bucket``. Two shuffles total
+    (tiny agg + per-bucket window), no single-task stage — the standard
+    distributed dense-rank construction. -> (pos, doc_id).
+    """
+    key = _rank_key(id_col, seed)
+    bucket = F.shiftright(key, _BUCKET_SHIFT)
+    counts = (df.select(bucket.alias("_b"))
+              .groupBy("_b").agg(F.count("*").alias("_n")))
+    # 256-row frame: the unpartitioned window is driver-scale here
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
+    w_rank = Window.partitionBy("_b").orderBy(
+        key.asc(), F.col(id_col).asc())
+    return (df.withColumn("_b", bucket)
+            .join(F.broadcast(offsets), "_b")
+            .withColumn("pos",
+                        (F.col("_off") + F.row_number().over(w_rank) - 1)
+                        .cast("bigint"))
+            .select("pos", F.col(id_col).cast("bigint").alias(id_col)))
+
+
+def oracle_global_shuffle(seed: int = SHUFFLE_SEED,
+                          id_sql: str = "doc_id",
+                          src: str = "documents") -> str:
+    key = _key_sql(id_sql, seed)
+    return f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY {key}, {id_sql}) - 1 AS BIGINT)
+         AS pos,
+       CAST({id_sql} AS BIGINT) AS doc_id
+FROM {src} ORDER BY pos
+"""

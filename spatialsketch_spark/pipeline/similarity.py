@@ -688,3 +688,71 @@ ranked AS (
 SELECT CAST(qid AS BIGINT) AS qid, pred_label, n_votes
 FROM ranked WHERE r = 1 ORDER BY qid
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 vector quantization (r5)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/serving
+    compression step an embedding pipeline runs before ANN indexing
+    (4x smaller, SIMD-friendly): ``q_i = floor(x_i * 127 / scale)``
+    with ``scale = max|x_i|``, zero-vectors quantizing to zeros.
+
+    Cross-engine exactness (the gate compares the full quantized
+    vector bit-for-bit via q_csv): scale is a float32 so
+    ``x*127`` is EXACT in double (24+7 mantissa bits < 53); the single
+    division is correctly rounded IEEE in both Spark and DuckDB, and
+    ``floor`` (unlike round-half) only disagrees at exact integers,
+    which the quotient hits only at x = ±scale where the result is the
+    exact integer ±127 in both engines. Pure codegen projection — no
+    shuffle, no UDF; at 100 TB this is a map-only pass.
+
+    -> (vec_id, n_dim, scale_micro, q_sum, q_min, q_max, q_csv)."""
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    df = emb.select(F.col("vec_id").cast("bigint"), x.alias("_x"))
+    df = df.withColumn("_s", F.array_max(F.transform(F.col("_x"), F.abs)))
+    q = F.transform(
+        F.col("_x"),
+        lambda v: F.when(F.col("_s") == 0.0, F.lit(0))
+                   .otherwise(F.floor(v * F.lit(127.0) / F.col("_s")))
+                   .cast("bigint"))
+    return (df.withColumn("_q", q)
+            .select("vec_id",
+                    F.size("_q").cast("bigint").alias("n_dim"),
+                    F.floor(F.col("_s") * 1e6).cast("bigint")
+                    .alias("scale_micro"),
+                    F.aggregate("_q", F.lit(0).cast("bigint"),
+                                lambda a, v: a + v).alias("q_sum"),
+                    F.array_min("_q").cast("bigint").alias("q_min"),
+                    F.array_max("_q").cast("bigint").alias("q_max"),
+                    F.array_join(F.transform(
+                        F.col("_q"), lambda v: v.cast("string")), ",")
+                    .alias("q_csv")))
+
+
+def oracle_quantize_int8(src: str = "embeddings") -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+         list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) AS s
+  FROM {src}
+), qq AS (
+  SELECT vec_id, s,
+         list_transform(x, v -> CAST(
+           CASE WHEN s = 0 THEN 0 ELSE floor(v * 127 / s) END
+           AS BIGINT)) AS q
+  FROM b
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(len(q) AS BIGINT) AS n_dim,
+       CAST(floor(s * 1e6) AS BIGINT) AS scale_micro,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_min(q) AS BIGINT) AS q_min,
+       CAST(list_max(q) AS BIGINT) AS q_max,
+       array_to_string(q, ',') AS q_csv
+FROM qq ORDER BY vec_id
+"""
