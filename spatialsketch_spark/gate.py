@@ -600,6 +600,28 @@ FROM geo GROUP BY item ORDER BY item
 """
 
 
+def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo.trajectory import trajectory_stats
+    ev = derive_geo_events(spark, sf_dir, N)
+    return trajectory_stats(ev).orderBy("item")
+
+
+def oracle_trajectory() -> str:
+    from .geo.trajectory import oracle_trajectory_stats
+    return oracle_trajectory_stats(_geo_cte())
+
+
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo.trajectory import multires_rollup
+    ev = derive_geo_events(spark, sf_dir, N)
+    return multires_rollup(ev).orderBy("shift", "cx", "cy")
+
+
+def oracle_multires_rollup() -> str:
+    from .geo.trajectory import oracle_multires_rollup as _o
+    return _o(_geo_cte())
+
+
 # ---------------------------------------------------------------------------
 # exact spatial joins / tiling (north_rule operators; SURVEY.md §2.F)
 # ---------------------------------------------------------------------------
@@ -883,6 +905,8 @@ GATE_QUERIES = {
     "geo_item_range_freq": (q_item_range_freq, oracle_item_range_freq),
     "geo_item_range_dcm": (q_item_range_dcm, oracle_item_range_freq),
     "geo_span_rollup": (q_span_rollup, oracle_span_rollup),
+    "geo_trajectory": (q_trajectory, oracle_trajectory),
+    "geo_multires_rollup": (q_multires_rollup, oracle_multires_rollup),
     "geo_pip_assign": (q_pip_assign, oracle_pip_assign),
     "geo_knn": (q_knn, oracle_knn),
     "geo_tile_cover": (q_tile_cover, oracle_tile_cover),

@@ -54,6 +54,20 @@ def q_repetition(spark, sf_dir):
     return spans.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_cdc_chunks(spark, sf_dir):
+    return spans.cdc_chunks(_docs(spark, sf_dir)) \
+        .orderBy("doc_id", "chunk_idx")
+
+
+def q_kmeans_assign(spark, sf_dir):
+    return similarity.kmeans_assign(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+def q_kmeans_update(spark, sf_dir):
+    return similarity.kmeans_update(_emb(spark, sf_dir)) \
+        .orderBy("cid", "dim")
+
+
 def q_decontaminate(spark, sf_dir):
     # held-out eval set = a deterministic 1-in-7 doc_id split of the
     # fixture corpus (stand-in for a real eval-benchmark table)
@@ -682,6 +696,11 @@ PIPELINE_GATE = {
                       lambda: text.oracle_pii_scrub(_PII_TEXT_SQL)),
     "doc_span_dedup": (q_span_dedup, spans.oracle_span_dedup),
     "doc_repetition": (q_repetition, spans.oracle_repetition_stats),
+    "doc_cdc_chunks": (q_cdc_chunks, spans.oracle_cdc_chunks),
+    "emb_kmeans_assign": (q_kmeans_assign,
+                          similarity.oracle_kmeans_assign),
+    "emb_kmeans_update": (q_kmeans_update,
+                          similarity.oracle_kmeans_update),
     "doc_gzip_roundtrip": (q_gzip_roundtrip,
                            text.oracle_decompress_corpus),
     "doc_model_filter": (q_model_filter,

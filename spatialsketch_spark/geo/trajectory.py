@@ -1,0 +1,133 @@
+"""Trajectory analytics + multi-resolution tile pyramids over the
+geo-event stream — the two spatio-temporal rollups a tiling engine
+serves next to range queries (reference scope: the dyadic level pyramid,
+SpatialSketch.cpp level loop / Technical Report §3; per-entity
+trajectories have no reference counterpart — LLM-geo-pipeline scope).
+
+Both are pure integer arithmetic over the derived ⟨ts, item, x, y,
+value⟩ tuples, so the DuckDB oracles compare bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+PYRAMID_SHIFTS = (4, 6, 8, 10)
+
+
+def trajectory_stats(ev: DataFrame) -> DataFrame:
+    """Per-entity trajectory rollup: order each item's points by ts and
+    report path length (L1), bounding box, net displacement and point
+    count — the standard movement-analytics shape (GPS track QA, robot
+    telemetry, user-movement audit).
+
+    Plan: ONE shuffle on item; the window sort is per-item and the
+    follow-up aggregate reuses the same hash partitioning (no second
+    exchange — Catalyst sees the child ordering). At cluster scale the
+    entity key is high-cardinality (users/devices), so per-partition
+    sort state stays bounded; a single hot entity would need the
+    session-split treatment in pipeline/temporal.py, not this op.
+
+    -> (item, n_points, path_l1, x_min, x_max, y_min, y_max, net_l1).
+    """
+    w = Window.partitionBy("item").orderBy("ts")
+    step = (F.abs(F.col("x") - F.lag("x").over(w))
+            + F.abs(F.col("y") - F.lag("y").over(w)))
+    return (ev.select("item", "ts", "x", "y")
+            .withColumn("_step", step)
+            .groupBy("item")
+            .agg(F.count("*").cast("bigint").alias("n_points"),
+                 F.coalesce(F.sum("_step"), F.lit(0)).cast("bigint")
+                 .alias("path_l1"),
+                 F.min("x").cast("bigint").alias("x_min"),
+                 F.max("x").cast("bigint").alias("x_max"),
+                 F.min("y").cast("bigint").alias("y_min"),
+                 F.max("y").cast("bigint").alias("y_max"),
+                 (F.abs(F.max_by("x", "ts") - F.min_by("x", "ts"))
+                  + F.abs(F.max_by("y", "ts") - F.min_by("y", "ts")))
+                 .cast("bigint").alias("net_l1"))
+            .select(F.col("item").cast("bigint"), "n_points", "path_l1",
+                    "x_min", "x_max", "y_min", "y_max", "net_l1"))
+
+
+def oracle_trajectory_stats(geo_cte: str) -> str:
+    return f"""
+WITH geo AS ({geo_cte}),
+steps AS (
+  SELECT item, ts, x, y,
+         abs(x - LAG(x) OVER (PARTITION BY item ORDER BY ts))
+       + abs(y - LAG(y) OVER (PARTITION BY item ORDER BY ts)) AS step
+  FROM geo
+)
+SELECT CAST(item AS BIGINT) AS item,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COALESCE(SUM(step), 0) AS BIGINT) AS path_l1,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max,
+       CAST(abs(arg_max(x, ts) - arg_min(x, ts))
+          + abs(arg_max(y, ts) - arg_min(y, ts)) AS BIGINT) AS net_l1
+FROM steps GROUP BY item ORDER BY item
+"""
+
+
+def multires_rollup(ev: DataFrame,
+                    shifts: tuple = PYRAMID_SHIFTS) -> DataFrame:
+    """Tile-pyramid densities: per-cell value sums at a ladder of
+    resolutions (cell side 2^shift) — the materialized pyramid a map
+    renderer or an H3-style multi-res index serves (the engine's dyadic
+    level set, made queryable as data).
+
+    Plan shape is the part that matters at 100 TB: ONLY the finest
+    level aggregates the raw stream (one shuffle, map-side combined);
+    every coarser level re-aggregates the PREVIOUS level's output,
+    whose row count shrinks ~4^Δshift per step — the classic
+    hierarchical-rollup cascade, never re-scanning the source. The
+    DuckDB oracle recomputes each level independently from the raw
+    stream, so the gate also proves the cascade == flat equivalence.
+
+    -> (shift, cx, cy, n), one row per non-empty cell per level.
+    """
+    if list(shifts) != sorted(shifts):
+        raise ValueError("shifts must ascend (coarsening cascade)")
+    s0 = shifts[0]
+    cur = (ev.groupBy(F.shiftright("x", s0).alias("cx"),
+                      F.shiftright("y", s0).alias("cy"))
+           .agg(F.sum("value").alias("n")))
+    levels = [cur.select(F.lit(s0).cast("bigint").alias("shift"),
+                         F.col("cx").cast("bigint"),
+                         F.col("cy").cast("bigint"),
+                         F.col("n").cast("bigint"))]
+    prev = s0
+    for s in shifts[1:]:
+        d = s - prev
+        cur = (cur.groupBy(F.shiftright("cx", d).alias("cx"),
+                           F.shiftright("cy", d).alias("cy"))
+               .agg(F.sum("n").alias("n")))
+        levels.append(cur.select(F.lit(s).cast("bigint").alias("shift"),
+                                 F.col("cx").cast("bigint"),
+                                 F.col("cy").cast("bigint"),
+                                 F.col("n").cast("bigint")))
+        prev = s
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out
+
+
+def oracle_multires_rollup(geo_cte: str,
+                           shifts: tuple = PYRAMID_SHIFTS) -> str:
+    # flat recomputation per level (x // 2^s == x >> s for x >= 0):
+    # deliberately NOT the cascade, so the gate cross-checks the shapes
+    parts = [
+        f"SELECT CAST({s} AS BIGINT) AS shift,"
+        f" CAST(x // {1 << s} AS BIGINT) AS cx,"
+        f" CAST(y // {1 << s} AS BIGINT) AS cy,"
+        f" CAST(SUM(value) AS BIGINT) AS n"
+        f" FROM geo GROUP BY 2, 3"
+        for s in shifts
+    ]
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH geo AS ({geo_cte})
+SELECT * FROM ({union}) ORDER BY shift, cx, cy
+"""

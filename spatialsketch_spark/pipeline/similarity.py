@@ -756,3 +756,111 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        array_to_string(q, ',') AS q_csv
 FROM qq ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-point k-means (one Lloyd iteration, deterministic) (r5)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, xq) with xq = per-component floor(v * 1e6) as BIGINT —
+    the fixed-point embedding every distance below is EXACT integer
+    arithmetic over (float32 -> double -> *1e6 -> floor is the same
+    correctly-rounded sequence in Spark and DuckDB)."""
+    xq = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * 1e6).cast("bigint"))
+    return emb.select(F.col("vec_id").cast("bigint"), xq.alias("xq"))
+
+
+def kmeans_assign(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """Nearest-centroid assignment, the inner step of Lloyd's k-means,
+    with fixed seed centroids = the vectors with vec_id < k (k-means'
+    init is a sampling choice; the ITERATION is what a pipeline runs at
+    scale). Squared-L2 in exact int64 fixed point, ties to the smaller
+    centroid id — fully deterministic across engines, partitionings and
+    retries (float k-means is famously not).
+
+    Plan: the k-row centroid side joins via broadcast (no shuffle of
+    the big side), distance is a codegen zip_with/aggregate fold, and
+    the per-vector argmin is a k-row min of (d2, cid) structs inside
+    one aggregation — at 100 TB this is one map-side pass over the
+    embedding table. -> (vec_id, cid, d2)."""
+    q = _quantized(emb)
+    c = (q.where(F.col("vec_id") < k)
+         .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq")))
+    d2 = F.aggregate(
+        F.zip_with("xq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    best = F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_best")
+    return (q.join(F.broadcast(c))
+            .withColumn("_d2", d2)
+            .groupBy("vec_id").agg(best)
+            .select("vec_id",
+                    F.col("_best.cid").cast("bigint").alias("cid"),
+                    F.col("_best._d2").cast("bigint").alias("d2")))
+
+
+def kmeans_update(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """Centroid-update half of the Lloyd iteration: per (cid, dim) the
+    member count and exact integer component sum (new centroid =
+    s_micro / n in fixed point — kept as the raw sums so the gate
+    compares pure integers). posexplode keeps the shuffle key
+    (cid, dim) perfectly uniform; rows = k * dim, KB-sized at any
+    corpus scale. -> (cid, dim, n_assigned, s_micro)."""
+    a = kmeans_assign(emb, k)
+    q = _quantized(emb)
+    return (a.join(q, "vec_id")
+            .select("cid", F.posexplode("xq").alias("dim0", "v"))
+            .groupBy("cid", (F.col("dim0") + 1).alias("dim"))
+            .agg(F.count("*").cast("bigint").alias("n_assigned"),
+                 F.sum("v").cast("bigint").alias("s_micro"))
+            .select(F.col("cid").cast("bigint"),
+                    F.col("dim").cast("bigint"), "n_assigned", "s_micro"))
+
+
+_KM_Q_SQL = """
+q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+  FROM {src}
+),
+c AS (SELECT vec_id AS cid, xq AS cq FROM q WHERE vec_id < {k}),
+dist AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(q.xq) + 1),
+                  i -> (q.xq[i] - c.cq[i]) * (q.xq[i] - c.cq[i]))) AS d2
+  FROM q CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist) WHERE rn = 1
+)"""
+
+
+def oracle_kmeans_assign(k: int = KMEANS_K,
+                         src: str = "embeddings") -> str:
+    return f"""
+WITH {_KM_Q_SQL.format(src=src, k=k)}
+SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(d2 AS BIGINT) AS d2
+FROM assign ORDER BY vec_id
+"""
+
+
+def oracle_kmeans_update(k: int = KMEANS_K,
+                         src: str = "embeddings") -> str:
+    return f"""
+WITH {_KM_Q_SQL.format(src=src, k=k)}
+SELECT CAST(a.cid AS BIGINT) AS cid, CAST(u.i AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(q.xq[u.i]) AS BIGINT) AS s_micro
+FROM assign a JOIN q USING (vec_id),
+     LATERAL UNNEST(range(1, len(q.xq) + 1)) AS u(i)
+GROUP BY 1, 2 ORDER BY cid, dim
+"""

@@ -239,6 +239,116 @@ def repetition_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         .cast("bigint").alias("repetitive"))
 
 
+CDC_M = 16      # boundary when token-hash % CDC_M == 0 (~16-token chunks)
+
+
+def cdc_chunks(docs: DataFrame, m: int = CDC_M) -> DataFrame:
+    """Content-defined chunking + chunk-store dedup — the storage-layer
+    dedup mode (rsync/LBFS/backup dedup): cut each document at
+    content-determined token positions (token-hash ≡ 0 mod m, so the
+    SAME byte runs chunk identically regardless of preceding edits),
+    fingerprint each chunk, and mark the globally-first occurrence of
+    every distinct chunk as canonical (the copy a chunk store keeps).
+
+    Distributed shape: chunking is map-only per-doc array arithmetic
+    (zero shuffles); dedup is ONE shuffle on the chunk fingerprint —
+    uniform md5-derived keys, so no skew. Never all-pairs; state is
+    bounded by occurrences-per-fingerprint. Insert-shifted copies of a
+    run re-align at the next content boundary — the property fixed-size
+    blocking lacks and the reason CDC is the storage-dedup standard.
+
+    The boundary test hashes a 2-token window (the CDC sliding window),
+    not a single token: the fixture vocabulary is ~31 words and a
+    per-token rule would degenerate to "which vocab words are
+    boundaries" (measured: none are, mod 16); token PAIRS spread
+    quadratically, giving the designed ~1/m cut rate.
+
+    -> (doc_id, chunk_idx, chunk_start, chunk_len, fp, n_occ, canonical)
+    one row per chunk; canonical = 1 on the min-(doc_id, chunk_idx)
+    occurrence of each fp."""
+    d = _with_kgrams(docs, 2)        # _whs reduced, _fps = 2-gram hashes
+    n = F.size("_whs")
+    # chunk ENDS: token j (j >= 2) ends a chunk when the window hash of
+    # tokens (j-1, j) cuts, plus the forced final token (the OR dedups
+    # the case where the last window is itself a boundary); the lazy
+    # CASE keeps element_at(_fps, 0) from ever evaluating at j == 1
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda j: (j == n) | F.when(
+            j >= 2, F.element_at("_fps", j - 1) % m == 0
+        ).otherwise(F.lit(False)))
+    ex = (d.where(n >= 1).withColumn("_ends", ends)
+          .select("doc_id", "_whs", "_ends",
+                  F.posexplode("_ends").alias("_i", "_e")))
+    # lazy CASE guard: element_at(_ends, 0) never evaluates on the
+    # _i == 0 branch (same idiom as _window_hash_array)
+    start = F.when(F.col("_i") == 0, F.lit(1)) \
+             .otherwise(F.element_at("_ends", F.col("_i")) + 1)
+    ex = ex.withColumn("_s", start) \
+           .withColumn("_len", F.col("_e") - F.col("_s") + 1)
+    fp = F.aggregate(
+        F.slice("_whs", F.col("_s"), F.col("_len")),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * ROLL_B + h) % FP_MOD)
+    ch = ex.select(
+        F.col("doc_id").cast("bigint"),
+        (F.col("_i") + 1).cast("bigint").alias("chunk_idx"),
+        F.col("_s").cast("bigint").alias("chunk_start"),
+        F.col("_len").cast("bigint").alias("chunk_len"),
+        fp.alias("fp"))
+    wf = Window.partitionBy("fp")
+    wr = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    return (ch.withColumn("n_occ",
+                          F.count("*").over(wf).cast("bigint"))
+            .withColumn("canonical",
+                        (F.row_number().over(wr) == 1).cast("bigint")))
+
+
+def oracle_cdc_chunks(m: int = CDC_M) -> str:
+    # list_prepend(0, ...) makes DuckDB's first-element-as-init
+    # list_reduce equal to Spark's aggregate(slice, 0, fold).
+    # fps[0] at j = 1 is NULL in DuckDB (lenient indexing) and the AND
+    # collapses to false — mirrors the Spark lazy-CASE guard.
+    return f"""
+WITH t0 AS (SELECT doc_id, {_WHS_SQL} AS whs0 FROM documents),
+t AS (
+  SELECT doc_id,
+         list_transform(whs0, h -> h % {FP_MOD}) AS whs,
+         {_fps_sql(2).replace('whs[', 'whs0[')
+                     .replace('len(whs)', 'len(whs0)')} AS fps
+  FROM t0
+),
+e AS (
+  SELECT doc_id, whs,
+         list_filter(range(1, len(whs) + 1),
+                     j -> j = len(whs)
+                          OR (j >= 2 AND fps[j - 1] % {m} = 0)) AS ends
+  FROM t WHERE len(whs) >= 1
+),
+ch AS (
+  SELECT doc_id, whs, i AS chunk_idx, ends[i] AS ce,
+         CASE WHEN i = 1 THEN 1 ELSE ends[i - 1] + 1 END AS cs
+  FROM e, LATERAL UNNEST(range(1, len(ends) + 1)) AS u(i)
+),
+fp AS (
+  SELECT doc_id, chunk_idx, cs, ce - cs + 1 AS chunk_len,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), whs[cs:ce]),
+                     (acc, h) -> (acc * {ROLL_B} + h) % {FP_MOD}) AS fp
+  FROM ch
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(cs AS BIGINT) AS chunk_start,
+       CAST(chunk_len AS BIGINT) AS chunk_len,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_occ,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY fp ORDER BY doc_id, chunk_idx) = 1
+             THEN 1 ELSE 0 END AS BIGINT) AS canonical
+FROM fp ORDER BY doc_id, chunk_idx
+"""
+
+
 def oracle_repetition_stats(k: int = SPAN_K) -> str:
     return f"""
 WITH t AS (SELECT doc_id, {_WHS_SQL} AS whs FROM documents),

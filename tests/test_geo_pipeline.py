@@ -576,3 +576,50 @@ def test_cover_dedup_all_classes_share_rects(spark, events, exact_store):
             groups[key] = len(pid_ranges)
             pid_ranges.append((groups[key], q.ranges))
     assert len(pid_ranges) == 1
+
+
+def test_trajectory_stats_handcrafted(spark):
+    """Per-entity path arithmetic vs hand computation: L1 path length
+    over ts order, bbox, net displacement; a single-point entity gets
+    path 0 (coalesced NULL sum)."""
+    from spatialsketch_spark.geo.trajectory import trajectory_stats
+    rows = [
+        (1, 1, 0, 0, 1), (2, 1, 3, 4, 1), (3, 1, 3, 1, 1),
+        (5, 2, 7, 7, 1),
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts BIGINT, item BIGINT, x BIGINT, y BIGINT, value BIGINT")
+    out = {r["item"]: r for r in trajectory_stats(ev).collect()}
+    t1 = out[1]
+    assert (t1["n_points"], t1["path_l1"]) == (3, (3 + 4) + (0 + 3))
+    assert (t1["x_min"], t1["x_max"], t1["y_min"], t1["y_max"]) == (0, 3, 0, 4)
+    assert t1["net_l1"] == abs(3 - 0) + abs(1 - 0)
+    t2 = out[2]
+    assert (t2["n_points"], t2["path_l1"], t2["net_l1"]) == (1, 0, 0)
+
+
+def test_multires_rollup_cascade_equals_flat(spark):
+    """The hierarchical cascade (each level from the previous level's
+    output) must equal flat per-level recomputation from the raw
+    points, and every level must conserve total mass."""
+    import numpy as np
+    from spatialsketch_spark.geo.trajectory import multires_rollup
+    rng = np.random.default_rng(11)
+    pts = rng.integers(0, 4096, size=(300, 2))
+    vals = rng.integers(1, 5, size=300)
+    rows = [(int(i), 0, int(x), int(y), int(v))
+            for i, ((x, y), v) in enumerate(zip(pts, vals))]
+    ev = spark.createDataFrame(
+        rows, "ts BIGINT, item BIGINT, x BIGINT, y BIGINT, value BIGINT")
+    shifts = (4, 6, 8, 10)
+    got = {}
+    for r in multires_rollup(ev, shifts).collect():
+        got.setdefault(r["shift"], {})[(r["cx"], r["cy"])] = r["n"]
+    total = int(vals.sum())
+    for s in shifts:
+        flat = {}
+        for (x, y), v in zip(pts, vals):
+            key = (int(x) >> s, int(y) >> s)
+            flat[key] = flat.get(key, 0) + int(v)
+        assert got[s] == flat
+        assert sum(got[s].values()) == total

@@ -1015,3 +1015,107 @@ def test_surprisal_filter_handcrafted(spark):
     strict = {r["doc_id"]: r["keep"] for r in
               _t.surprisal_filter(df, threshold_milli=2500).collect()}
     assert strict == {0: 1, 1: 1, 2: 0}
+
+
+def test_cdc_chunks_matches_python_reference(spark):
+    """Pure-python reimplementation of the CDC rule (md5 word hash ->
+    2-gram rolling hash -> cut at %16==0 -> per-chunk polynomial fold)
+    compared row-for-row — ground truth independent of the DuckDB
+    oracle, including the tiling invariant (chunks exactly partition
+    the token range) and cross-doc realignment (a one-token prefix
+    edit re-aligns at the next content boundary, so the suffix chunks
+    dedup against the original)."""
+    import hashlib
+    from spatialsketch_spark.pipeline import spans
+    from spatialsketch_spark.pipeline.text import FP_MOD, ROLL_B
+
+    def whash(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % FP_MOD
+
+    def cdc_ref(words, m=16):
+        whs = [whash(w) for w in words]
+        n = len(whs)
+        fps = [(whs[i] * ROLL_B + whs[i + 1]) % FP_MOD
+               for i in range(n - 1)]
+        ends = [j for j in range(1, n + 1)
+                if j == n or (j >= 2 and fps[j - 2] % m == 0)]
+        chunks, s = [], 1
+        for idx, e_ in enumerate(ends, 1):
+            acc = 0
+            for h in whs[s - 1:e_]:
+                acc = (acc * ROLL_B + h) % FP_MOD
+            chunks.append((idx, s, e_ - s + 1, acc))
+            s = e_ + 1
+        return chunks
+
+    base = ["tok%d" % (i * 7 % 53) for i in range(80)]
+    shifted = ["zzz"] + base        # one-token insertion at the front
+    rows = [(1, " ".join(base)), (2, " ".join(shifted))]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = spans.cdc_chunks(df).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_len"], r["fp"]))
+    for doc_id, words in [(1, base), (2, shifted)]:
+        assert sorted(got[doc_id]) == cdc_ref(words)
+        lens = [c[2] for c in sorted(got[doc_id])]
+        assert sum(lens) == len(words)            # exact tiling
+        starts = [c[1] for c in sorted(got[doc_id])]
+        assert starts[0] == 1
+        for i in range(1, len(starts)):           # contiguous
+            assert starts[i] == starts[i - 1] + lens[i - 1]
+    # realignment: the docs share >= 1 chunk fp, and each shared fp has
+    # exactly one canonical occurrence
+    fp1 = {c[3] for c in got[1]}
+    fp2 = {c[3] for c in got[2]}
+    assert fp1 & fp2, "insert-shifted copy must re-align"
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r["fp"], []).append(r)
+    for fp, occ in by_fp.items():
+        assert sum(o["canonical"] for o in occ) == 1
+        assert all(o["n_occ"] == len(occ) for o in occ)
+        keeper = min((o["doc_id"], o["chunk_idx"]) for o in occ)
+        for o in occ:
+            assert o["canonical"] == (
+                1 if (o["doc_id"], o["chunk_idx"]) == keeper else 0)
+
+
+def test_kmeans_fixed_point_matches_numpy(spark):
+    """Assignment + update vs a numpy reimplementation on handcrafted
+    vectors, including an exact equidistant tie (must break to the
+    smaller centroid id)."""
+    import numpy as np
+    from spatialsketch_spark.pipeline import similarity
+
+    vecs = [
+        (0, [0.0, 0.0]),          # centroid 0
+        (1, [1.0, 0.0]),          # centroid 1
+        (2, [0.1, 0.1]),          # near c0
+        (3, [0.9, -0.1]),         # near c1
+        (4, [0.5, 0.25]),         # EXACTLY equidistant -> cid 0
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    xq = {i: np.floor(np.array(v, dtype=np.float32).astype(np.float64)
+                      * 1e6).astype(np.int64) for i, v in vecs}
+    cents = {0: xq[0], 1: xq[1]}
+    assign = {r["vec_id"]: (r["cid"], r["d2"])
+              for r in similarity.kmeans_assign(df, k=2).collect()}
+    for i, _ in vecs:
+        d = {c: int(((xq[i] - q) ** 2).sum()) for c, q in cents.items()}
+        best = min(d.items(), key=lambda kv: (kv[1], kv[0]))
+        assert assign[i] == best, (i, assign[i], best)
+    assert assign[4][0] == 0      # the tie case really is a tie
+    d0 = ((xq[4] - cents[0]) ** 2).sum()
+    d1 = ((xq[4] - cents[1]) ** 2).sum()
+    assert d0 == d1
+    upd = {(r["cid"], r["dim"]): (r["n_assigned"], r["s_micro"])
+           for r in similarity.kmeans_update(df, k=2).collect()}
+    members = {c: [i for i, _ in vecs if assign[i][0] == c] for c in (0, 1)}
+    for c in (0, 1):
+        for dim in (1, 2):
+            s = int(sum(xq[i][dim - 1] for i in members[c]))
+            assert upd[(c, dim)] == (len(members[c]), s)
