@@ -622,6 +622,17 @@ def oracle_multires_rollup() -> str:
     return _o(_geo_cte())
 
 
+def q_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo.joins import hotspot_cells
+    ev = derive_geo_events(spark, sf_dir, N)
+    return hotspot_cells(ev, N).orderBy("cx", "cy")
+
+
+def oracle_hotspot() -> str:
+    from .geo.joins import oracle_hotspot_cells
+    return oracle_hotspot_cells(f"WITH geo AS ({_geo_cte()})", N)
+
+
 # ---------------------------------------------------------------------------
 # exact spatial joins / tiling (north_rule operators; SURVEY.md §2.F)
 # ---------------------------------------------------------------------------
@@ -907,6 +918,7 @@ GATE_QUERIES = {
     "geo_span_rollup": (q_span_rollup, oracle_span_rollup),
     "geo_trajectory": (q_trajectory, oracle_trajectory),
     "geo_multires_rollup": (q_multires_rollup, oracle_multires_rollup),
+    "geo_hotspot": (q_hotspot, oracle_hotspot),
     "geo_pip_assign": (q_pip_assign, oracle_pip_assign),
     "geo_knn": (q_knn, oracle_knn),
     "geo_tile_cover": (q_tile_cover, oracle_tile_cover),

@@ -263,6 +263,16 @@ def q_quantize_int8(spark, sf_dir):
         .orderBy("vec_id")
 
 
+def q_evt_transitions(spark, sf_dir):
+    return events.transitions(events._events(spark, sf_dir)) \
+        .orderBy("src", "dst")
+
+
+def q_rel_pivot(spark, sf_dir):
+    return relational.orders_status_pivot(spark, sf_dir) \
+        .orderBy("nation")
+
+
 _STREAM_DEDUP = {}
 
 
@@ -737,6 +747,8 @@ PIPELINE_GATE = {
     "evt_funnel": (q_evt_funnel, events.oracle_funnel),
     "evt_props_stats": (q_evt_props, events.oracle_props_stats),
     "evt_retention": (q_evt_retention, events.oracle_retention),
+    "evt_transitions": (q_evt_transitions, events.oracle_transitions),
+    "rel_pivot": (q_rel_pivot, relational.oracle_orders_status_pivot),
     "doc_global_shuffle": (q_global_shuffle,
                            sampling.oracle_global_shuffle),
     "emb_quantize_int8": (q_quantize_int8,

@@ -155,3 +155,47 @@ SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
 FROM active JOIN cohort USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def transitions(ev: DataFrame) -> DataFrame:
+    """Per-user event-type transition edges (the Markov-chain view of a
+    clickstream): for every consecutive pair of events of one user —
+    ordered by (event time, event_id), a total order since event_id is
+    unique — count (src → dst) occurrences and flag each src's modal
+    next event (ties to the lexicographically smaller dst).
+
+    Plan: ONE shuffle on user_id for the LEAD window (map-side pair
+    extraction), then a count over (src, dst) whose cardinality is
+    |event_type|² — KB-sized at any corpus scale — so the second
+    aggregation and the per-src ranking window are free. No per-user
+    event collection, no self-join of the event table.
+
+    -> (src, dst, n, top)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy(F.expr(_TS_US), "event_id")
+    pairs = (ev.select("user_id", F.col("event_type").alias("src"),
+                       F.lead("event_type").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull()))
+    cnt = (pairs.groupBy("src", "dst")
+           .agg(F.count("*").cast("bigint").alias("n")))
+    rw = Window.partitionBy("src").orderBy(F.col("n").desc(), "dst")
+    top = F.when(F.row_number().over(rw) == 1, 1).otherwise(0)
+    return cnt.withColumn("top", top.cast("int"))
+
+
+def oracle_transitions(src: str = "events") -> str:
+    return f"""
+WITH p AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS dst
+  FROM {src}
+), c AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n,
+       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY n DESC, dst) = 1 THEN 1 ELSE 0 END AS INT) AS top
+FROM c ORDER BY src, dst
+"""

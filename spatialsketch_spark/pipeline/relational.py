@@ -209,3 +209,46 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rf,
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY rf, ls
 """
+
+
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue pivot: nation × order-status cross-tab via the native
+    ``groupBy().pivot()`` operator (reshape-to-wide — a relational
+    surface none of the other gates exercise). Status values are pinned
+    explicitly so Spark skips the extra distinct-values job and the
+    output schema is static; a nation with no orders in a status stays
+    NULL, matching SQL conditional aggregation.
+
+    Plan: dimension broadcasts on customer/nation, then ONE shuffle on
+    nation with map-side partial pivot-aggregates (pivot compiles to
+    one agg with |statuses| columns, not |statuses| passes).
+
+    -> (nation, rev_o, rev_f, rev_p) in integer cents."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    piv = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .groupBy(F.col("n_name").alias("nation"))
+           .pivot("o_orderstatus", ["O", "F", "P"])
+           .agg(F.sum(cents(F.col("o_totalprice")))))
+    return piv.select("nation",
+                      F.col("O").cast("bigint").alias("rev_o"),
+                      F.col("F").cast("bigint").alias("rev_f"),
+                      F.col("P").cast("bigint").alias("rev_p"))
+
+
+def oracle_orders_status_pivot() -> str:
+    return """
+WITH j AS (
+  SELECT n_name AS nation, o_orderstatus AS st,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT nation,
+       CAST(SUM(CASE WHEN st = 'O' THEN c END) AS BIGINT) AS rev_o,
+       CAST(SUM(CASE WHEN st = 'F' THEN c END) AS BIGINT) AS rev_f,
+       CAST(SUM(CASE WHEN st = 'P' THEN c END) AS BIGINT) AS rev_p
+FROM j GROUP BY nation ORDER BY nation
+"""

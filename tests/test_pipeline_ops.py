@@ -1119,3 +1119,70 @@ def test_kmeans_fixed_point_matches_numpy(spark):
         for dim in (1, 2):
             s = int(sum(xq[i][dim - 1] for i in members[c]))
             assert upd[(c, dim)] == (len(members[c]), s)
+
+
+def test_transitions_handcrafted(spark):
+    """Markov transition edges on a crafted clickstream: user 1 emits
+    a->b->a->c (edges ab, ba, ac), user 2 emits b->b (edge bb); 'a' has
+    two next-events with a count tie (b and c, 1 each) so top must go
+    to the lexicographically smaller dst."""
+    import datetime
+    from spatialsketch_spark.pipeline.events import transitions
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0), 1, "a"),
+        (2, datetime.datetime(2024, 1, 1, 0, 0, 1), 1, "b"),
+        (3, datetime.datetime(2024, 1, 1, 0, 0, 2), 1, "a"),
+        (4, datetime.datetime(2024, 1, 1, 0, 0, 3), 1, "c"),
+        (5, datetime.datetime(2024, 1, 1, 0, 0, 0), 2, "b"),
+        (6, datetime.datetime(2024, 1, 1, 0, 0, 0), 2, "b"),  # ts tie -> event_id order
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string")
+    got = {(r.src, r.dst): (r.n, r.top)
+           for r in transitions(ev).collect()}
+    assert got == {("a", "b"): (1, 1), ("a", "c"): (1, 0),
+                   ("b", "a"): (1, 1), ("b", "b"): (1, 0)}
+
+
+def test_orders_status_pivot_matches_long_form(spark):
+    """The wide pivot must equal the long-form conditional aggregation
+    computed independently in pandas, including NULL for empty cells."""
+    from spatialsketch_spark.pipeline.relational import orders_status_pivot
+    from conftest import SF_UNIT
+    wide = orders_status_pivot(spark, SF_UNIT).toPandas() \
+        .set_index("nation").sort_index()
+    o = spark.read.parquet(f"{SF_UNIT}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_UNIT}/customer.parquet").toPandas()
+    n = spark.read.parquet(f"{SF_UNIT}/nation.parquet").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey") \
+         .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    j["cents"] = (j.o_totalprice * 100).round().astype("int64")
+    for st, col in (("O", "rev_o"), ("F", "rev_f"), ("P", "rev_p")):
+        ref = j[j.o_orderstatus == st].groupby("n_name").cents.sum()
+        for nation in wide.index:
+            want = ref.get(nation)
+            gotv = wide.loc[nation, col]
+            if want is None:
+                assert gotv is None or gotv != gotv  # NULL/NaN
+            else:
+                assert int(gotv) == int(want), (nation, col)
+
+
+def test_hotspot_neighborhood_math(spark):
+    """Crafted grid: 30 events in coarse cell (5,5), 3 in (5,6), one in
+    a far corner. Neighborhood sums and the integer threshold verdict
+    are checked by hand (n=512, g=8 -> cell width 64, 64 grid cells,
+    total=34, mult=12 -> hot iff neigh*64 >= 408, i.e. neigh >= 7)."""
+    from spatialsketch_spark.geo.joins import hotspot_cells
+    rows = ([(i, 1, 320 + i % 2, 330, 1) for i in range(30)]     # cx=5,cy=5
+            + [(100 + i, 1, 321, 390, 1) for i in range(3)]      # cx=5,cy=6
+            + [(200, 1, 500, 500, 1)])                           # cx=7,cy=7
+    ev = spark.createDataFrame(
+        rows, "ts bigint, item bigint, x bigint, y bigint, value bigint")
+    got = {(r.cx, r.cy): (r.cnt, r.neigh, r.hot)
+           for r in hotspot_cells(ev, 512, g=8, mult=12).collect()}
+    # occupied cells only; neighborhood of (5,5) = 30+3, of (5,6) = 3+30
+    assert got == {(5, 5): (30, 33, 1), (5, 6): (3, 33, 1),
+                   (7, 7): (1, 1, 0)}
