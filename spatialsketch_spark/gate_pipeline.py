@@ -263,6 +263,11 @@ def q_quantize_int8(spark, sf_dir):
         .orderBy("vec_id")
 
 
+def q_pq_topk(spark, sf_dir):
+    return similarity.pq_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, 5) \
+        .orderBy("qid", "rank")
+
+
 def q_evt_transitions(spark, sf_dir):
     return events.transitions(events._events(spark, sf_dir)) \
         .orderBy("src", "dst")
@@ -748,6 +753,9 @@ PIPELINE_GATE = {
     "evt_props_stats": (q_evt_props, events.oracle_props_stats),
     "evt_retention": (q_evt_retention, events.oracle_retention),
     "evt_transitions": (q_evt_transitions, events.oracle_transitions),
+    "emb_pq_topk": (
+        q_pq_topk,
+        lambda: similarity.oracle_pq_topk(EMB_QUERY_IDS, 5)),
     "rel_pivot": (q_rel_pivot, relational.oracle_orders_status_pivot),
     "doc_global_shuffle": (q_global_shuffle,
                            sampling.oracle_global_shuffle),

@@ -864,3 +864,162 @@ FROM assign a JOIN q USING (vec_id),
      LATERAL UNNEST(range(1, len(q.xq) + 1)) AS u(i)
 GROUP BY 1, 2 ORDER BY cid, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the memory-bound ANN scale path: each base
+# vector compresses to M one-byte codes; queries probe via an asymmetric
+# distance table (ADC) of only K*M entries. Same exact int64 fixed-point
+# arithmetic as the k-means gates, so the DuckDB oracle replays encode +
+# ADC bit-for-bit (no float drift, no RNG).
+# ---------------------------------------------------------------------------
+
+PQ_M = 4        # subspaces (dim 64 -> 16 components each)
+PQ_K = 16       # centroids per subspace; codebook = subvectors of the
+                # first PQ_K vectors (deterministic init, same convention
+                # as kmeans_assign — the ITERATION/ENCODE is the scale op)
+
+
+def _pq_subvectors(emb: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, m, sv): the quantized vector split into m equal slices."""
+    q = _quantized(emb)
+    d = F.size("xq")
+    w = (d / m).cast("int")
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
+    return (q.select("vec_id", "xq", ms)
+            .select("vec_id", "m",
+                    F.slice("xq", F.col("m") * w + 1, w).alias("sv")))
+
+
+def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """PQ encoding: per (vector, subspace) the nearest codebook entry in
+    exact integer squared-L2, ties to the smaller centroid id.
+
+    Plan: the codebook (k*m rows, KB-sized) broadcasts; distances are a
+    codegen zip_with fold; the per-(vec,subspace) argmin is a min of
+    (d2, cid) structs — ONE map-side pass over the base table + one
+    shuffle on vec_id whose payload is m small rows per vector.
+
+    -> (vec_id, m, code, d2)."""
+    sub = _pq_subvectors(emb, m)
+    cb = (sub.where(F.col("vec_id") < k)
+          .select(F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+                  F.col("sv").alias("cv")))
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    best = F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_best")
+    return (sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+            .withColumn("_d2", d2)
+            .groupBy("vec_id", "m").agg(best)
+            .select("vec_id", F.col("m").cast("int"),
+                    F.col("_best.cid").cast("bigint").alias("code"),
+                    F.col("_best._d2").cast("bigint").alias("d2")))
+
+
+def pq_topk(emb: DataFrame, query_ids: list, topk: int = 5,
+            m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """ADC top-k: asymmetric PQ search — the query keeps its RAW
+    (quantized) subvectors, each base vector is represented only by its
+    codes, and distance(query, base) = Σ_m table[m][code_m] where the
+    table holds exact query→centroid distances.
+
+    Plan: the ADC table (|queries|·k·m rows) broadcasts against the
+    code table, partial-sums map-side into (qid, vec_id) groups, and
+    the final top-k is a per-qid window over candidate rows — the big
+    side is touched once and never re-read per query. The query row
+    itself is excluded (same convention as the other ANN gates).
+
+    -> (qid, vec_id, adist, rank)."""
+    sub = _pq_subvectors(emb, m)
+    codes = pq_encode(emb, m, k).select("vec_id", "m", "code")
+    qsub = (sub.where(F.col("vec_id").isin([int(q) for q in query_ids]))
+            .select(F.col("vec_id").alias("qid"), F.col("m").alias("qm"),
+                    F.col("sv").alias("qv")))
+    cb = (sub.where(F.col("vec_id") < k)
+          .select(F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+                  F.col("sv").alias("cv")))
+    qd2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    adc = (qsub.join(F.broadcast(cb), F.col("qm") == F.col("cm"))
+           .select("qid", F.col("qm").alias("m"), "cid",
+                   qd2.alias("qd2")))
+    cand = (codes.join(F.broadcast(adc),
+                       (codes.m == adc.m) & (codes.code == adc.cid))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("qd2").cast("bigint").alias("adist"))
+            .where(F.col("qid") != F.col("vec_id")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    return (cand.withColumn("rank",
+                            F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= topk)
+            .select(F.col("qid").cast("bigint"), "vec_id", "adist",
+                    "rank"))
+
+
+_PQ_SQL = """
+q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+  FROM {src}
+),
+sub AS (
+  SELECT vec_id, CAST(u.m AS INT) AS m,
+         xq[u.m * (len(xq) // {m}) + 1 :
+            (u.m + 1) * (len(xq) // {m})] AS sv
+  FROM q, LATERAL UNNEST(range({m})) AS u(m)
+),
+cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {k}),
+dist AS (
+  SELECT sub.vec_id, sub.m, cb.cid,
+         list_sum(list_transform(range(1, len(sub.sv) + 1),
+                  i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
+             AS d2
+  FROM sub JOIN cb USING (m)
+),
+enc AS (
+  SELECT vec_id, m, cid AS code, d2 FROM (
+    SELECT vec_id, m, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, cid) AS rn
+    FROM dist) WHERE rn = 1
+)"""
+
+
+def oracle_pq_encode(m: int = PQ_M, k: int = PQ_K,
+                     src: str = "embeddings") -> str:
+    return f"""
+WITH {_PQ_SQL.format(src=src, m=m, k=k)}
+SELECT vec_id, m, CAST(code AS BIGINT) AS code, CAST(d2 AS BIGINT) AS d2
+FROM enc ORDER BY vec_id, m
+"""
+
+
+def oracle_pq_topk(query_ids: list, topk: int = 5, m: int = PQ_M,
+                   k: int = PQ_K, src: str = "embeddings") -> str:
+    ids = ",".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH {_PQ_SQL.format(src=src, m=m, k=k)},
+adc AS (
+  SELECT sub.vec_id AS qid, sub.m, cb.cid,
+         list_sum(list_transform(range(1, len(sub.sv) + 1),
+                  i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
+             AS qd2
+  FROM sub JOIN cb USING (m)
+  WHERE sub.vec_id IN ({ids})
+),
+cand AS (
+  SELECT adc.qid, enc.vec_id, CAST(SUM(adc.qd2) AS BIGINT) AS adist
+  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.cid
+  GROUP BY 1, 2
+  HAVING adc.qid <> enc.vec_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, vec_id, adist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY adist, vec_id) AS BIGINT) AS rank
+FROM cand QUALIFY rank <= {topk}
+ORDER BY qid, rank
+"""

@@ -1186,3 +1186,39 @@ def test_hotspot_neighborhood_math(spark):
     # occupied cells only; neighborhood of (5,5) = 30+3, of (5,6) = 3+30
     assert got == {(5, 5): (30, 33, 1), (5, 6): (3, 33, 1),
                    (7, 7): (1, 1, 0)}
+
+
+def test_pq_encode_and_adc_match_numpy(spark):
+    """PQ encode + ADC top-k against an independent numpy replay on the
+    sf0.001 embeddings: codebook = subvectors of the first K vectors,
+    exact int64 fixed point, ties to the smaller centroid id."""
+    import numpy as np
+    from spatialsketch_spark.pipeline.similarity import (
+        PQ_K, PQ_M, pq_encode, pq_topk)
+    from conftest import SF_UNIT
+    emb = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.floor(np.stack(pdf.embedding.values).astype("float64")
+                 * 1e6).astype("int64")
+    ids = pdf.vec_id.to_numpy()
+    d = X.shape[1]
+    w = d // PQ_M
+    subs = X.reshape(len(X), PQ_M, w)          # rows follow vec_id order
+    cb = subs[ids < PQ_K]                      # (K, M, w), cid = vec_id
+    # encode: argmin over centroids, tie -> smaller cid (argmin does that)
+    d2 = ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    codes = d2.argmin(axis=1)                  # (nvec, M)
+    got = pq_encode(emb).toPandas() \
+        .sort_values(["vec_id", "m"]).reset_index(drop=True)
+    want_codes = {(int(v), m): int(codes[i, m])
+                  for i, v in enumerate(ids) for m in range(PQ_M)}
+    for r in got.itertuples():
+        assert want_codes[(r.vec_id, r.m)] == r.code
+    # ADC for qid=0: table lookup sum, exclude self, top-5 by (dist, id)
+    q = subs[ids == 0][0]
+    tab = ((q[None, :, :] - cb) ** 2).sum(axis=2)     # (K, M)
+    adist = tab[codes, np.arange(PQ_M)].sum(axis=1)
+    order = sorted((int(a), int(v)) for a, v in zip(adist, ids) if v != 0)
+    gt = pq_topk(emb, [0], 5).where("qid = 0") \
+        .orderBy("rank").collect()
+    assert [(r.adist, r.vec_id) for r in gt] == order[:5]
