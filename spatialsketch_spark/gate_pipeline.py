@@ -356,6 +356,96 @@ ORDER BY text_hash
 """
 
 
+_STREAM_WINDOW = {}
+
+
+def q_stream_window(spark, sf_dir):
+    """Structured-Streaming watermarked tumbling-window aggregation with
+    REAL late-data drops, run as three availableNow restarts of one
+    checkpoint (watermark state persists in the commit log):
+
+      run 0  on-time half (event_id even): designed ts in [0, 2000)
+      run 1  odd half: 1/5 deliberately LATE (ts far below run 0's
+             committed watermark -> their windows were finalized, rows
+             dropped), 4/5 on-time (windows still open -> merged)
+      run 2  a far-future sentinel whose watermark flushes all state
+
+    Determinism: the watermark only commits BETWEEN runs, and the
+    fixture keeps >= 60 s of margin between every window end and every
+    watermark value (late window ends <= 1320 vs wm0 = max(part0)-600 =
+    1399; on-time ends >= 1560 vs run-1 max watermark 1459), so
+    batch-boundary and <=/< eviction semantics cannot flip a verdict —
+    asserted by tests/test_streaming's fixture-margin check. The DuckDB
+    oracle recomputes the watermark (MAX over the on-time half - delay)
+    and the keep/drop verdict per row, bit-for-bit.
+
+    -> (win_start epoch-seconds, cnt), sentinel window excluded."""
+    key = (sf_dir, "stream_window")
+    res = _STREAM_WINDOW.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts0 = F.expr("((event_id div 2) * 41) % 2000")
+        late = F.expr("((event_id div 2) * 37) % 1300")
+        ontime = F.expr("1500 + ((event_id div 2) * 37) % 560")
+        ts_s = (F.when(F.expr("event_id % 2 = 0"), ts0)
+                .when(F.expr("(event_id div 2) % 5 = 0"), late)
+                .otherwise(ontime)).cast("bigint").alias("ts_s")
+        rows = ev.select(ts_s, F.expr("event_id % 2").alias("p"))
+        base = tempfile.mkdtemp(prefix="gate_swin_")
+        try:
+            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
+            rows.where("p = 0").select("ts_s").coalesce(1) \
+                .write.mode("overwrite").parquet(src)
+
+            def run():
+                stream = (
+                    spark.readStream.schema("ts_s bigint").parquet(src)
+                    .select(F.timestamp_seconds("ts_s").alias("ts"))
+                    .withWatermark("ts", "600 seconds")
+                    .groupBy(F.window("ts", "60 seconds")).count()
+                    .select(F.col("window.start").cast("long")
+                            .alias("win_start"),
+                            F.col("count").cast("long").alias("cnt")))
+                (stream.writeStream.outputMode("append").format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            run()
+            rows.where("p = 1").select("ts_s").coalesce(1) \
+                .write.mode("append").parquet(src)
+            run()
+            spark.createDataFrame([(100000,)], "ts_s bigint") \
+                .coalesce(1).write.mode("append").parquet(src)
+            run()
+            res = (spark.read.parquet(out)
+                   .where("win_start < 50000").cache())
+            res.count()
+            _STREAM_WINDOW[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("win_start")
+
+
+def oracle_stream_window() -> str:
+    return """
+WITH base AS (SELECT event_id // 2 AS e2, event_id % 2 AS p FROM events),
+r AS (SELECT CASE WHEN p = 0 THEN (e2 * 41) % 2000
+            WHEN e2 % 5 = 0 THEN (e2 * 37) % 1300
+            ELSE 1500 + (e2 * 37) % 560 END AS ts_s, p FROM base),
+wm AS (SELECT MAX(ts_s) - 600 AS w0 FROM r WHERE p = 0)
+SELECT CAST((ts_s // 60) * 60 AS BIGINT) AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM r, wm
+WHERE p = 0 OR (ts_s // 60) * 60 + 60 > w0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_curation_to_pack(spark, sf_dir):
     """END-TO-END chain from raw corpus to training-sequence placement,
     as ONE gated query: exact-dedup (keep min doc_id per content hash)
@@ -749,6 +839,7 @@ PIPELINE_GATE = {
     "doc_jsonl_ingest": (q_jsonl_ingest, text.oracle_jsonl_ingest),
     "doc_curation_to_pack": (q_curation_to_pack, oracle_curation_to_pack),
     "doc_stream_dedup": (q_stream_dedup, oracle_stream_dedup),
+    "evt_stream_window": (q_stream_window, oracle_stream_window),
     "evt_funnel": (q_evt_funnel, events.oracle_funnel),
     "evt_props_stats": (q_evt_props, events.oracle_props_stats),
     "evt_retention": (q_evt_retention, events.oracle_retention),

@@ -275,3 +275,40 @@ def test_compact_concurrent_commit_rejected(spark, tmp_path, monkeypatch):
     assert got == want
     st2 = ss.compact()                       # fresh attempt succeeds
     assert st2.manifest["snapshot_seq"] == 2
+
+
+def test_stream_window_fixture_margins_and_drops(spark):
+    """The watermark gate's determinism rests on two fixture properties
+    at the oracle SF: (1) no window end falls within the ambiguous band
+    between run-0's committed watermark and run-1's max watermark (so
+    intra-run batch splits and <=/< eviction semantics can't flip a
+    verdict), and (2) late rows actually exist and are dropped (the
+    emitted total is strictly below the row count)."""
+    from pyspark.sql import functions as F
+    from conftest import SF_ORACLE
+    from spatialsketch_spark.gate_pipeline import q_stream_window
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    ts0 = F.expr("((event_id div 2) * 41) % 2000")
+    late = F.expr("((event_id div 2) * 37) % 1300")
+    ontime = F.expr("1500 + ((event_id div 2) * 37) % 560")
+    ts_s = (F.when(F.expr("event_id % 2 = 0"), ts0)
+            .when(F.expr("(event_id div 2) % 5 = 0"), late)
+            .otherwise(ontime)).cast("bigint").alias("ts_s")
+    rows = ev.select(ts_s, F.expr("event_id % 2").alias("p")).cache()
+    wm0 = rows.where("p = 0").agg(F.max("ts_s")).collect()[0][0] - 600
+    wm1 = max(wm0, rows.where("p = 1").agg(F.max("ts_s"))
+              .collect()[0][0] - 600)
+    # every part-1 window end stays >= 60 s away from the (wm0, wm1] band
+    band = (rows.where("p = 1")
+            .select((F.expr("(ts_s div 60) * 60") + 60).alias("we"))
+            .where(F.col("we") > wm0 - 60).where(F.col("we") <= wm1 + 60)
+            .count())
+    assert band == 0, f"{band} part-1 window ends in the ambiguous band"
+    n_total = rows.count()
+    n_late = (rows.where("p = 1")
+              .where(F.expr(f"(ts_s div 60) * 60 + 60 <= {wm0}")).count())
+    assert n_late > 0, "fixture has no late rows - watermark untested"
+    emitted = q_stream_window(spark, SF_ORACLE) \
+        .agg(F.sum("cnt")).collect()[0][0]
+    assert emitted == n_total - n_late
+    rows.unpersist()
