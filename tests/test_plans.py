@@ -216,3 +216,28 @@ def test_curation_ops_stay_jvm_side(spark):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" not in p and "BatchEvalPython" not in p \
             and "ArrowEvalPython" not in p
+
+
+def test_round5_session4_ops_plan_shape(spark):
+    """The five newest operators are pure column programs: no Python
+    eval stage anywhere, and the small sides (pivot dims, PQ codebook /
+    ADC table, hotspot offsets) arrive via broadcast joins."""
+    from spatialsketch_spark.geo.joins import hotspot_cells
+    from spatialsketch_spark.pipeline import (events, relational,
+                                              similarity)
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    from spatialsketch_spark.geo.events import derive_geo_events
+    geo = derive_geo_events(spark, SF_ORACLE, 4096)
+    plans = {
+        "transitions": events.transitions(ev),
+        "pivot": relational.orders_status_pivot(spark, SF_ORACLE),
+        "hotspot": hotspot_cells(geo, 4096),
+        "pq_topk": similarity.pq_topk(emb, [0, 1], 5),
+    }
+    for name, df in plans.items():
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in p and "BatchEvalPython" not in p \
+            and "ArrowEvalPython" not in p, name
+        if name in ("pivot", "hotspot", "pq_topk"):
+            assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p, name
