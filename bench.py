@@ -210,8 +210,9 @@ def run_bench(cpus: int) -> dict:
     pipe_trials = int(os.environ.get("BENCH_PIPE_TRIALS", "2"))
     for name in ([] if skip_pipe else ["doc_exact_dedup", "doc_minhash_lsh", "doc_token_stats",
                  "doc_seq_pack", "doc_tfidf",
-                 "emb_cosine_topk", "emb_ivf_topk", "geo_pip_assign",
-                 "geo_knn", "geo_cap_filter"]):
+                 "emb_cosine_topk", "emb_ivf_topk", "emb_pq_topk",
+                 "geo_pip_assign", "geo_knn", "geo_cap_filter",
+                 "geo_hotspot"]):
         fn = GATE_QUERIES[name][0]
         best = None
         for _ in range(pipe_trials):   # best-of: the host's proactive

@@ -300,6 +300,8 @@ def hotspot_cells(geo: DataFrame, n: int, g: int = 64,
     is a scalar count job. No windowed 2-D sort, no self-join of events.
 
     -> (cx, cy, cnt, neigh, hot) for every OCCUPIED coarse cell."""
+    if n % g != 0:
+        raise ValueError(f"grid n={n} not divisible by coarse side g={g}")
     w = n // g
     spark = geo.sparkSession
     cnt = (geo.select(F.expr(f"x DIV {w}").alias("cx"),

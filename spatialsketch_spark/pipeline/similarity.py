@@ -881,8 +881,14 @@ PQ_K = 16       # centroids per subspace; codebook = subvectors of the
 
 
 def _pq_subvectors(emb: DataFrame, m: int = PQ_M) -> DataFrame:
-    """(vec_id, m, sv): the quantized vector split into m equal slices."""
+    """(vec_id, m, sv): the quantized vector split into m equal slices.
+    Dimensions must divide evenly — a ragged tail slice would silently
+    skew the last subspace's distances, so reject it up front (checked
+    on the one-row schema sample, not a full scan)."""
     q = _quantized(emb)
+    dim = len(emb.select("embedding").head()["embedding"])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
     d = F.size("xq")
     w = (d / m).cast("int")
     ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")

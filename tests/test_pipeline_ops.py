@@ -1222,3 +1222,18 @@ def test_pq_encode_and_adc_match_numpy(spark):
     gt = pq_topk(emb, [0], 5).where("qid = 0") \
         .orderBy("rank").collect()
     assert [(r.adist, r.vec_id) for r in gt] == order[:5]
+
+
+def test_pq_and_hotspot_reject_ragged_splits(spark):
+    import pytest as _pt
+    from spatialsketch_spark.geo.joins import hotspot_cells
+    from spatialsketch_spark.pipeline.similarity import pq_encode
+    emb = spark.createDataFrame([(0, [0.1, 0.2, 0.3])],
+                                "vec_id bigint, embedding array<float>")
+    with _pt.raises(ValueError, match="not divisible"):
+        pq_encode(emb, m=2)
+    ev = spark.createDataFrame([(0, 0, 1, 1, 1)],
+                               "ts bigint, item bigint, x bigint, "
+                               "y bigint, value bigint")
+    with _pt.raises(ValueError, match="not divisible"):
+        hotspot_cells(ev, 100, g=64)
