@@ -1029,3 +1029,82 @@ SELECT CAST(qid AS BIGINT) AS qid, vec_id, adist,
 FROM cand QUALIFY rank <= {topk}
 ORDER BY qid, rank
 """
+
+
+def ivfpq_topk(emb: DataFrame, query_ids: list, topk: int = 5,
+               nprobe: int = 2, refine: int = 4,
+               nlist: int = KMEANS_K, m: int = PQ_M,
+               kc: int = PQ_K) -> DataFrame:
+    """IVF-PQ composed search — the production ANN shape at corpus
+    scale (FAISS IVFPQ): coarse inverted lists from the fixed-point
+    k-means assignment partition the base table; candidates come from
+    PQ ADC ranking *within the nprobe nearest lists only*; the top
+    ``topk*refine`` ADC candidates are re-ranked by EXACT integer
+    squared-L2. All arithmetic is the same int64 fixed point as the
+    k-means/PQ gates — fully deterministic, and with ``nprobe=nlist``
+    + a refine pool covering the survivors the result provably equals
+    exhaustive exact top-k (pinned in pytest).
+
+    Plan: coarse assignment and PQ codes are each one pass over the
+    base table; the probe set (|queries|·nprobe rows) and ADC table
+    broadcast, so candidate generation is a map-side filter+lookup on
+    the code table; only |queries|·topk·refine candidate rows reach
+    the exact re-rank join. The base table is never re-read per query
+    and no full-corpus distance is ever computed.
+
+    -> (qid, vec_id, d2, rank)."""
+    from pyspark.sql.window import Window
+    ids = [int(x) for x in query_ids]
+    lists = kmeans_assign(emb, nlist).select("vec_id", "cid")
+    q = _quantized(emb)
+    qv = (q.where(F.col("vec_id").isin(ids))
+          .select(F.col("vec_id").alias("qid"), F.col("xq").alias("qx")))
+    cents = (q.where(F.col("vec_id") < nlist)
+             .select(F.col("vec_id").alias("ccid"),
+                     F.col("xq").alias("cx")))
+    cd2 = F.aggregate(
+        F.zip_with("qx", "cx", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    wp = Window.partitionBy("qid").orderBy("cd2", "ccid")
+    probed = (qv.join(F.broadcast(cents))
+              .withColumn("cd2", cd2)
+              .withColumn("prn", F.row_number().over(wp))
+              .where(F.col("prn") <= nprobe)
+              .select("qid", F.col("ccid").alias("cid")))
+    # ADC table: query subvectors vs PQ codebook (same layout as pq_topk)
+    sub = _pq_subvectors(emb, m)
+    qsub = (sub.where(F.col("vec_id").isin(ids))
+            .select(F.col("vec_id").alias("qid"), F.col("m").alias("qm"),
+                    F.col("sv").alias("qv")))
+    cb = (sub.where(F.col("vec_id") < kc)
+          .select(F.col("vec_id").alias("pcid"), F.col("m").alias("cm"),
+                  F.col("sv").alias("cv")))
+    qd2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    adc = (qsub.join(F.broadcast(cb), F.col("qm") == F.col("cm"))
+           .select("qid", F.col("qm").alias("m"),
+                   F.col("pcid").alias("code"), qd2.alias("qd2")))
+    codes = pq_encode(emb, m, kc).select("vec_id", "m", "code") \
+        .join(lists, "vec_id")
+    wa = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    cand = (codes.join(F.broadcast(probed), "cid")
+            .join(F.broadcast(adc), ["qid", "m", "code"])
+            .where(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("qd2").cast("bigint").alias("adist"))
+            .withColumn("arn", F.row_number().over(wa))
+            .where(F.col("arn") <= topk * refine)
+            .select("qid", "vec_id"))
+    # exact integer-L2 re-rank of the small candidate set
+    ed2 = F.aggregate(
+        F.zip_with("qx", "xq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    we = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    return (cand.join(q, "vec_id").join(F.broadcast(qv), "qid")
+            .withColumn("d2", ed2)
+            .withColumn("rank", F.row_number().over(we).cast("bigint"))
+            .where(F.col("rank") <= topk)
+            .select(F.col("qid").cast("bigint"),
+                    F.col("vec_id").cast("bigint"),
+                    F.col("d2").cast("bigint"), "rank"))

@@ -1237,3 +1237,42 @@ def test_pq_and_hotspot_reject_ragged_splits(spark):
                                "y bigint, value bigint")
     with _pt.raises(ValueError, match="not divisible"):
         hotspot_cells(ev, 100, g=64)
+
+
+def test_ivfpq_exact_at_full_probe_and_sane_when_pruned(spark):
+    """IVF-PQ composed search: with every list probed and a refine pool
+    covering the corpus the result must equal exhaustive exact
+    integer-L2 top-k (numpy replay); with nprobe=1 it still returns
+    topk well-formed rows per query whose exact distances are honest
+    (d2 recomputed in numpy matches row for row)."""
+    import numpy as np
+    from spatialsketch_spark.pipeline.similarity import (KMEANS_K,
+                                                         ivfpq_topk)
+    from conftest import SF_UNIT
+    emb = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.floor(np.stack(pdf.embedding.values).astype("float64")
+                 * 1e6).astype("int64")
+    ids = pdf.vec_id.to_numpy()
+    exact = {}
+    for qid in (0, 1):
+        d2 = ((X - X[ids == qid][0]) ** 2).sum(axis=1)
+        order = sorted((int(d), int(v)) for d, v in zip(d2, ids)
+                       if v != qid)
+        exact[qid] = order[:5]
+    full = ivfpq_topk(emb, [0, 1], 5, nprobe=KMEANS_K,
+                      refine=len(ids)).collect()
+    got = {q: [(r.d2, r.vec_id) for r in sorted(
+        (x for x in full if x.qid == q), key=lambda r: r.rank)]
+        for q in (0, 1)}
+    assert got == exact
+    pruned = ivfpq_topk(emb, [0, 1], 5, nprobe=1, refine=4).collect()
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r.qid, []).append(r)
+        qvec = X[ids == r.qid][0]
+        true_d2 = int(((X[ids == r.vec_id][0] - qvec) ** 2).sum())
+        assert r.d2 == true_d2, (r.qid, r.vec_id)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]

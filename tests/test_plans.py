@@ -234,10 +234,11 @@ def test_round5_session4_ops_plan_shape(spark):
         "pivot": relational.orders_status_pivot(spark, SF_ORACLE),
         "hotspot": hotspot_cells(geo, 4096),
         "pq_topk": similarity.pq_topk(emb, [0, 1], 5),
+        "ivfpq_topk": similarity.ivfpq_topk(emb, [0, 1], 5),
     }
     for name, df in plans.items():
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" not in p and "BatchEvalPython" not in p \
             and "ArrowEvalPython" not in p, name
-        if name in ("pivot", "hotspot", "pq_topk"):
+        if name in ("pivot", "hotspot", "pq_topk", "ivfpq_topk"):
             assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p, name
