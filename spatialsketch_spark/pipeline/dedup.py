@@ -384,3 +384,86 @@ SELECT text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
        CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM novel GROUP BY text_hash ORDER BY text_hash
 """
+
+
+def containment_pairs(docs: DataFrame, max_df: int = 10,
+                      num: int = 1, den: int = 2) -> DataFrame:
+    """Asymmetric containment near-dup pairs — the quote/subset
+    detector Jaccard misses: C(A→B) = |A∩B| / |A| is high when a short
+    doc is embedded in a long one even though their Jaccard is tiny.
+
+    Candidates are pairs sharing at least one RARE shingle
+    (document frequency ≤ ``max_df``) — the inverted-index join is
+    fan-out-bounded by max_df² per gram, never all-pairs; a pair whose
+    every shared gram is common is deliberately out of scope (recall
+    trade documented, same class as the winnowing index). For each
+    candidate the intersection is recounted over the FULL shingle
+    sets (candidate-restricted joins), and the pair is kept when
+    den·inter ≥ num·min(|A|,|B|), i.e. max-direction containment ≥
+    num/den. Scores in exact fixed point: floor(1e6·inter/|side|).
+
+    -> (doc_a, doc_b, inter, sz_a, sz_b, c_ab, c_ba)."""
+    sh = shingle_table(docs)
+    rare = (sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle"))
+    rsh = sh.join(F.broadcast(rare), "shingle")
+    cand = (rsh.alias("x").join(rsh.alias("y"), "shingle")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+    inter = (cand
+             .join(sh.select(F.col("doc_id").alias("doc_a"),
+                             "shingle"), "doc_a")
+             .join(sh.select(F.col("doc_id").alias("doc_b"),
+                             "shingle"), ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").cast("bigint").alias("inter")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint")
+                                     .alias("sz"))
+    out = (inter
+           .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                              F.col("sz").alias("sz_a")), "doc_a")
+           .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                              F.col("sz").alias("sz_b")), "doc_b")
+           .where(F.lit(den) * F.col("inter")
+                  >= F.lit(num) * F.least("sz_a", "sz_b")))
+    return out.select(
+        F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),
+        "inter", "sz_a", "sz_b",
+        F.floor(F.lit(1_000_000) * F.col("inter") / F.col("sz_a"))
+         .cast("bigint").alias("c_ab"),
+        F.floor(F.lit(1_000_000) * F.col("inter") / F.col("sz_b"))
+         .cast("bigint").alias("c_ba"))
+
+
+def oracle_containment_pairs(max_df: int = 10, num: int = 1,
+                             den: int = 2) -> str:
+    return f"""
+WITH {TRIGRAM_SQL},
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) <= {max_df}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sh x JOIN rare USING (shingle)
+       JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+       JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       CAST(FLOOR(1000000 * inter / sa.sz) AS BIGINT) AS c_ab,
+       CAST(FLOOR(1000000 * inter / sb.sz) AS BIGINT) AS c_ba
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {den} * inter >= {num} * LEAST(sa.sz, sb.sz)
+ORDER BY doc_a, doc_b
+"""

@@ -252,3 +252,32 @@ SELECT nation,
        CAST(SUM(CASE WHEN st = 'P' THEN c END) AS BIGINT) AS rev_p
 FROM j GROUP BY nation ORDER BY nation
 """
+
+
+def orders_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse reshape of ``orders_status_pivot``: the wide nation ×
+    status cross-tab melted back to long form with the native
+    ``DataFrame.unpivot`` (UNPIVOT compiles to one Expand node — no
+    union of per-column scans). NULL cells (a nation with no orders in
+    a status) are dropped, matching SQL UNPIVOT semantics, so
+    pivot ∘ unpivot is the identity on the populated cells.
+
+    -> (nation, status, rev_c)."""
+    wide = orders_status_pivot(spark, sf_dir)
+    return (wide.unpivot("nation",
+                         ["rev_o", "rev_f", "rev_p"],
+                         "status", "rev_c")
+            .where(F.col("rev_c").isNotNull())
+            .withColumn("status",
+                        F.upper(F.substring(F.col("status"), 5, 1))))
+
+
+def oracle_orders_status_unpivot() -> str:
+    return """
+SELECT n_name AS nation, o_orderstatus AS status,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1276,3 +1276,30 @@ def test_ivfpq_exact_at_full_probe_and_sane_when_pruned(spark):
     for q, rows in by_q.items():
         assert len(rows) == 5
         assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_r6_candidates_match_duckdb(spark, duck):
+    """Pre-built round-6 gate candidates (the 50-slot rotation window
+    is full this round): unpivot and containment pairs, each compared
+    bit-for-bit against its ready-to-promote DuckDB oracle exactly as
+    the driver gate would."""
+    import pandas as pd
+    from test_entry_oracle import normalize
+    from conftest import SF_ORACLE
+    from spatialsketch_spark.pipeline.dedup import (
+        containment_pairs, oracle_containment_pairs)
+    from spatialsketch_spark.pipeline.relational import (
+        oracle_orders_status_unpivot, orders_status_unpivot)
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    for sdf, osql in [
+        (orders_status_unpivot(spark, SF_ORACLE).orderBy("nation",
+                                                         "status"),
+         oracle_orders_status_unpivot()),
+        (containment_pairs(docs).orderBy("doc_a", "doc_b"),
+         oracle_containment_pairs()),
+    ]:
+        got = normalize(sdf.toPandas())
+        want = normalize(duck.execute(osql).df())
+        assert list(got.columns) == list(want.columns)
+        assert len(got) == len(want)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
