@@ -199,3 +199,81 @@ SELECT src, dst, n,
                  ORDER BY n DESC, dst) = 1 THEN 1 ELSE 0 END AS INT) AS top
 FROM c ORDER BY src, dst
 """
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def session_paths(ev: DataFrame, topk: int = 20,
+                  gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Top navigation paths: sessionize each user's clickstream (a new
+    session when the gap from the previous event exceeds ``gap_us``),
+    render each session as the '>'-joined event-type sequence in
+    (event time, event_id) order — a total order — and count path
+    frequencies, keeping the ``topk`` by (count desc, path asc).
+
+    Plan: ONE shuffle on user_id covers both the LAG sessionization
+    window and the per-session path assembly (sort_array over structs
+    inside the aggregation — no second ordering shuffle); the path
+    count table shuffles on the path string (bounded by distinct-path
+    cardinality) and the final top-k is a single tiny window.
+
+    -> (path, n_sessions, rank)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ses = (ev.select("user_id", "event_id", "event_type",
+                     F.expr(_TS_US).alias("ts_us"))
+           .withColumn("_gap", F.col("ts_us")
+                       - F.lag("ts_us").over(w))
+           .withColumn("_new", F.when(F.col("_gap").isNull()
+                                      | (F.col("_gap") > gap_us), 1)
+                       .otherwise(0))
+           .withColumn("sid", F.sum("_new").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    path = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.struct("ts_us", "event_id", "event_type"))),
+            lambda s: s["event_type"]), ">")
+    paths = (ses.groupBy("user_id", "sid").agg(path.alias("path"))
+             .groupBy("path")
+             .agg(F.count("*").cast("bigint").alias("n_sessions")))
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return (paths.withColumn("rank",
+                             F.row_number().over(wr).cast("bigint"))
+            .where(F.col("rank") <= topk))
+
+
+def oracle_session_paths(topk: int = 20,
+                         gap_us: int = SESSION_GAP_US,
+                         src: str = "events") -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM {src}
+), g AS (
+  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER
+         (PARTITION BY user_id ORDER BY ts_us, event_id) > {gap_us}
+         OR LAG(ts_us) OVER
+         (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+         ORDER BY ts_us, event_id
+         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM s GROUP BY 1, 2
+), c AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM p GROUP BY 1
+)
+SELECT path, n_sessions,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path)
+            AS BIGINT) AS rank
+FROM c QUALIFY rank <= {topk}
+ORDER BY rank
+"""

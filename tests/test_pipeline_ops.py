@@ -1303,3 +1303,38 @@ def test_r6_candidates_match_duckdb(spark, duck):
         assert list(got.columns) == list(want.columns)
         assert len(got) == len(want)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_paths_r6_candidate(spark, duck):
+    """session_paths (r6 gate candidate): bit-compare vs the DuckDB
+    oracle at the oracle SF, plus a crafted-session semantics check
+    (gap boundary is strict >, ties ordered by event_id)."""
+    import datetime
+    import pandas as pd
+    from test_entry_oracle import normalize
+    from conftest import SF_ORACLE
+    from spatialsketch_spark.pipeline.events import (oracle_session_paths,
+                                                     session_paths)
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    got = normalize(session_paths(ev).orderBy("rank").toPandas())
+    want = normalize(duck.execute(oracle_session_paths()).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # crafted: gap exactly == gap_us must NOT split (strict >); a gap
+    # one microsecond larger must split
+    t0 = datetime.datetime(2024, 1, 1)
+    us = datetime.timedelta(microseconds=1)
+    rows = [
+        (1, t0, 7, "a"),
+        (2, t0 + 10 * us, 7, "b"),           # same session (tiny gap)
+        (3, t0 + 10 * us + datetime.timedelta(seconds=1800), 7, "c"),
+        # exactly the gap -> same session
+        (4, t0 + 11 * us + datetime.timedelta(seconds=3600), 7, "d"),
+        # > gap -> new session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string")
+    paths = {r.path: r.n_sessions
+             for r in session_paths(df, topk=10).collect()}
+    assert paths == {"a>b>c": 1, "d": 1}
