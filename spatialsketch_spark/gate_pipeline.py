@@ -431,6 +431,92 @@ def q_stream_window(spark, sf_dir):
     return res.orderBy("win_start")
 
 
+_STREAM_SLIDING = {}
+
+
+def q_stream_sliding(spark, sf_dir):
+    """SLIDING-window variant of q_stream_window (120 s windows,
+    60 s slide): every row lands in TWO windows and the oracle models
+    the (row, window) PAIRS. The late cutoff is tightened (ts % 1220)
+    so BOTH windows of every late row end ≥ 60 s below run-0's
+    watermark — the pair-drop and row-drop interpretations of Spark's
+    late filter coincide on this fixture by construction, keeping the
+    verdict batch-boundary-proof exactly like the tumbling gate.
+    UNREGISTERED r6 gate candidate — the r5 rotation window is full;
+    the bit-compare runs in tests/test_streaming.
+
+    -> (win_start epoch-seconds, cnt), sentinel windows excluded."""
+    key = (sf_dir, "stream_sliding")
+    res = _STREAM_SLIDING.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts0 = F.expr("((event_id div 2) * 41) % 2000")
+        late = F.expr("((event_id div 2) * 37) % 1220")
+        ontime = F.expr("1500 + ((event_id div 2) * 37) % 560")
+        ts_s = (F.when(F.expr("event_id % 2 = 0"), ts0)
+                .when(F.expr("(event_id div 2) % 5 = 0"), late)
+                .otherwise(ontime)).cast("bigint").alias("ts_s")
+        rows = ev.select(ts_s, F.expr("event_id % 2").alias("p"))
+        base = tempfile.mkdtemp(prefix="gate_sslide_")
+        try:
+            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
+            rows.where("p = 0").select("ts_s").coalesce(1) \
+                .write.mode("overwrite").parquet(src)
+
+            def run():
+                stream = (
+                    spark.readStream.schema("ts_s bigint").parquet(src)
+                    .select(F.timestamp_seconds("ts_s").alias("ts"))
+                    .withWatermark("ts", "600 seconds")
+                    .groupBy(F.window("ts", "120 seconds", "60 seconds"))
+                    .count()
+                    .select(F.col("window.start").cast("long")
+                            .alias("win_start"),
+                            F.col("count").cast("long").alias("cnt")))
+                (stream.writeStream.outputMode("append").format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            run()
+            rows.where("p = 1").select("ts_s").coalesce(1) \
+                .write.mode("append").parquet(src)
+            run()
+            spark.createDataFrame([(100000,)], "ts_s bigint") \
+                .coalesce(1).write.mode("append").parquet(src)
+            run()
+            res = (spark.read.parquet(out)
+                   .where("win_start < 50000").cache())
+            res.count()
+            _STREAM_SLIDING[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("win_start")
+
+
+def oracle_stream_sliding() -> str:
+    return """
+WITH base AS (SELECT event_id // 2 AS e2, event_id % 2 AS p FROM events),
+r AS (SELECT CASE WHEN p = 0 THEN (e2 * 41) % 2000
+            WHEN e2 % 5 = 0 THEN (e2 * 37) % 1220
+            ELSE 1500 + (e2 * 37) % 560 END AS ts_s, p FROM base),
+wm AS (SELECT MAX(ts_s) - 600 AS w0 FROM r WHERE p = 0),
+pairs AS (
+  SELECT (ts_s // 60) * 60 + off AS win_start, p
+  FROM r, (VALUES (0), (-60)) o(off)
+)
+SELECT CAST(win_start AS BIGINT) AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs, wm
+WHERE p = 0 OR win_start + 120 > w0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def oracle_stream_window() -> str:
     return """
 WITH base AS (SELECT event_id // 2 AS e2, event_id % 2 AS p FROM events),

@@ -312,3 +312,29 @@ def test_stream_window_fixture_margins_and_drops(spark):
         .agg(F.sum("cnt")).collect()[0][0]
     assert emitted == n_total - n_late
     rows.unpersist()
+
+
+def test_stream_sliding_r6_candidate(spark, duck):
+    """Sliding-window watermark candidate (unregistered, r6): the
+    emitted window set must bit-match the pair-granular DuckDB oracle —
+    including late rows counted in their still-open second window."""
+    import pandas as pd
+    from conftest import SF_ORACLE
+    from spatialsketch_spark.gate_pipeline import (oracle_stream_sliding,
+                                                   q_stream_sliding)
+    got = q_stream_sliding(spark, SF_ORACLE).toPandas() \
+        .reset_index(drop=True)
+    want = duck.execute(oracle_stream_sliding()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # overlap semantics exercised: total pair count must be exactly 2x
+    # the kept rows (every kept row contributes to two windows)
+    kept = duck.execute("""
+WITH base AS (SELECT event_id // 2 AS e2, event_id % 2 AS p FROM events),
+r AS (SELECT CASE WHEN p = 0 THEN (e2 * 41) % 2000
+            WHEN e2 % 5 = 0 THEN (e2 * 37) % 1220
+            ELSE 1500 + (e2 * 37) % 560 END AS ts_s, p FROM base),
+wm AS (SELECT MAX(ts_s) - 600 AS w0 FROM r WHERE p = 0)
+SELECT COUNT(*) FROM r, wm
+WHERE p = 0 OR (ts_s // 60) * 60 + 120 > w0
+""").fetchone()[0]
+    assert int(got.cnt.sum()) == 2 * kept
