@@ -1338,3 +1338,32 @@ def test_session_paths_r6_candidate(spark, duck):
     paths = {r.path: r.n_sessions
              for r in session_paths(df, topk=10).collect()}
     assert paths == {"a>b>c": 1, "d": 1}
+
+
+def test_new_ops_conservation_invariants(spark):
+    """Mass-conservation invariants at the oracle SF: hotspot cell
+    counts sum to the event count; transition edges sum to
+    (events - distinct users); every PQ vector gets exactly M codes."""
+    from pyspark.sql import functions as F
+    from conftest import SF_ORACLE
+    from spatialsketch_spark.geo.events import derive_geo_events
+    from spatialsketch_spark.geo.joins import hotspot_cells
+    from spatialsketch_spark.pipeline.events import transitions
+    from spatialsketch_spark.pipeline.similarity import PQ_M, pq_encode
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    n_ev = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    geo = derive_geo_events(spark, SF_ORACLE, 4096)
+    hs = hotspot_cells(geo, 4096)
+    assert hs.agg(F.sum("cnt")).collect()[0][0] == n_ev
+    tr = transitions(ev)
+    assert tr.agg(F.sum("n")).collect()[0][0] == n_ev - n_users
+    # exactly one modal next-event per src
+    assert tr.groupBy("src").agg(F.sum("top").alias("t")) \
+        .where("t <> 1").count() == 0
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    n_vec = emb.count()
+    codes = pq_encode(emb)
+    assert codes.count() == n_vec * PQ_M
+    assert codes.groupBy("vec_id").count().where(
+        F.col("count") != PQ_M).count() == 0
