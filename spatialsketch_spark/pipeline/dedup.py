@@ -467,3 +467,93 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a
 WHERE {den} * inter >= {num} * LEAST(sa.sz, sb.sz)
 ORDER BY doc_a, doc_b
 """
+
+
+def doc_pagerank(docs: DataFrame, iters: int = 3, max_df: int = 10,
+                 base: int = 150_000, damp_num: int = 85,
+                 damp_den: int = 100) -> DataFrame:
+    """Fixed-point PageRank over the document-similarity graph — the
+    iterative-centrality operator class (quality propagation / seed
+    expansion in curation pipelines). Edges = rare-shingle candidate
+    pairs (the same bounded inverted-index join as containment_pairs),
+    symmetrized. Arithmetic is pure int64 micro-units with floored
+    divisions (contribution = pr DIV outdeg; damping =
+    (damp_num·Σ) DIV damp_den), so a fixed iteration count is
+    bit-deterministic across engines, partitionings and retries —
+    float PageRank is neither.
+
+    Plan per iteration: contributions = edges ⋈ pr ⋈ outdeg (one
+    shuffle on the source id, edge fan-out bounded by the rare-gram
+    candidate rule) + one aggregation on the target id; isolated docs
+    hold the base score via the left join on the node set. Lineage
+    grows linearly in ``iters`` — for long runs callers checkpoint,
+    exactly like dup_clusters.
+
+    -> (doc_id, pr) in micro-units."""
+    nodes = docs.select(F.col("doc_id").cast("bigint")).distinct()
+    sh = shingle_table(docs)
+    rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df).select("shingle"))
+    rsh = sh.join(F.broadcast(rare), "shingle")
+    half = (rsh.alias("x").join(rsh.alias("y"), "shingle")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("u"),
+                    F.col("y.doc_id").alias("v"))
+            .distinct())
+    edges = half.unionAll(half.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+    deg = edges.groupBy("u").agg(F.count("*").cast("bigint")
+                                 .alias("outdeg"))
+    pr = nodes.withColumn("pr", F.lit(1_000_000).cast("bigint"))
+    for _ in range(iters):
+        contrib = (edges
+                   .join(pr.select(F.col("doc_id").alias("u"), "pr"),
+                         "u")
+                   .join(deg, "u")
+                   .select("v", F.expr("pr div outdeg").alias("c")))
+        summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        pr = (nodes.join(summed,
+                         nodes.doc_id == summed.v, "left")
+              .select("doc_id",
+                      (F.lit(base) + F.expr(
+                          f"({damp_num} * coalesce(s, 0)) "
+                          f"div {damp_den}")).cast("bigint").alias("pr")))
+    return pr
+
+
+def oracle_doc_pagerank(iters: int = 3, max_df: int = 10,
+                        base: int = 150_000, damp_num: int = 85,
+                        damp_den: int = 100) -> str:
+    steps = []
+    prev = "p0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+c{i} AS (
+  SELECT e.v AS doc_id, SUM(p.pr // d.outdeg) AS s
+  FROM edges e JOIN {prev} p ON p.doc_id = e.u
+       JOIN deg d ON d.u = e.u
+  GROUP BY 1
+),
+p{i} AS (
+  SELECT n.doc_id,
+         CAST({base} + ({damp_num} * COALESCE(c{i}.s, 0)) // {damp_den}
+              AS BIGINT) AS pr
+  FROM n LEFT JOIN c{i} USING (doc_id)
+)""")
+        prev = f"p{i}"
+    return f"""
+WITH {TRIGRAM_SQL},
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) <= {max_df}),
+half AS (
+  SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+  FROM sh x JOIN rare USING (shingle)
+       JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+),
+edges AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+n AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+p0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n),
+{",".join(steps)}
+SELECT doc_id, pr FROM {prev} ORDER BY doc_id
+"""

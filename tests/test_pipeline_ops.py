@@ -1367,3 +1367,27 @@ def test_new_ops_conservation_invariants(spark):
     assert codes.count() == n_vec * PQ_M
     assert codes.groupBy("vec_id").count().where(
         F.col("count") != PQ_M).count() == 0
+
+
+def test_doc_pagerank_r6_candidate(spark, duck):
+    """Fixed-point PageRank (r6 gate candidate): bit-compare vs the
+    unrolled DuckDB oracle, plus a hand-computed two-node graph (one
+    symmetric edge + an isolated doc)."""
+    import pandas as pd
+    from test_entry_oracle import normalize
+    from conftest import SF_ORACLE
+    from spatialsketch_spark.pipeline.dedup import (doc_pagerank,
+                                                    oracle_doc_pagerank)
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = normalize(doc_pagerank(docs).orderBy("doc_id").toPandas())
+    want = normalize(duck.execute(oracle_doc_pagerank()).df())
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # hand graph: docs 0,1 share the trigram "a b c"; doc 2 isolated.
+    # deg(0)=deg(1)=1. p0=1e6 each. iter: c = 1e6 -> pr = 150000 +
+    # 85*1e6//100 = 1000000 for 0,1 (fixed point!); isolated = 150000.
+    toy = spark.createDataFrame(
+        [(0, "a b c x"), (1, "a b c y"), (2, "totally different words")],
+        "doc_id bigint, text string")
+    pr = {r.doc_id: r.pr for r in doc_pagerank(toy, iters=3).collect()}
+    assert pr == {0: 1_000_000, 1: 1_000_000, 2: 150_000}
