@@ -281,3 +281,76 @@ FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def part_cooccurrence(spark: SparkSession, sf_dir: str,
+                      topk: int = 3) -> DataFrame:
+    """Market-basket co-occurrence ("customers who bought X also
+    bought Y"): parts appearing in the same order, scored by integer
+    lift = floor(1e6 · cnt_ab · n_orders / (df_a · df_b)) — all-int64,
+    no sqrt/log, so the ranking is bit-deterministic. Top-k partners
+    per part by (lift desc, cnt desc, partner asc).
+
+    Plan: the pair join is WITHIN-basket (self-join on l_orderkey), so
+    fan-out is bounded by basket size² — never an item-item cross
+    join; one shuffle on orderkey, one on the (a,b) pair, and the
+    per-part ranking window runs on the pair table. Distinct-part
+    frequencies are a broadcastable dictionary.
+
+    -> (part_a, part_b, cnt, lift, rank)."""
+    from pyspark.sql.window import Window
+    li = (_read(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk")).distinct())
+    n_orders = li.select("ok").distinct().count()
+    df_ = li.groupBy("pk").agg(F.count("*").cast("bigint").alias("df"))
+    pairs = (li.alias("a").join(li.alias("b"), "ok")
+             .where(F.col("a.pk") != F.col("b.pk"))
+             .select(F.col("a.pk").alias("part_a"),
+                     F.col("b.pk").alias("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count("*").cast("bigint").alias("cnt")))
+    out = (pairs
+           .join(F.broadcast(df_.select(F.col("pk").alias("part_a"),
+                                        F.col("df").alias("df_a"))),
+                 "part_a")
+           .join(F.broadcast(df_.select(F.col("pk").alias("part_b"),
+                                        F.col("df").alias("df_b"))),
+                 "part_b")
+           .withColumn("lift", F.expr(
+               f"(1000000 * cnt * {int(n_orders)}) div (df_a * df_b)")
+               .cast("bigint")))
+    w = Window.partitionBy("part_a").orderBy(
+        F.col("lift").desc(), F.col("cnt").desc(), "part_b")
+    return (out.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= topk)
+            .select(F.col("part_a").cast("bigint"),
+                    F.col("part_b").cast("bigint"),
+                    "cnt", "lift", "rank"))
+
+
+def oracle_part_cooccurrence(topk: int = 3) -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+f AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS df FROM li GROUP BY 1),
+p AS (
+  SELECT a.pk AS part_a, b.pk AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT part_a, part_b, cnt,
+         CAST((1000000 * cnt * n.n_orders) // (fa.df * fb.df)
+              AS BIGINT) AS lift
+  FROM p JOIN f fa ON fa.pk = part_a JOIN f fb ON fb.pk = part_b, n
+)
+SELECT CAST(part_a AS BIGINT) AS part_a,
+       CAST(part_b AS BIGINT) AS part_b, cnt, lift,
+       CAST(ROW_NUMBER() OVER (PARTITION BY part_a
+            ORDER BY lift DESC, cnt DESC, part_b) AS BIGINT) AS rank
+FROM s QUALIFY rank <= {topk}
+ORDER BY part_a, rank
+"""

@@ -1391,3 +1391,28 @@ def test_doc_pagerank_r6_candidate(spark, duck):
         "doc_id bigint, text string")
     pr = {r.doc_id: r.pr for r in doc_pagerank(toy, iters=3).collect()}
     assert pr == {0: 1_000_000, 1: 1_000_000, 2: 150_000}
+
+
+def test_part_cooccurrence_r6_candidate(spark, duck):
+    """Market-basket co-occurrence (r6 gate candidate): bit-compare vs
+    DuckDB, plus symmetry of the underlying pair counts (cnt(a,b) ==
+    cnt(b,a) before the per-part top-k cut)."""
+    import pandas as pd
+    from test_entry_oracle import normalize
+    from conftest import SF_ORACLE
+    from spatialsketch_spark.pipeline.relational import (
+        oracle_part_cooccurrence, part_cooccurrence)
+    got = normalize(part_cooccurrence(spark, SF_ORACLE)
+                    .orderBy("part_a", "rank").toPandas())
+    want = normalize(duck.execute(oracle_part_cooccurrence()).df())
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    sym = duck.execute("""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+p AS (SELECT a.pk AS x, b.pk AS y, COUNT(*) AS c
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk GROUP BY 1,2)
+SELECT COUNT(*) FROM p j LEFT JOIN p r ON j.x = r.y AND j.y = r.x
+WHERE r.c IS NULL OR r.c <> j.c
+""").fetchone()[0]
+    assert sym == 0
