@@ -357,6 +357,65 @@ ORDER BY text_hash
 
 
 _STREAM_WINDOW = {}
+_STREAM_SLIDING = {}
+
+
+def _watermark_window_gate(spark, sf_dir, cache, prefix, late_mod,
+                           window_args):
+    """Shared 3-restart watermark harness for the tumbling and sliding
+    window gates: run 0 ingests the even half, run 1 the odd half
+    (1/5 deliberately late, cutoff ``late_mod``), run 2 a far-future
+    sentinel that flushes remaining state. One file per run -> one
+    micro-batch per run, so the watermark only commits between runs."""
+    key = (sf_dir, prefix)
+    res = cache.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts0 = F.expr("((event_id div 2) * 41) % 2000")
+        late = F.expr(f"((event_id div 2) * 37) % {late_mod}")
+        ontime = F.expr("1500 + ((event_id div 2) * 37) % 560")
+        ts_s = (F.when(F.expr("event_id % 2 = 0"), ts0)
+                .when(F.expr("(event_id div 2) % 5 = 0"), late)
+                .otherwise(ontime)).cast("bigint").alias("ts_s")
+        rows = ev.select(ts_s, F.expr("event_id % 2").alias("p"))
+        base = tempfile.mkdtemp(prefix=f"gate_{prefix}_")
+        try:
+            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
+            rows.where("p = 0").select("ts_s").coalesce(1) \
+                .write.mode("overwrite").parquet(src)
+
+            def run():
+                stream = (
+                    spark.readStream.schema("ts_s bigint").parquet(src)
+                    .select(F.timestamp_seconds("ts_s").alias("ts"))
+                    .withWatermark("ts", "600 seconds")
+                    .groupBy(F.window("ts", *window_args)).count()
+                    .select(F.col("window.start").cast("long")
+                            .alias("win_start"),
+                            F.col("count").cast("long").alias("cnt")))
+                (stream.writeStream.outputMode("append").format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            run()
+            rows.where("p = 1").select("ts_s").coalesce(1) \
+                .write.mode("append").parquet(src)
+            run()
+            spark.createDataFrame([(100000,)], "ts_s bigint") \
+                .coalesce(1).write.mode("append").parquet(src)
+            run()
+            res = (spark.read.parquet(out)
+                   .where("win_start < 50000").cache())
+            res.count()
+            cache[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("win_start")
 
 
 def q_stream_window(spark, sf_dir):
@@ -380,58 +439,8 @@ def q_stream_window(spark, sf_dir):
     and the keep/drop verdict per row, bit-for-bit.
 
     -> (win_start epoch-seconds, cnt), sentinel window excluded."""
-    key = (sf_dir, "stream_window")
-    res = _STREAM_WINDOW.get(key)
-    if res is None:
-        import shutil
-        import tempfile
-
-        from pyspark.sql import functions as F
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ts0 = F.expr("((event_id div 2) * 41) % 2000")
-        late = F.expr("((event_id div 2) * 37) % 1300")
-        ontime = F.expr("1500 + ((event_id div 2) * 37) % 560")
-        ts_s = (F.when(F.expr("event_id % 2 = 0"), ts0)
-                .when(F.expr("(event_id div 2) % 5 = 0"), late)
-                .otherwise(ontime)).cast("bigint").alias("ts_s")
-        rows = ev.select(ts_s, F.expr("event_id % 2").alias("p"))
-        base = tempfile.mkdtemp(prefix="gate_swin_")
-        try:
-            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
-            rows.where("p = 0").select("ts_s").coalesce(1) \
-                .write.mode("overwrite").parquet(src)
-
-            def run():
-                stream = (
-                    spark.readStream.schema("ts_s bigint").parquet(src)
-                    .select(F.timestamp_seconds("ts_s").alias("ts"))
-                    .withWatermark("ts", "600 seconds")
-                    .groupBy(F.window("ts", "60 seconds")).count()
-                    .select(F.col("window.start").cast("long")
-                            .alias("win_start"),
-                            F.col("count").cast("long").alias("cnt")))
-                (stream.writeStream.outputMode("append").format("parquet")
-                 .option("path", out).option("checkpointLocation", ckpt)
-                 .trigger(availableNow=True).start()
-                 .awaitTermination(300))
-
-            run()
-            rows.where("p = 1").select("ts_s").coalesce(1) \
-                .write.mode("append").parquet(src)
-            run()
-            spark.createDataFrame([(100000,)], "ts_s bigint") \
-                .coalesce(1).write.mode("append").parquet(src)
-            run()
-            res = (spark.read.parquet(out)
-                   .where("win_start < 50000").cache())
-            res.count()
-            _STREAM_WINDOW[key] = res
-        finally:
-            shutil.rmtree(base, ignore_errors=True)
-    return res.orderBy("win_start")
-
-
-_STREAM_SLIDING = {}
+    return _watermark_window_gate(spark, sf_dir, _STREAM_WINDOW,
+                                  "swin", 1300, ("60 seconds",))
 
 
 def q_stream_sliding(spark, sf_dir):
@@ -446,56 +455,9 @@ def q_stream_sliding(spark, sf_dir):
     the bit-compare runs in tests/test_streaming.
 
     -> (win_start epoch-seconds, cnt), sentinel windows excluded."""
-    key = (sf_dir, "stream_sliding")
-    res = _STREAM_SLIDING.get(key)
-    if res is None:
-        import shutil
-        import tempfile
-
-        from pyspark.sql import functions as F
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ts0 = F.expr("((event_id div 2) * 41) % 2000")
-        late = F.expr("((event_id div 2) * 37) % 1220")
-        ontime = F.expr("1500 + ((event_id div 2) * 37) % 560")
-        ts_s = (F.when(F.expr("event_id % 2 = 0"), ts0)
-                .when(F.expr("(event_id div 2) % 5 = 0"), late)
-                .otherwise(ontime)).cast("bigint").alias("ts_s")
-        rows = ev.select(ts_s, F.expr("event_id % 2").alias("p"))
-        base = tempfile.mkdtemp(prefix="gate_sslide_")
-        try:
-            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
-            rows.where("p = 0").select("ts_s").coalesce(1) \
-                .write.mode("overwrite").parquet(src)
-
-            def run():
-                stream = (
-                    spark.readStream.schema("ts_s bigint").parquet(src)
-                    .select(F.timestamp_seconds("ts_s").alias("ts"))
-                    .withWatermark("ts", "600 seconds")
-                    .groupBy(F.window("ts", "120 seconds", "60 seconds"))
-                    .count()
-                    .select(F.col("window.start").cast("long")
-                            .alias("win_start"),
-                            F.col("count").cast("long").alias("cnt")))
-                (stream.writeStream.outputMode("append").format("parquet")
-                 .option("path", out).option("checkpointLocation", ckpt)
-                 .trigger(availableNow=True).start()
-                 .awaitTermination(300))
-
-            run()
-            rows.where("p = 1").select("ts_s").coalesce(1) \
-                .write.mode("append").parquet(src)
-            run()
-            spark.createDataFrame([(100000,)], "ts_s bigint") \
-                .coalesce(1).write.mode("append").parquet(src)
-            run()
-            res = (spark.read.parquet(out)
-                   .where("win_start < 50000").cache())
-            res.count()
-            _STREAM_SLIDING[key] = res
-        finally:
-            shutil.rmtree(base, ignore_errors=True)
-    return res.orderBy("win_start")
+    return _watermark_window_gate(spark, sf_dir, _STREAM_SLIDING,
+                                  "sslide", 1220,
+                                  ("120 seconds", "60 seconds"))
 
 
 def oracle_stream_sliding() -> str:

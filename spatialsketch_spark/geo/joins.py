@@ -308,8 +308,10 @@ def hotspot_cells(geo: DataFrame, n: int, g: int = 64,
                       F.expr(f"y DIV {w}").alias("cy"))
            .groupBy("cx", "cy")
            .agg(F.count("*").cast("bigint").alias("cnt")))
-    cnt = cnt.persist()
-    total = cnt.agg(F.sum("cnt")).collect()[0][0]  # O(1) scalar
+    # O(1) scalar job; cnt is NOT persisted — its exchange is reused
+    # across the two consumers in the final plan, and a persist here
+    # would leak a cached relation per call
+    total = cnt.agg(F.sum("cnt")).collect()[0][0]
     offs = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
         "dx int, dy int")

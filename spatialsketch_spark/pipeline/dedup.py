@@ -386,6 +386,34 @@ FROM novel GROUP BY text_hash ORDER BY text_hash
 """
 
 
+def _rare_pair_candidates(sh: DataFrame, max_df: int) -> DataFrame:
+    """Distinct doc pairs (u < v) sharing at least one RARE shingle
+    (document frequency <= max_df) — the bounded inverted-index
+    candidate rule shared by containment_pairs and doc_pagerank; the
+    join fan-out is at most max_df² per gram, never all-pairs."""
+    rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df).select("shingle"))
+    rsh = sh.join(F.broadcast(rare), "shingle")
+    return (rsh.alias("x").join(rsh.alias("y"), "shingle")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("u"),
+                    F.col("y.doc_id").alias("v"))
+            .distinct())
+
+
+def _rare_pair_sql(max_df: int, a: str = "u", b: str = "v") -> str:
+    """DuckDB counterpart of _rare_pair_candidates (expects the
+    TRIGRAM_SQL CTEs in scope)."""
+    return f"""
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) <= {max_df}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS {a}, y.doc_id AS {b}
+  FROM sh x JOIN rare USING (shingle)
+       JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+)"""
+
+
 def containment_pairs(docs: DataFrame, max_df: int = 10,
                       num: int = 1, den: int = 2) -> DataFrame:
     """Asymmetric containment near-dup pairs — the quote/subset
@@ -404,16 +432,8 @@ def containment_pairs(docs: DataFrame, max_df: int = 10,
 
     -> (doc_a, doc_b, inter, sz_a, sz_b, c_ab, c_ba)."""
     sh = shingle_table(docs)
-    rare = (sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_df)
-            .select("shingle"))
-    rsh = sh.join(F.broadcast(rare), "shingle")
-    cand = (rsh.alias("x").join(rsh.alias("y"), "shingle")
-            .where(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("doc_a"),
-                    F.col("y.doc_id").alias("doc_b"))
-            .distinct())
+    cand = _rare_pair_candidates(sh, max_df) \
+        .select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
     inter = (cand
              .join(sh.select(F.col("doc_id").alias("doc_a"),
                              "shingle"), "doc_a")
@@ -443,13 +463,7 @@ def oracle_containment_pairs(max_df: int = 10, num: int = 1,
                              den: int = 2) -> str:
     return f"""
 WITH {TRIGRAM_SQL},
-rare AS (SELECT shingle FROM sh GROUP BY shingle
-         HAVING COUNT(*) <= {max_df}),
-cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM sh x JOIN rare USING (shingle)
-       JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-),
+{_rare_pair_sql(max_df, "doc_a", "doc_b")},
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
   FROM cand c JOIN sh a ON a.doc_id = c.doc_a
@@ -491,15 +505,7 @@ def doc_pagerank(docs: DataFrame, iters: int = 3, max_df: int = 10,
 
     -> (doc_id, pr) in micro-units."""
     nodes = docs.select(F.col("doc_id").cast("bigint")).distinct()
-    sh = shingle_table(docs)
-    rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_df).select("shingle"))
-    rsh = sh.join(F.broadcast(rare), "shingle")
-    half = (rsh.alias("x").join(rsh.alias("y"), "shingle")
-            .where(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("u"),
-                    F.col("y.doc_id").alias("v"))
-            .distinct())
+    half = _rare_pair_candidates(shingle_table(docs), max_df)
     edges = half.unionAll(half.select(F.col("v").alias("u"),
                                       F.col("u").alias("v")))
     deg = edges.groupBy("u").agg(F.count("*").cast("bigint")
@@ -543,14 +549,8 @@ p{i} AS (
         prev = f"p{i}"
     return f"""
 WITH {TRIGRAM_SQL},
-rare AS (SELECT shingle FROM sh GROUP BY shingle
-         HAVING COUNT(*) <= {max_df}),
-half AS (
-  SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
-  FROM sh x JOIN rare USING (shingle)
-       JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-),
-edges AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+{_rare_pair_sql(max_df)},
+edges AS (SELECT u, v FROM cand UNION ALL SELECT v, u FROM cand),
 deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY 1),
 n AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
 p0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n),

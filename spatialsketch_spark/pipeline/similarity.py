@@ -897,6 +897,33 @@ def _pq_subvectors(emb: DataFrame, m: int = PQ_M) -> DataFrame:
                     F.slice("xq", F.col("m") * w + 1, w).alias("sv")))
 
 
+def _sub_d2(a: str, b: str):
+    """Exact int64 squared-L2 between two subvector columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def _pq_codebook(sub: DataFrame, k: int) -> DataFrame:
+    """(cid, cm, cv): codebook = subvectors of the first k vectors."""
+    return (sub.where(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+                    F.col("sv").alias("cv")))
+
+
+def _adc_table(sub: DataFrame, query_ids: list, k: int) -> DataFrame:
+    """(qid, m, code, qd2): exact query->centroid distance table — the
+    KB-sized broadcast side of every ADC probe."""
+    qsub = (sub.where(F.col("vec_id").isin([int(q) for q in query_ids]))
+            .select(F.col("vec_id").alias("qid"), F.col("m").alias("qm"),
+                    F.col("sv").alias("qv")))
+    return (qsub.join(F.broadcast(_pq_codebook(sub, k)),
+                      F.col("qm") == F.col("cm"))
+            .select("qid", F.col("qm").alias("m"),
+                    F.col("cid").alias("code"),
+                    _sub_d2("qv", "cv").alias("qd2")))
+
+
 def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     """PQ encoding: per (vector, subspace) the nearest codebook entry in
     exact integer squared-L2, ties to the smaller centroid id.
@@ -908,15 +935,10 @@ def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
 
     -> (vec_id, m, code, d2)."""
     sub = _pq_subvectors(emb, m)
-    cb = (sub.where(F.col("vec_id") < k)
-          .select(F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
-                  F.col("sv").alias("cv")))
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     best = F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_best")
-    return (sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
-            .withColumn("_d2", d2)
+    return (sub.join(F.broadcast(_pq_codebook(sub, k)),
+                     F.col("m") == F.col("cm"))
+            .withColumn("_d2", _sub_d2("sv", "cv"))
             .groupBy("vec_id", "m").agg(best)
             .select("vec_id", F.col("m").cast("int"),
                     F.col("_best.cid").cast("bigint").alias("code"),
@@ -939,20 +961,8 @@ def pq_topk(emb: DataFrame, query_ids: list, topk: int = 5,
     -> (qid, vec_id, adist, rank)."""
     sub = _pq_subvectors(emb, m)
     codes = pq_encode(emb, m, k).select("vec_id", "m", "code")
-    qsub = (sub.where(F.col("vec_id").isin([int(q) for q in query_ids]))
-            .select(F.col("vec_id").alias("qid"), F.col("m").alias("qm"),
-                    F.col("sv").alias("qv")))
-    cb = (sub.where(F.col("vec_id") < k)
-          .select(F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
-                  F.col("sv").alias("cv")))
-    qd2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    adc = (qsub.join(F.broadcast(cb), F.col("qm") == F.col("cm"))
-           .select("qid", F.col("qm").alias("m"), "cid",
-                   qd2.alias("qd2")))
-    cand = (codes.join(F.broadcast(adc),
-                       (codes.m == adc.m) & (codes.code == adc.cid))
+    adc = _adc_table(sub, query_ids, k)
+    cand = (codes.join(F.broadcast(adc), ["m", "code"])
             .groupBy("qid", "vec_id")
             .agg(F.sum("qd2").cast("bigint").alias("adist"))
             .where(F.col("qid") != F.col("vec_id")))
@@ -1071,20 +1081,7 @@ def ivfpq_topk(emb: DataFrame, query_ids: list, topk: int = 5,
               .withColumn("prn", F.row_number().over(wp))
               .where(F.col("prn") <= nprobe)
               .select("qid", F.col("ccid").alias("cid")))
-    # ADC table: query subvectors vs PQ codebook (same layout as pq_topk)
-    sub = _pq_subvectors(emb, m)
-    qsub = (sub.where(F.col("vec_id").isin(ids))
-            .select(F.col("vec_id").alias("qid"), F.col("m").alias("qm"),
-                    F.col("sv").alias("qv")))
-    cb = (sub.where(F.col("vec_id") < kc)
-          .select(F.col("vec_id").alias("pcid"), F.col("m").alias("cm"),
-                  F.col("sv").alias("cv")))
-    qd2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    adc = (qsub.join(F.broadcast(cb), F.col("qm") == F.col("cm"))
-           .select("qid", F.col("qm").alias("m"),
-                   F.col("pcid").alias("code"), qd2.alias("qd2")))
+    adc = _adc_table(_pq_subvectors(emb, m), ids, kc)
     codes = pq_encode(emb, m, kc).select("vec_id", "m", "code") \
         .join(lists, "vec_id")
     wa = Window.partitionBy("qid").orderBy("adist", "vec_id")
