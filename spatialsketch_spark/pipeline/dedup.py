@@ -557,3 +557,37 @@ p0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n),
 {",".join(steps)}
 SELECT doc_id, pr FROM {prev} ORDER BY doc_id
 """
+
+
+def upsert_corpus(current: DataFrame, updates: DataFrame) -> DataFrame:
+    """Corpus refresh (MERGE/SCD-type-1 upsert): the new shard replaces
+    matching doc_ids, everything else carries over — the maintenance
+    primitive behind incremental corpus rebuilds when a real lakehouse
+    MERGE INTO is unavailable (this container has no Iceberg/Delta; the
+    semantics are identical and engine-portable).
+
+    Plan: ONE shuffle on doc_id for the anti-join (broadcastable when
+    the update shard is small relative to the corpus — the common
+    refresh shape); the union is shuffle-free. -> full doc rows +
+    ``src`` provenance ('kept' | 'upserted')."""
+    cols = current.columns
+    kept = (current.join(updates.select("doc_id"), "doc_id",
+                         "left_anti")
+            .select(*cols).withColumn("src", F.lit("kept")))
+    fresh = updates.select(*cols).withColumn("src", F.lit("upserted"))
+    return kept.unionAll(fresh)
+
+
+def oracle_upsert_corpus(update_pred: str) -> str:
+    """Oracle over one documents table: updates = rows matching
+    ``update_pred`` with text rewritten (marking them detectably)."""
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars, 'kept' AS src
+FROM documents WHERE NOT ({update_pred})
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'v2 ' || text AS text, lang,
+       source, CAST(n_chars AS BIGINT) AS n_chars, 'upserted' AS src
+FROM documents WHERE {update_pred}
+ORDER BY doc_id
+"""

@@ -1416,3 +1416,26 @@ SELECT COUNT(*) FROM p j LEFT JOIN p r ON j.x = r.y AND j.y = r.x
 WHERE r.c IS NULL OR r.c <> j.c
 """).fetchone()[0]
     assert sym == 0
+
+
+def test_upsert_corpus_r6_candidate(spark, duck):
+    """Corpus upsert (r6 gate candidate): updates replace matching
+    doc_ids, everything else carries over; bit-compare vs DuckDB and
+    an id-partition check (kept ∪ upserted = all ids, disjoint)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from test_entry_oracle import normalize
+    from conftest import SF_ORACLE
+    from spatialsketch_spark.pipeline.dedup import (oracle_upsert_corpus,
+                                                    upsert_corpus)
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    updates = docs.where("doc_id % 4 = 1") \
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+    got_df = upsert_corpus(docs, updates)
+    got = normalize(got_df.orderBy("doc_id").toPandas())
+    want = normalize(duck.execute(
+        oracle_upsert_corpus("doc_id % 4 = 1")).df())
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got_df.count() == docs.count()
+    assert got_df.select("doc_id").distinct().count() == docs.count()
