@@ -1,0 +1,102 @@
+"""N-vs-4N scaling evidence for the MinHash-LSH dedup operator.
+
+VERDICT r5 task 5: the packing sweep covered shuffle-bound JVM ops;
+this covers the dedup/shuffle regime — `doc_minhash_lsh` has been the
+slowest genuinely-distributed pipeline phase for three rounds
+(2.9-3.3 s at sf0.1). The plan is shingle-explode -> 12 min-aggs
+(map-side partial, one doc_id shuffle) -> band self-join, i.e.
+hash-heavy CPU plus one agg shuffle plus one equi-join: the dominant
+shape of corpus dedup at 100 TB.
+
+Replication detail that matters: naive text replication would make
+every replica a true near-duplicate of its source, so LSH buckets (and
+the candidate-pair output) would grow quadratically in REP — the
+measurement would then time a pair explosion, not the operator. Each
+replica therefore salts EVERY word with its replica id
+(regexp_replace ' ' -> ' q<rep>'), making shingle sets disjoint
+across replicas: per-doc work is unchanged, buckets stay sparse, and
+the output cardinality scales linearly.
+
+Usage:  python scripts/scaling_minhash.py            # both legs + efficiency
+        python scripts/scaling_minhash.py --cpus 8   # one leg (subprocess mode)
+env:    MINHASH_REP (default 200 -> 1.0M docs at sf0.1)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REP = int(os.environ.get("MINHASH_REP", "200"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_leg(cpus: int) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from spatialsketch_spark.config import get_spark
+    from spatialsketch_spark.pipeline import dedup
+
+    spark = get_spark(cpus=cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus * 4))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                   "2m")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # replicate via per-partition explode (crossJoin(range) would be a
+    # serial single-partition replication stage — Amdahl trap, see
+    # scripts/scaling_packing.py); salt every word per replica so
+    # shingle sets are disjoint across replicas
+    big = (docs.repartition(cpus * 4)
+           .withColumn("rep", F.explode(F.sequence(F.lit(0),
+                                                   F.lit(REP - 1))))
+           .withColumn("doc_id", F.col("doc_id") * REP + F.col("rep"))
+           .withColumn("text", F.regexp_replace(
+               F.col("text"), " ",
+               F.concat(F.lit(" q"), F.col("rep").cast("string"))))
+           .select("doc_id", "text"))
+    n_rows = docs.count() * REP
+    # JIT warm pass: same operator (identical codegen class shapes) on
+    # the unreplicated table
+    dedup.minhash_lsh_candidates(docs).write.format("noop") \
+        .mode("overwrite").save()
+    cands = dedup.minhash_lsh_candidates(big)
+    trials = []
+    for _ in range(2):
+        t0 = time.time()
+        cands.write.format("noop").mode("overwrite").save()
+        trials.append(round(time.time() - t0, 3))
+    best = min(trials)
+    spark.stop()
+    return {"cpus": cpus, "docs": n_rows, "wall_s_trials": trials,
+            "wall_s": best, "docs_per_s": round(n_rows / best, 1)}
+
+
+def main():
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        print(json.dumps(run_leg(cpus)))
+        return
+    results = {}
+    for cpus in (8, 32):
+        if results:
+            time.sleep(45)
+        cmd = [sys.executable, os.path.abspath(__file__), "--cpus",
+               str(cpus)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             check=True)
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    eff = (results[32]["docs_per_s"] / results[8]["docs_per_s"]) / 4.0
+    print(json.dumps({"minhash_scaling": {
+        "cpus_8": results[8], "cpus_32": results[32],
+        "minhash_scaling_efficiency_8_to_32": round(eff, 3)}}))
+
+
+if __name__ == "__main__":
+    main()
