@@ -151,22 +151,39 @@ def run_bench(cpus: int) -> dict:
     # a 1-in-5 sample bounds the same error)
     sample = (set() if skip_acc else
               {i for i in range(len(placements)) if i % 5 == 0})
-    rect_rows = []
+    # grid-partitioned spatial join (r6, VERDICT r5 #3): the r4/r5
+    # shape was a BroadcastNestedLoopJoin evaluating EVERY (event,
+    # rect) pair — O(|ev| x 120) predicate rounds, cold-cache-bound.
+    # Pre-exploding each rect onto the 256x256 super-blocks it touches
+    # turns it into a Broadcast HASH join on the block key with a
+    # residual between-filter: per-event work = rects overlapping its
+    # block (usually 0-3), not all 120. Identical integer sums.
+    SB = 256
+    srows = []
     for i, (poly, dx, dy, item, kindq) in enumerate(placements):
         if i not in sample:
             continue
         for x1, y1, x2, y2 in shape_to_ranges(poly, dx, dy):
-            rect_rows.append((i, x1, y1, x2, y2,
-                              item if kindq == "freq" else -1))
-    rects = spark.createDataFrame(
-        rect_rows, "qid BIGINT, x1 BIGINT, y1 BIGINT, x2 BIGINT, "
-                   "y2 BIGINT, q_item BIGINT")
-    cond = (F.col("x").between(F.col("x1"), F.col("x2"))
-            & F.col("y").between(F.col("y1"), F.col("y2"))
-            & ((F.col("q_item") == -1) | (F.col("q_item") == F.col("item"))))
-    truth_df = (ev.join(F.broadcast(rects), cond)
-                .groupBy("qid").agg(F.sum("value").alias("truth")).collect())
-    truths = {r["qid"]: r["truth"] for r in truth_df}
+            for sbx in range(x1 // SB, x2 // SB + 1):
+                for sby in range(y1 // SB, y2 // SB + 1):
+                    srows.append((i, sbx, sby, x1, y1, x2, y2,
+                                  item if kindq == "freq" else -1))
+    truths = {}
+    if srows:
+        rects = spark.createDataFrame(
+            srows, "qid BIGINT, sbx BIGINT, sby BIGINT, x1 BIGINT, "
+                   "y1 BIGINT, x2 BIGINT, y2 BIGINT, q_item BIGINT")
+        resid = (F.col("x").between(F.col("x1"), F.col("x2"))
+                 & F.col("y").between(F.col("y1"), F.col("y2"))
+                 & ((F.col("q_item") == -1)
+                    | (F.col("q_item") == F.col("item"))))
+        truth_df = (ev.withColumn("sbx", F.expr(f"x div {SB}"))
+                    .withColumn("sby", F.expr(f"y div {SB}"))
+                    .join(F.broadcast(rects), ["sbx", "sby"])
+                    .where(resid)
+                    .groupBy("qid").agg(F.sum("value").alias("truth"))
+                    .collect())
+        truths = {r["qid"]: r["truth"] for r in truth_df}
     count_rel_errs, freq_errn = [], []
     for i, (poly, dx, dy, item, kindq) in enumerate(placements):
         if i not in sample:

@@ -22,6 +22,7 @@ is what the driver's DuckDB correctness gate runs against.
 
 from __future__ import annotations
 
+import bisect
 import pickle
 
 import numpy as np
@@ -379,6 +380,50 @@ class BFKernel(BaseKernel):
         return bool(np.all((st[w] & b) != 0))
 
 
+class _EHFold:
+    """Exact replay of the ECM _eh_insert cascade with per-size-class
+    bucket lists (VERDICT r5 #7): each cascade step touches only the
+    <= k+2 buckets of ONE size class instead of scanning (and shifting)
+    the whole histogram, so an arbitrary mixed-weight substream folds
+    in O(k) amortized per event instead of O(|eh|). Bit-identical to
+    the sequential fold (asserted exhaustively in tests) because the
+    cascade only ever inspects buckets of the active size, the two
+    oldest of a class are its two lowest insertion ages, and a merged
+    bucket inherits the newer constituent's age — which is exactly its
+    list position in _eh_insert's newest-first histogram."""
+
+    __slots__ = ("k", "classes", "age")
+
+    def __init__(self, k: int):
+        self.k = int(k)
+        self.classes: dict = {}   # size -> [[age, start, end], ...] age ASC
+        self.age = 0
+
+    def insert(self, t: int, w: float):
+        self.age += 1
+        self.classes.setdefault(w, []).append([self.age, t, t])
+        s = w
+        while True:
+            lst = self.classes.get(s)
+            if lst is None or len(lst) <= self.k + 1:
+                break
+            old = lst.pop(0)
+            newer = lst.pop(0)
+            merged = [newer[0], min(old[1], newer[1]),
+                      max(old[2], newer[2])]
+            s = s + s
+            bisect.insort(self.classes.setdefault(s, []), merged)
+
+    def to_eh(self) -> list:
+        out = []
+        for s, lst in self.classes.items():
+            fs = float(s)
+            for age, st, en in lst:
+                out.append((age, [fs, st, en]))
+        out.sort(key=lambda x: x[0], reverse=True)
+        return [b for _, b in out]
+
+
 class ECMKernel(BaseKernel):
     """Exponential-histogram Count-Min (sliding-window counts).
 
@@ -464,6 +509,57 @@ class ECMKernel(BaseKernel):
                 e -= s
         return eh
 
+    def _eh_from_runs(self, ts_arr, va_arr):
+        """EH for a ts-ascending PIECEWISE-CONSTANT substream whose
+        maximal constant-weight runs occupy pairwise-disjoint size
+        classes (VERDICT r5 #7). The cascade only ever inspects the
+        active size class, so runs sharing no class evolve completely
+        independently: each is exactly the constant-weight closed form,
+        and the final histogram is the newest-run-first concatenation
+        (a later run's inserts sit above the untouched older blocks,
+        exactly as the sequential fold leaves them). A run of length m
+        with weight v can only ever occupy classes v·2^c with
+        2^c <= m, so disjointness is checked on that conservative set.
+        Returns None on any collision (dyadic weight ratios, repeated
+        run weights) — the caller falls back to the exact per-class
+        fold (:class:`_EHFold`)."""
+        m = len(va_arr)
+        bnd = np.flatnonzero(va_arr[1:] != va_arr[:-1]) + 1
+        starts = np.concatenate(([0], bnd, [m]))
+        classes_seen: set = set()
+        runs = []
+        for i in range(len(starts) - 1):
+            a, b = int(starts[i]), int(starts[i + 1])
+            v = float(va_arr[a])
+            if v <= 0:
+                return None
+            cls = {v * (1 << c) for c in range((b - a).bit_length())}
+            if classes_seen & cls:
+                return None
+            classes_seen |= cls
+            runs.append((a, b, v))
+        eh: list = []
+        for a, b, v in reversed(runs):
+            eh.extend(self._eh_from_sorted_const(ts_arr[a:b], v))
+        return eh
+
+    def _eh_fold_slot(self, ts2, va2) -> list:
+        """Best fold for one (row, slot) substream: constant weight ->
+        unit closed form; disjoint-class piecewise-constant runs ->
+        per-run closed forms; anything else -> the exact per-class
+        fold. All three are bit-identical to the sequential
+        _eh_insert fold (asserted exhaustively in tests)."""
+        if float(va2[0]) > 0 and bool(np.all(va2 == va2[0])):
+            return self._eh_from_sorted_const(ts2, float(va2[0]))
+        eh = self._eh_from_runs(ts2, va2)
+        if eh is not None:
+            return eh
+        f = _EHFold(self.k)
+        ins = f.insert
+        for j in range(len(ts2)):
+            ins(int(ts2[j]), float(va2[j]))
+        return f.to_eh()
+
     def _eh_insert(self, eh: list, t: int, weight: float = 1.0):
         eh.insert(0, [weight, t, t])
         # cascade-merge oldest two buckets of any size exceeding k+1
@@ -495,24 +591,27 @@ class ECMKernel(BaseKernel):
             # it wins only when substreams are long (hot coarse-grid
             # cells — exactly where the per-event loop explodes). Cold
             # cells with a handful of events keep the trivial loop.
-            if (4 * self.d * self.w <= m_total <= self._UNIT_FOLD_MAX
-                    and m_total > 0 and bool(np.all(va == va[0]))
-                    and float(va[0]) > 0):
-                # constant-weight fold: one slice per (row, slot)
-                # substream (covers the common value=1 streams AND any
-                # uniform-weight stream, SpatialSketch.h:99 Update(value))
-                v0 = float(va[0])
+            if 4 * self.d * self.w <= m_total <= self._UNIT_FOLD_MAX:
+                # per-(row, slot) substream dispatch (VERDICT r5 #7):
+                # constant weight -> unit closed form (covers value=1
+                # streams AND any uniform-weight stream,
+                # SpatialSketch.h:99 Update(value)); piecewise-constant
+                # runs with disjoint size classes -> per-run closed
+                # forms; arbitrary mixed weights -> the exact per-class
+                # _EHFold. All bit-identical to the sequential fold.
                 ehs = []
                 for r in range(self.d):
                     row = [[] for _ in range(self.w)]
                     order2 = np.argsort(h[r], kind="stable")
                     ss = h[r][order2]
                     ts2 = t[order2]
+                    va2 = va[order2]
                     slots, starts = np.unique(ss, return_index=True)
                     b2 = np.append(starts, m_total)
                     for ui in range(len(slots)):
-                        row[int(slots[ui])] = self._eh_from_sorted_const(
-                            ts2[b2[ui]:b2[ui + 1]], v0)
+                        sl = slice(b2[ui], b2[ui + 1])
+                        row[int(slots[ui])] = self._eh_fold_slot(
+                            ts2[sl], va2[sl])
                     ehs.append(row)
                 states.append(ehs)
                 continue

@@ -25,6 +25,7 @@ from .config import SketchConfig
 from .core.partitioner import Shape, shape_to_ranges
 from .geo.build import SketchStore
 from .geo.events import ITEM_DOMAIN, derive_geo_events, geo_events_sql
+from .geo.layout import oracle_zorder_layout, q_zorder_layout
 from .geo.query import QuerySpec, SpatialSketchEngine
 from .sources.interleaved import build_interleaved_docs, extract_geo_events
 
@@ -633,6 +634,18 @@ def oracle_hotspot() -> str:
     return oracle_hotspot_cells(f"WITH geo AS ({_geo_cte()})", N)
 
 
+def q_cluster_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo.joins import cluster_hotspots
+    ev = derive_geo_events(spark, sf_dir, N)
+    return cluster_hotspots(ev, N).orderBy("cx", "cy")
+
+
+def oracle_cluster_hotspots_sql() -> str:
+    from .geo.joins import oracle_cluster_hotspots
+    return oracle_cluster_hotspots(
+        f"WITH RECURSIVE geo AS ({_geo_cte()})", N)
+
+
 # ---------------------------------------------------------------------------
 # exact spatial joins / tiling (north_rule operators; SURVEY.md §2.F)
 # ---------------------------------------------------------------------------
@@ -865,12 +878,13 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ss.start(spark.readStream.schema(schema).parquet(src)) \
                 .awaitTermination(300)
             st = ss.compact()
-            # pin the snapshot in memory, then drop the temp tree
-            # (ADVICE r4: each driver run leaked src+store+checkpoint);
-            # count() materializes every cached partition so the store
-            # never needs to re-read the deleted parquet
-            st.df = st.df.cache()
-            st.df.count()
+            # pin the snapshot, then drop the temp tree (ADVICE r4: each
+            # driver run leaked src+store+checkpoint). localCheckpoint
+            # truncates lineage and WRITES the blocks, so a later
+            # recompute (cached blocks are evictable under memory
+            # pressure) can never try to re-read the deleted parquet
+            # (ADVICE r5)
+            st.df = st.df.localCheckpoint(eager=True)
             st.path = None  # snapshot dir is gone; disable re-commit
             _STORES[key] = st
         finally:
@@ -928,6 +942,13 @@ GATE_QUERIES = {
     "geo_cap_filter": (q_cap_filter, oracle_cap_filter),
     "geo_cap_knn": (q_cap_knn, oracle_cap_knn),
     "geo_polygon_sphere": (q_polygon_sphere, oracle_polygon_sphere),
+    # r6: Z-order layout (lakehouse spatial clustering primitive)
+    "geo_zorder_layout": (
+        lambda s, d: q_zorder_layout(s, d, N),
+        lambda: oracle_zorder_layout(N)),
+    # r6: hot-cell connected components (DBSCAN-core density clusters)
+    "geo_cluster_hotspots": (q_cluster_hotspots,
+                             oracle_cluster_hotspots_sql),
 }
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402

@@ -70,6 +70,13 @@ def _store(spark: SparkSession, sf_dir: str, kind: str) -> SketchStore:
             # test_ecm_merge_matches_reference_semantics and the
             # per-kind merge==rebuild snapshot tests.
             nparts = 1
+        if kind == "elastic":
+            # single-partial build (r6): every cell's heavy/light state
+            # is the ts-ordered sequential vote/evict fold — the exact
+            # process the recursive-CTE DuckDB oracle replays
+            # (VERDICT r5 #4). The canonical-order merge path stays
+            # covered by test_kernels' elastic merge tests.
+            nparts = 1
         st = SketchStore.build(spark, ev, cfg, kind, MIN_LEVEL,
                                num_partitions=nparts)
         st.df = st.df.cache()
@@ -112,12 +119,6 @@ def _ok(est: DataFrame, truth: DataFrame, ok_col) -> DataFrame:
     return (est.join(truth, "qid")
             .select("qid", ok_col.cast("bigint").alias("ok"))
             .orderBy("qid"))
-
-
-def _ones_oracle(n: int) -> str:
-    vals = ",".join(f"({i})" for i in range(n))
-    return (f"SELECT CAST(qid AS BIGINT) AS qid, CAST(1 AS BIGINT) AS ok "
-            f"FROM (VALUES {vals}) t(qid) ORDER BY qid")
 
 
 # --- CM frequency ----------------------------------------------------------
@@ -544,13 +545,20 @@ ORDER BY qid
 # --- Elastic frequency (same-budget-vs-CM margin) ---------------------------
 
 def q_env_freq_elastic(spark, sf_dir) -> DataFrame:
-    """ElasticSketch (B9) end to end: per-probe never-underestimate
-    within the CM-style overshoot margin, PLUS the same-budget claim —
-    the elastic kernel's total absolute error on the probe set is no
-    worse than the CM's at the identical counter budget (the heavy/
-    light separation win, reference vendored ElasticSketch; measured
-    ~35% lower error on Zipf(1.3) in tests). Both kernels are
-    seed-fixed, so the comparison row is deterministic."""
+    """ElasticSketch (B9) end to end: per-probe (qid, est, ok) with
+    never-underestimate within the CM-style overshoot margin, PLUS the
+    same-budget claim — the elastic kernel's total absolute error on
+    the probe set is no worse than the CM's at the identical counter
+    budget (the heavy/light separation win, reference vendored
+    ElasticSketch; measured ~35% lower error on Zipf(1.3) in tests).
+
+    Round 6 upgrade (VERDICT r5 #4): the gate store is a SINGLE-partial
+    build, so each probed cell's heavy/light state is the ts-ordered
+    sequential vote/evict fold — a process the DuckDB oracle now
+    REPLAYS event-by-event per (cell, bucket) with a recursive CTE and
+    compares est bit-for-bit (the last literal-1s envelope is gone).
+    The aggregate row's est is the total |err| itself, also
+    bit-compared against the oracle's replayed value."""
     st = _store(spark, sf_dir, "elastic")
     eng = SpatialSketchEngine(st)
     qs = [QuerySpec(i, [r], "freq", item=it)
@@ -559,9 +567,12 @@ def q_env_freq_elastic(spark, sf_dir) -> DataFrame:
     truth = _truth(spark, sf_dir, CM_PROBES)
     n_stream = st.manifest["input_fingerprint"]["n_events"]
     margin = int(0.05 * n_stream) + 1
-    per_probe = _ok(est, truth,
-                    (F.col("est") >= F.col("truth"))
-                    & (F.col("est") <= F.col("truth") + margin))
+    per_probe = (est.join(truth, "qid")
+                 .select("qid",
+                         F.col("est").cast("bigint").alias("est"),
+                         ((F.col("est") >= F.col("truth"))
+                          & (F.col("est") <= F.col("truth") + margin))
+                         .cast("bigint").alias("ok")))
     # aggregate same-budget row: sum|err|_elastic <= sum|err|_cm
     cm_est = SpatialSketchEngine(_store(spark, sf_dir, "cm")).query(qs)
     err = lambda e: (e.join(truth, "qid")
@@ -569,22 +580,196 @@ def q_env_freq_elastic(spark, sf_dir) -> DataFrame:
                           .alias("terr")))
     agg = (err(est).crossJoin(err(cm_est).withColumnRenamed("terr", "cm"))
            .select(F.lit(len(CM_PROBES)).cast("bigint").alias("qid"),
+                   F.col("terr").cast("bigint").alias("est"),
                    (F.col("terr") <= F.col("cm")).cast("bigint")
                    .alias("ok")))
     return per_probe.unionByName(agg).orderBy("qid")
 
 
+def oracle_env_freq_elastic() -> str:
+    """Full DuckDB replay of the elastic gate (VERDICT r5 #4): the
+    heavy-part vote/evict state machine is order-DEPENDENT, so an
+    unordered aggregation can't rebuild it — but given the gate store's
+    single-partial build the per-cell state is exactly the ts-ordered
+    fold, and a recursive CTE steps it event by event per (probe,
+    cover-cell, bucket): heavy bucket = LIST<STRUCT(k,c,fl)> capped at
+    ``slots``; matched key adds f; room installs (f, flag 0); full
+    bucket votes guard+1 and once guard >= λ·min-count evicts the
+    (count, key)-min entry to the light part and installs (f, flag 1),
+    else the arriving mass goes to light (kernels.py _insert_seq,
+    reference HeavyPart.h:110-160 Ostracism). Only contributions to the
+    probe item's light position are accumulated (``ladd``); the final
+    estimate replays query_item: resident&flag0 -> heavy count,
+    resident&flag1 -> heavy+light, absent -> light. est is compared
+    BIT-FOR-BIT per probe, and the aggregate same-budget row replays
+    the CM estimates with the env_freq_cm counter CTEs."""
+    from .core.dyadic import cover_2d
+    from .core.kernels import CMKernel, make_kernel
+    from .geo.events import geo_events_sql
+    import numpy as np
+    cfg = _realistic_cfg()
+    ek = make_kernel("elastic", cfg)
+    ck = CMKernel(cfg.cm_width, cfg.cm_depth, cfg.seed)
+    log_n = cfg.levels - 1
+    cover, probes = [], []
+    for qid, (rect, item, _) in enumerate(CM_PROBES):
+        x1, y1, x2, y2 = rect
+        bp, lp = ek._positions(np.array([item], dtype=np.int64))
+        probes.append(f"({qid},{item},{int(bp[0])},{int(lp[0])})")
+        for ci, (kx, ky, cx, cy, cov) in enumerate(
+                cover_2d(x1, y1, x2, y2, log_n, MIN_LEVEL, MIN_LEVEL)):
+            assert cov == 1.0, "envelope probes must be block-aligned"
+            cover.append(f"({qid},{ci},{cx << kx},{((cx + 1) << kx) - 1},"
+                         f"{cy << ky},{((cy + 1) << ky) - 1})")
+    (a0, b0), (a1, b1) = (int(v) for v in ek.coeffs[0]), \
+        (int(v) for v in ek.coeffs[1])
+    P, nb, slots, lw, lam = 2147483647, ek.b, ek.slots, ek.lw, ek.lam
+    hrows = ",".join(f"({r},{int(a)}::BIGINT,{int(b)}::BIGINT)"
+                     for r, (a, b) in enumerate(ck.coeffs))
+    w = ck.w
+    n_probes = len(CM_PROBES)
+    return f"""
+WITH RECURSIVE geo AS ({geo_events_sql(N)}),
+cover(qid, cid, cx1, cx2, cy1, cy2) AS (VALUES {",".join(cover)}),
+probes(qid, qitem, qbp, qlp) AS (VALUES {",".join(probes)}),
+sev AS (
+  SELECT pr.qid, cv.cid, pr.qlp,
+         (({a0} * e.item + {b0}) % {P}) % {nb} AS bp,
+         e.item AS k, e.value AS f,
+         ROW_NUMBER() OVER (
+           PARTITION BY pr.qid, cv.cid,
+                        (({a0} * e.item + {b0}) % {P}) % {nb}
+           ORDER BY e.ts) AS seq
+  FROM cover cv JOIN probes pr USING (qid)
+  JOIN geo e ON e.x BETWEEN cv.cx1 AND cv.cx2
+            AND e.y BETWEEN cv.cy1 AND cv.cy2
+),
+grp AS (SELECT DISTINCT qid, cid, qlp, bp FROM sev),
+rec AS (
+  SELECT qid, cid, qlp, bp, CAST(0 AS BIGINT) AS seq,
+         CAST([] AS STRUCT(k BIGINT, c BIGINT, fl BIGINT)[]) AS heavy,
+         CAST(0 AS BIGINT) AS guard, CAST(0 AS BIGINT) AS ladd
+  FROM grp
+  UNION ALL
+  SELECT r.qid, r.cid, r.qlp, r.bp, e.seq,
+    CASE WHEN aux.matched
+           THEN list_transform(r.heavy, x -> CASE WHEN x.k = e.k
+                THEN {{'k': x.k, 'c': x.c + e.f, 'fl': x.fl}}
+                ELSE x END)
+         WHEN aux.room
+           THEN list_append(r.heavy,
+                {{'k': e.k, 'c': e.f, 'fl': CAST(0 AS BIGINT)}})
+         WHEN aux.evict
+           THEN list_append(list_filter(r.heavy, x -> x.k <> aux.mk),
+                {{'k': e.k, 'c': e.f, 'fl': CAST(1 AS BIGINT)}})
+         ELSE r.heavy END AS heavy,
+    CASE WHEN aux.matched OR aux.room THEN r.guard
+         WHEN aux.evict THEN 0
+         ELSE r.guard + 1 END AS guard,
+    r.ladd + CASE
+      WHEN aux.matched OR aux.room THEN 0
+      WHEN aux.evict THEN
+        CASE WHEN (({a1} * aux.mk + {b1}) % {P}) % {lw} = r.qlp
+             THEN aux.mc ELSE 0 END
+      ELSE
+        CASE WHEN (({a1} * e.k + {b1}) % {P}) % {lw} = r.qlp
+             THEN e.f ELSE 0 END END AS ladd
+  FROM rec r
+  JOIN sev e ON e.qid = r.qid AND e.cid = r.cid AND e.bp = r.bp
+            AND e.seq = r.seq + 1
+  CROSS JOIN LATERAL (
+    SELECT len(list_filter(r.heavy, x -> x.k = e.k)) > 0 AS matched,
+           len(r.heavy) < {slots} AS room,
+           list_sort(list_transform(
+               r.heavy, x -> {{'c': x.c, 'k': x.k}}))[1] AS me
+  ) a0
+  CROSS JOIN LATERAL (
+    SELECT NOT a0.matched AND NOT a0.room
+             AND r.guard + 1 >= {lam} * a0.me.c AS evict,
+           a0.matched AS matched, a0.room AS room,
+           a0.me.k AS mk, a0.me.c AS mc
+  ) aux
+),
+fs AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, cid, bp
+                                 ORDER BY seq DESC) AS rn
+    FROM rec) WHERE rn = 1
+),
+light AS (SELECT qid, cid, SUM(ladd) AS l FROM fs GROUP BY 1, 2),
+hv AS (
+  SELECT f.qid, f.cid, list_filter(f.heavy, x -> x.k = pr.qitem) AS ent
+  FROM fs f JOIN probes pr USING (qid)
+  WHERE f.bp = pr.qbp
+),
+cell_est AS (
+  SELECT cv.qid, cv.cid,
+    CASE WHEN COALESCE(len(h.ent), 0) > 0 AND h.ent[1].fl = 0
+           THEN h.ent[1].c
+         WHEN COALESCE(len(h.ent), 0) > 0
+           THEN h.ent[1].c + COALESCE(l.l, 0)
+         ELSE COALESCE(l.l, 0) END AS est
+  FROM cover cv
+  LEFT JOIN light l ON l.qid = cv.qid AND l.cid = cv.cid
+  LEFT JOIN hv h ON h.qid = cv.qid AND h.cid = cv.cid
+),
+est AS (SELECT qid, CAST(SUM(est) AS BIGINT) AS est
+        FROM cell_est GROUP BY qid),
+hash(r, a, b) AS (VALUES {hrows}),
+cmcounters AS (
+  SELECT cv.qid, cv.cid, h.r, COALESCE(SUM(e.value), 0) AS cnt
+  FROM cover cv
+  JOIN probes pr ON pr.qid = cv.qid
+  CROSS JOIN hash h
+  LEFT JOIN geo e
+    ON e.x BETWEEN cv.cx1 AND cv.cx2
+   AND e.y BETWEEN cv.cy1 AND cv.cy2
+   AND ((h.a * e.item + h.b) % {P}) % {w}
+       = ((h.a * pr.qitem + h.b) % {P}) % {w}
+  GROUP BY cv.qid, cv.cid, h.r),
+cmest AS (
+  SELECT qid, CAST(SUM(est) AS BIGINT) AS est FROM (
+    SELECT qid, cid, MIN(cnt) AS est FROM cmcounters GROUP BY qid, cid)
+  GROUP BY qid),
+truth AS (
+  SELECT pr.qid, COALESCE(SUM(e.value), 0) AS t
+  FROM probes pr
+  JOIN cover cv ON cv.qid = pr.qid
+  LEFT JOIN geo e
+    ON e.x BETWEEN cv.cx1 AND cv.cx2 AND e.y BETWEEN cv.cy1 AND cv.cy2
+   AND e.item = pr.qitem
+  GROUP BY pr.qid),
+mass AS (SELECT COUNT(*) AS n FROM geo),
+per_probe AS (
+  SELECT CAST(e.qid AS BIGINT) AS qid, CAST(e.est AS BIGINT) AS est,
+         CAST(CASE WHEN e.est >= t.t
+                    AND e.est <= t.t
+                        + CAST(FLOOR(0.05 * m.n) AS BIGINT) + 1
+               THEN 1 ELSE 0 END AS BIGINT) AS ok
+  FROM est e JOIN truth t ON t.qid = e.qid CROSS JOIN mass m),
+agg AS (
+  SELECT CAST({n_probes} AS BIGINT) AS qid,
+         CAST(el.terr AS BIGINT) AS est,
+         CAST(CASE WHEN el.terr <= cm.terr THEN 1 ELSE 0 END
+              AS BIGINT) AS ok
+  FROM (SELECT SUM(ABS(e.est - t.t)) AS terr
+        FROM est e JOIN truth t USING (qid)) el,
+       (SELECT SUM(ABS(c.est - t.t)) AS terr
+        FROM cmest c JOIN truth t USING (qid)) cm)
+SELECT * FROM per_probe UNION ALL SELECT * FROM agg ORDER BY qid
+"""
+
+
 ENVELOPE_GATE = {
-    # CM, BF, FM and ECM carry FULL DuckDB recomputation oracles (hash
-    # family, counters, trailing-zero bitmaps and exponential
-    # histograms rebuilt in SQL, est compared bit-for-bit); elastic
-    # keeps the self-asserted envelope form — its heavy-part
-    # vote/evict state is adversarially order-dependent, with no
-    # closed form to rebuild from an unordered aggregation
+    # ALL five lossy kernels now carry FULL DuckDB recomputation
+    # oracles (r6): hash family counters, trailing-zero bitmaps,
+    # exponential histograms rebuilt in SQL — and the elastic
+    # vote/evict state machine replayed event-by-event with a
+    # recursive CTE (single-partial gate store = ts-ordered fold);
+    # every est is compared bit-for-bit
     "env_freq_cm": (q_env_freq_cm, oracle_env_freq_cm),
     "env_distinct_fm": (q_env_distinct_fm, oracle_env_distinct_fm),
     "env_member_bf": (q_env_member_bf, oracle_env_member_bf),
     "env_window_ecm": (q_env_window_ecm, oracle_env_window_ecm),
-    "env_freq_elastic": (q_env_freq_elastic,
-                         lambda: _ones_oracle(len(CM_PROBES) + 1)),
+    "env_freq_elastic": (q_env_freq_elastic, oracle_env_freq_elastic),
 }

@@ -334,8 +334,10 @@ def q_stream_dedup(spark, sf_dir):
                 .unionAll(docs.where("doc_id % 4 = 0")) \
                 .write.mode("append").parquet(src)
             run(1)
-            res = spark.read.parquet(out).cache()
-            res.count()
+            # localCheckpoint WRITES the blocks (cache is evictable —
+            # a later recompute would re-read the deleted temp parquet,
+            # ADVICE r5)
+            res = spark.read.parquet(out).localCheckpoint(eager=True)
             _STREAM_DEDUP[key] = res
         finally:
             shutil.rmtree(base, ignore_errors=True)
@@ -409,9 +411,11 @@ def _watermark_window_gate(spark, sf_dir, cache, prefix, late_mod,
             spark.createDataFrame([(100000,)], "ts_s bigint") \
                 .coalesce(1).write.mode("append").parquet(src)
             run()
+            # localCheckpoint, not cache: blocks are written, so the
+            # deleted temp parquet is never re-read (ADVICE r5)
             res = (spark.read.parquet(out)
-                   .where("win_start < 50000").cache())
-            res.count()
+                   .where("win_start < 50000")
+                   .localCheckpoint(eager=True))
             cache[key] = res
         finally:
             shutil.rmtree(base, ignore_errors=True)
@@ -451,8 +455,8 @@ def q_stream_sliding(spark, sf_dir):
     watermark — the pair-drop and row-drop interpretations of Spark's
     late filter coincide on this fixture by construction, keeping the
     verdict batch-boundary-proof exactly like the tumbling gate.
-    UNREGISTERED r6 gate candidate — the r5 rotation window is full;
-    the bit-compare runs in tests/test_streaming.
+    Registered as the `evt_stream_sliding` driver gate in round 6; the
+    bit-compare also runs in tests/test_streaming.
 
     -> (win_start epoch-seconds, cnt), sentinel windows excluded."""
     return _watermark_window_gate(spark, sf_dir, _STREAM_SLIDING,
@@ -492,6 +496,211 @@ FROM r, wm
 WHERE p = 0 OR (ts_s // 60) * 60 + 60 > w0
 GROUP BY 1 ORDER BY 1
 """
+
+
+_STREAM_JOIN = {}
+
+
+def q_stream_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER interval join (the last
+    missing Structured Streaming primitive): impressions (left) joined
+    to clicks (right) on key equality + ``rt BETWEEN lt AND lt+120s``,
+    run as three availableNow restarts of one checkpoint.
+
+      run 0  ALL left rows + the even-key right rows (same-batch
+             matches; unmatched lefts stay buffered in join state)
+      run 1  the odd-key right rows: 1/5 deliberately LATE (their ts
+             AND their partners' eviction bound sit ≥ 500 s below the
+             committed watermark — the engine's pre-join late filter
+             drops them, so their partners stay unmatched), 4/5
+             on-time with partners designed ≥ 120 s above the
+             watermark retention bound — these MUST match run-0
+             buffered state, proving join state survived the restart
+      run 2  a far-future sentinel on BOTH sides (global watermark =
+             min over sides) flushing all state, so every never-
+             matched left emits its outer NULL row
+
+    Determinism: the watermark only commits between runs and every
+    designed class sits ≥ 60 s (mostly ≥ 120 s) away from every
+    eviction/late threshold under either the input-filter or the
+    state-eviction reading of late handling, so batch boundaries
+    cannot flip a verdict. The DuckDB oracle recomputes each pair's
+    class and match arithmetic bit-for-bit.
+
+    -> (k, lts_s, rts_s NULL if unmatched, matched)."""
+    key = sf_dir
+    res = _STREAM_JOIN.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pairs = ev.select(F.expr("event_id div 2").alias("i")).distinct()
+        is_r0 = F.expr("i % 2 = 0")
+        is_late = F.expr("i % 2 = 1 AND (i div 2) % 5 = 0")
+        # +10000 base: Spark's INITIAL watermark is 0, and a designed
+        # ts of exactly 0 sits on that boundary (observed: dropped in
+        # the very first batch) — every class keeps ≥ 60 s of margin
+        # from every threshold, including the zero point
+        lts = (F.lit(10000) + F.when(is_r0, (F.col("i") * 41) % 2000)
+               .when(is_late, (F.col("i") * 41) % 600)
+               .otherwise(1520 + (F.col("i") * 41) % 480)).cast("bigint")
+        delta = (F.when(is_late, (F.col("i") * 13) % 120)
+                 .otherwise((F.col("i") * 13) % 180)).cast("bigint")
+        rows = pairs.select("i", lts.alias("lts"),
+                            (lts + delta).alias("rts"),
+                            is_r0.alias("r0"))
+        base = tempfile.mkdtemp(prefix="gate_ssjoin_")
+        try:
+            lsrc, rsrc = f"{base}/l", f"{base}/r"
+            out, ckpt = f"{base}/out", f"{base}/ck"
+            rows.select(F.col("i").alias("k"),
+                        F.col("lts").alias("lts_s")).coalesce(1) \
+                .write.mode("overwrite").parquet(lsrc)
+            rows.where("r0").select(F.col("i").alias("k"),
+                                    F.col("rts").alias("rts_s")) \
+                .coalesce(1).write.mode("overwrite").parquet(rsrc)
+
+            def run():
+                ls = (spark.readStream
+                      .schema("k bigint, lts_s bigint").parquet(lsrc)
+                      .select("k", "lts_s",
+                              F.timestamp_seconds("lts_s").alias("lt"))
+                      .withWatermark("lt", "600 seconds"))
+                rs = (spark.readStream
+                      .schema("k bigint, rts_s bigint").parquet(rsrc)
+                      .select(F.col("k").alias("rk"), "rts_s",
+                              F.timestamp_seconds("rts_s").alias("rt"))
+                      .withWatermark("rt", "600 seconds"))
+                j = (ls.join(rs, F.expr(
+                    "k = rk AND rt BETWEEN lt "
+                    "AND lt + INTERVAL 120 seconds"), "leftOuter")
+                    .select("k", "lts_s", "rts_s"))
+                (j.writeStream.outputMode("append").format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            run()
+            rows.where("NOT r0").select(F.col("i").alias("k"),
+                                        F.col("rts").alias("rts_s")) \
+                .coalesce(1).write.mode("append").parquet(rsrc)
+            run()
+            spark.createDataFrame([(-1, 200000)],
+                                  "k bigint, lts_s bigint") \
+                .coalesce(1).write.mode("append").parquet(lsrc)
+            spark.createDataFrame([(-1, 200000)],
+                                  "k bigint, rts_s bigint") \
+                .coalesce(1).write.mode("append").parquet(rsrc)
+            run()
+            res = (spark.read.parquet(out).where("k >= 0")
+                   .select("k", "lts_s", "rts_s",
+                           F.col("rts_s").isNotNull().cast("int")
+                           .alias("matched"))
+                   .localCheckpoint(eager=True))
+            _STREAM_JOIN[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("k")
+
+
+def oracle_stream_join() -> str:
+    return """
+WITH u AS (SELECT DISTINCT event_id // 2 AS i FROM events),
+c AS (SELECT i, (i % 2 = 1 AND (i // 2) % 5 = 0) AS late,
+             (i % 2 = 0) AS r0 FROM u),
+t AS (SELECT i, late,
+        10000 + CASE WHEN r0 THEN (i * 41) % 2000
+             WHEN late THEN (i * 41) % 600
+             ELSE 1520 + (i * 41) % 480 END AS lts,
+        CASE WHEN late THEN (i * 13) % 120
+             ELSE (i * 13) % 180 END AS delta
+      FROM c)
+SELECT CAST(i AS BIGINT) AS k, CAST(lts AS BIGINT) AS lts_s,
+       CAST(CASE WHEN NOT late AND delta <= 120
+            THEN lts + delta END AS BIGINT) AS rts_s,
+       CAST(CASE WHEN NOT late AND delta <= 120
+            THEN 1 ELSE 0 END AS INT) AS matched
+FROM t ORDER BY k
+"""
+
+
+def q_session_paths(spark, sf_dir):
+    """Top navigation paths over the events clickstream (r6 gate,
+    promoted after the single-task global-sort top-k was replaced by
+    TakeOrderedAndProject — VERDICT r5 #1)."""
+    return events.session_paths(events._events(spark, sf_dir)) \
+        .orderBy("rank")
+
+
+def q_unpivot(spark, sf_dir):
+    return relational.orders_status_unpivot(spark, sf_dir) \
+        .orderBy("nation", "status")
+
+
+def q_containment_pairs(spark, sf_dir):
+    return dedup.containment_pairs(_docs(spark, sf_dir)) \
+        .orderBy("doc_a", "doc_b")
+
+
+def q_doc_pagerank(spark, sf_dir):
+    return dedup.doc_pagerank(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_part_cooccurrence(spark, sf_dir):
+    return relational.part_cooccurrence(spark, sf_dir) \
+        .orderBy("part_a", "rank")
+
+
+def q_upsert_corpus(spark, sf_dir):
+    """MERGE/SCD-1 upsert: every doc_id % 4 == 1 row arrives rewritten
+    ('v2 ' prefix) in the update shard; the result must carry every
+    other row over untouched, with provenance."""
+    from pyspark.sql import functions as F
+    docs = _docs(spark, sf_dir)
+    updates = docs.where("doc_id % 4 = 1") \
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+    return dedup.upsert_corpus(docs, updates).orderBy("doc_id")
+
+
+SCD2_PREDS = ["doc_id % 4 = 1", "doc_id % 8 = 5"]
+SCD2_PREFIXES = ["v2 ", "v3 "]
+
+
+def _scd2_versioned(spark, sf_dir):
+    """Two chained update shards: version 1 rewrites doc_id%4==1;
+    version 2 rewrites doc_id%8==5 — a strict SUBSET of the v1 docs,
+    so some documents carry a 3-version chain (0 -> 1 -> 2) and the
+    interval-closing LEAD is exercised beyond one hop."""
+    from pyspark.sql import functions as F
+    docs = _docs(spark, sf_dir)
+    shards = [
+        (i + 1, docs.where(pred).withColumn(
+            "text", F.concat(F.lit(pre), F.col("text"))))
+        for i, (pred, pre) in enumerate(zip(SCD2_PREDS, SCD2_PREFIXES))]
+    return dedup.scd2_upsert(docs, shards)
+
+
+def q_scd2_versions(spark, sf_dir):
+    return _scd2_versioned(spark, sf_dir).orderBy("doc_id", "valid_from")
+
+
+def q_scd2_asof(spark, sf_dir):
+    """Time-travel read at version 1: v1 rewrites live, v2 rewrites
+    not yet visible, everything else the base row."""
+    return dedup.scd2_asof(_scd2_versioned(spark, sf_dir), 1) \
+        .orderBy("doc_id")
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN at its PRUNED config (nprobe=2 of 8 lists,
+    refine=4) — the oracle replays coarse assign + encode + ADC +
+    exact re-rank, so the pruning itself is bit-verified, not just the
+    provably-exact full-probe configuration."""
+    return similarity.ivfpq_topk(_emb(spark, sf_dir), EMB_QUERY_IDS,
+                                 5).orderBy("qid", "rank")
 
 
 def q_curation_to_pack(spark, sf_dir):
@@ -949,4 +1158,27 @@ PIPELINE_GATE = {
     "rel_running_window": (
         lambda s, d: relational.customer_running_spend(s, d, 20),
         lambda: relational.oracle_customer_running_spend(20)),
+    # --- round 6: the eight r5 pytest-tier candidates, promoted ---
+    "evt_session_paths": (q_session_paths, events.oracle_session_paths),
+    "rel_unpivot": (q_unpivot, relational.oracle_orders_status_unpivot),
+    "doc_containment_pairs": (q_containment_pairs,
+                              dedup.oracle_containment_pairs),
+    "doc_pagerank": (q_doc_pagerank, dedup.oracle_doc_pagerank),
+    "rel_part_cooccurrence": (q_part_cooccurrence,
+                              relational.oracle_part_cooccurrence),
+    "doc_upsert_corpus": (
+        q_upsert_corpus,
+        lambda: dedup.oracle_upsert_corpus("doc_id % 4 = 1")),
+    "emb_ivfpq_topk": (
+        q_ivfpq_topk,
+        lambda: similarity.oracle_ivfpq_topk(EMB_QUERY_IDS, 5)),
+    "evt_stream_sliding": (q_stream_sliding, oracle_stream_sliding),
+    "evt_stream_join": (q_stream_join, oracle_stream_join),
+    # --- round 6: SCD-2 versioned upsert + time travel (VERDICT #6) ---
+    "doc_scd2_versions": (
+        q_scd2_versions,
+        lambda: dedup.oracle_scd2_upsert(SCD2_PREDS, SCD2_PREFIXES)),
+    "doc_scd2_asof": (
+        q_scd2_asof,
+        lambda: dedup.oracle_scd2_asof(SCD2_PREDS, SCD2_PREFIXES, 1)),
 }

@@ -328,6 +328,103 @@ def hotspot_cells(geo: DataFrame, n: int, g: int = 64,
                     "cnt", "neigh", hot.cast("int").alias("hot")))
 
 
+def cluster_hotspots(geo: DataFrame, n: int, g: int = 64,
+                     mult: int = 12) -> DataFrame:
+    """Density-cluster labeling: connected components (8-connectivity)
+    of the hotspot cells — the DBSCAN-core shape over the coarse grid
+    (hotspot_cells answers WHERE the mass is; this answers which hot
+    cells form one contiguous region). Labels are canonical and
+    order-independent: a component's label is the minimum linear cell
+    id (cx·g + cy) among its members, so the result is deterministic
+    for any execution order and bit-comparable against the oracle's
+    recursive-CTE transitive closure.
+
+    Scale posture: the event table is touched exactly once (inside
+    hotspot_cells — one shuffle to ≤ g² groups); the component pass
+    runs driver-side union-find over the hot-cell set, which is
+    bounded by the CONFIG constant g² (4096 here), not by data volume
+    — the same bounded-state class as the k-means centroid collect
+    and hotspot's scalar total.
+
+    -> (cx, cy, cluster, csize) for every HOT cell."""
+    hot = (hotspot_cells(geo, n, g, mult).where(F.col("hot") == 1)
+           .select("cx", "cy").collect())
+    cells = {(int(r["cx"]), int(r["cy"])) for r in hot}
+    parent = {c: c for c in cells}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (x, y) in cells:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (x + dx, y + dy)
+                if nb != (x, y) and nb in cells:
+                    ra, rb = find((x, y)), find(nb)
+                    if ra != rb:
+                        parent[rb] = ra
+    comp: dict = {}
+    for c in cells:
+        comp.setdefault(find(c), []).append(c)
+    rows = []
+    for members in comp.values():
+        lab = min(x * g + y for x, y in members)
+        for (x, y) in members:
+            rows.append((x, y, lab, len(members)))
+    return geo.sparkSession.createDataFrame(
+        rows, "cx BIGINT, cy BIGINT, cluster BIGINT, csize BIGINT")
+
+
+def oracle_cluster_hotspots(geo_cte: str, n: int, g: int = 64,
+                            mult: int = 12) -> str:
+    """DuckDB replay: hot cells from the hotspot CTEs, 8-connectivity
+    adjacency, transitive closure via recursive CTE, label = MIN
+    reachable linear id. Closure size is bounded by the sum of squared
+    component sizes over ≤ g² hot cells."""
+    w = n // g
+    return f"""
+{geo_cte},
+cells AS (
+  SELECT x // {w} AS cx, y // {w} AS cy,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM geo GROUP BY 1, 2
+),
+offs AS (SELECT a.dx, b.dy
+         FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+nb AS (
+  SELECT cx + dx AS tx, cy + dy AS ty, SUM(cnt) AS neigh
+  FROM cells, offs
+  WHERE cx + dx BETWEEN 0 AND {g - 1} AND cy + dy BETWEEN 0 AND {g - 1}
+  GROUP BY 1, 2
+),
+tot AS (SELECT SUM(cnt) AS t FROM cells),
+hotc AS (
+  SELECT cx, cy, cx * {g} + cy AS id
+  FROM cells JOIN nb ON cx = tx AND cy = ty, tot
+  WHERE neigh * {g * g} >= {mult} * t
+),
+adj AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM hotc a JOIN hotc b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+reach AS (
+  SELECT id AS src, id AS dst FROM hotc
+  UNION
+  SELECT r.src, a.dst FROM reach r JOIN adj a ON a.src = r.dst
+),
+lab AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src)
+SELECT CAST(h.cx AS BIGINT) AS cx, CAST(h.cy AS BIGINT) AS cy,
+       CAST(l.cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) OVER (PARTITION BY l.cluster) AS BIGINT) AS csize
+FROM hotc h JOIN lab l ON l.id = h.id
+ORDER BY cx, cy
+"""
+
+
 def oracle_hotspot_cells(geo_cte: str, n: int, g: int = 64,
                          mult: int = 12) -> str:
     """DuckDB recomputation of hotspot_cells; ``geo_cte`` is the

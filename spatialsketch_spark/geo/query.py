@@ -299,7 +299,10 @@ def _pid_additive_estimator(cfg, kind: str, qmeta: dict):
             if ncnt.any():
                 if kernel.kind == "cm":
                     # mirror _additive_batch_ests' dispatch guards
-                    if (f_iends[qpos[ncnt]] >= 0).any():
+                    # exactly: item_end == item is a degenerate point
+                    # freq, accepted on both surfaces
+                    _ie = f_iends[qpos[ncnt]]
+                    if ((_ie >= 0) & (_ie != f_items[qpos[ncnt]])).any():
                         raise ValueError(
                             "CM answers point frequencies only; item "
                             "ranges need a 'dcm' (or exact-mode) store")

@@ -133,27 +133,53 @@ def ngram_jaccard_pairs(docs: DataFrame, num: int, den: int) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """-> (doc_id, sig_0..sig_{NUM_PERM-1}): min over shingles of
-    (a_i * h + b_i) mod p, h the md5-derived shingle hash reduced mod p."""
-    sh = shingle_table(docs).withColumn(
-        "h", word_hash_col(F.col("shingle")) % MINHASH_P)
-    aggs = [F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i]))
-                  % MINHASH_P).alias(f"sig_{i}") for i in range(NUM_PERM)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    (a_i * h + b_i) mod p, h the md5-derived shingle hash reduced mod p.
+
+    Computed entirely MAP-SIDE: the per-doc shingle set stays an array
+    and each signature is an ``array_min`` over a transform — no
+    explode, no 100-TB-of-shingle-rows shuffle (the r5 shape exploded
+    every trigram through a 12-agg groupBy; the min over the same
+    values in the same modular arithmetic is bit-identical, so the
+    DuckDB oracle is unchanged). Docs with no trigram (fewer than 3
+    words) produced no group before and are filtered the same way."""
+    words = F.split(norm_text_col(F.col("text")), " ")
+    hs = F.transform(_trigrams_of(words),
+                     lambda g: word_hash_col(g) % MINHASH_P)
+    d = (docs.select("doc_id", hs.alias("_h"))
+         .where(F.size("_h") >= 1))
+    sigs = [F.array_min(F.transform(
+        F.col("_h"),
+        lambda h: (F.lit(PERM_A[i]) * h + F.lit(PERM_B[i]))
+        % MINHASH_P)).alias(f"sig_{i}") for i in range(NUM_PERM)]
+    return d.select("doc_id", *sigs)
 
 
 def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     """LSH banding: docs sharing all ROWS_PER_BAND signature rows in any
-    band become a candidate pair. -> (doc_a, doc_b) distinct."""
-    sig = minhash_signatures(docs)
-    bands = []
-    for b in range(BANDS):
-        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            *[F.col(c).alias(f"k{r}") for r, c in enumerate(cols)]))
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+    band become a candidate pair. -> (doc_a, doc_b) distinct.
+
+    Shape chosen for exactly ONE pass over the corpus: the r5 shape (a
+    union of 4 per-band projections, self-joined) let column pruning
+    specialize every branch's plan, so the expensive shingle hashing
+    re-executed 8× (4 bands × both join sides). Now the 4 band keys
+    explode out of each signature row AFTER a pinned repartition: the
+    exchange sits directly above the map-side hashing with the full
+    signature schema on both join sides, so the subplans canonicalize
+    identically and exchange reuse executes the hashing ONCE — the
+    reused shuffle carries 13 ints per doc (ReusedExchange asserted by
+    tests/test_plans.py). Downstream shuffles move only the 4 small
+    band rows per doc; bucket fan-out is bounded by band-collision
+    cardinality, the standard LSH posture."""
+    sig = minhash_signatures(docs).repartition("doc_id")
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"sig_{b * ROWS_PER_BAND + r}").alias(f"k{r}")
+              for r in range(ROWS_PER_BAND)])
+        for b in range(BANDS)])
+    allb = (sig.select("doc_id", F.explode(entries).alias("e"))
+            .select("doc_id", "e.band",
+                    *[f"e.k{r}" for r in range(ROWS_PER_BAND)]))
     a = allb.alias("a")
     bb = allb.alias("b")
     keys = ["band"] + [f"k{r}" for r in range(ROWS_PER_BAND)]
@@ -589,5 +615,95 @@ UNION ALL
 SELECT CAST(doc_id AS BIGINT) AS doc_id, 'v2 ' || text AS text, lang,
        source, CAST(n_chars AS BIGINT) AS n_chars, 'upserted' AS src
 FROM documents WHERE {update_pred}
+ORDER BY doc_id
+"""
+
+
+def scd2_upsert(base: DataFrame,
+                shards: list[tuple[int, DataFrame]]) -> DataFrame:
+    """SCD-type-2 versioned upsert — the other half of the MERGE
+    surface (:func:`upsert_corpus` is SCD-1/replace): every version of
+    every document is retained with a ``[valid_from, valid_to)``
+    validity interval, so any historical corpus state stays readable
+    (:func:`scd2_asof`). This is the columnar, engine-portable form of
+    the snapshot/time-travel semantics the sketch store implements via
+    versioned manifests (`geo/build.py` snapshots / geo_snapshot_travel
+    gate); with a real lakehouse table format the same plan writes as
+    MERGE + snapshot reads.
+
+    ``shards`` are (version, DataFrame) update batches, versions
+    strictly increasing and > 0; ``base`` is version 0. A doc_id
+    appearing in shard v replaces its previous version at v (its
+    predecessor's interval closes at v); ``valid_to`` is NULL for the
+    currently-live version.
+
+    Plan: one unionAll (shuffle-free) + ONE shuffle on doc_id for the
+    LEAD window that closes intervals — version-chain length per doc
+    is the number of updates it ever received, so partitions stay
+    balanced at any corpus size; no join at all.
+
+    -> base columns + (valid_from, valid_to)."""
+    cols = base.columns
+    parts = [base.select(*cols)
+             .withColumn("valid_from", F.lit(0).cast("bigint"))]
+    for v, sh in shards:
+        if int(v) <= 0:
+            raise ValueError("shard versions must be > 0 (base is 0)")
+        parts.append(sh.select(*cols)
+                     .withColumn("valid_from",
+                                 F.lit(int(v)).cast("bigint")))
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id").orderBy("valid_from")
+    return allr.withColumn(
+        "valid_to", F.lead("valid_from").over(w).cast("bigint"))
+
+
+def scd2_asof(versioned: DataFrame, version: int) -> DataFrame:
+    """Time-travel read of an :func:`scd2_upsert` table: the corpus
+    exactly as of ``version`` — pure filter, no shuffle (partition-
+    prunable when the versioned table is stored partitioned by
+    validity)."""
+    v = int(version)
+    return versioned.where(
+        (F.col("valid_from") <= v)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > v)))
+
+
+def oracle_scd2_upsert(update_preds: list[str],
+                       rewrite_prefixes: list[str]) -> str:
+    """DuckDB rebuild of the versioned table over ``documents``: shard
+    i (version i+1) = rows matching ``update_preds[i]`` with text
+    prefixed by ``rewrite_prefixes[i]`` — same LEAD window closing the
+    intervals."""
+    selects = ["SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, "
+               "source, CAST(n_chars AS BIGINT) AS n_chars, "
+               "CAST(0 AS BIGINT) AS valid_from FROM documents"]
+    for i, (pred, pre) in enumerate(zip(update_preds, rewrite_prefixes)):
+        selects.append(
+            f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            f"'{pre}' || text AS text, lang, source, "
+            f"CAST(n_chars AS BIGINT) AS n_chars, "
+            f"CAST({i + 1} AS BIGINT) AS valid_from "
+            f"FROM documents WHERE {pred}")
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH allr AS ({union})
+SELECT doc_id, text, lang, source, n_chars, valid_from,
+       CAST(LEAD(valid_from) OVER (PARTITION BY doc_id
+            ORDER BY valid_from) AS BIGINT) AS valid_to
+FROM allr ORDER BY doc_id, valid_from
+"""
+
+
+def oracle_scd2_asof(update_preds: list[str],
+                     rewrite_prefixes: list[str], version: int) -> str:
+    inner = oracle_scd2_upsert(update_preds, rewrite_prefixes)
+    return f"""
+SELECT * FROM ({inner})
+WHERE valid_from <= {int(version)}
+  AND (valid_to IS NULL OR valid_to > {int(version)})
 ORDER BY doc_id
 """

@@ -157,7 +157,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def transitions(ev: DataFrame) -> DataFrame:
+def transitions(ev: DataFrame,
+                bucket_us: int | None = None) -> DataFrame:
     """Per-user event-type transition edges (the Markov-chain view of a
     clickstream): for every consecutive pair of events of one user —
     ordered by (event time, event_id), a total order since event_id is
@@ -170,12 +171,50 @@ def transitions(ev: DataFrame) -> DataFrame:
     aggregation and the per-src ranking window are free. No per-user
     event collection, no self-join of the event table.
 
+    Skew posture (VERDICT r5 #8): the plain per-user window puts a hot
+    user's ENTIRE history in one task. With ``bucket_us`` set, pair
+    extraction becomes hot-user-proof with the identical pair set:
+    consecutive pairs inside each (user, time-bucket) come from a
+    window partitioned by BOTH keys (task size bounded by events per
+    user-hour, not per user), and the cross-boundary pairs come from a
+    LEAD over each bucket's first/last event — a table of at most two
+    rows per non-empty bucket, built by min/max STRUCT aggregation
+    (map-side partial, so extracting the boundary rows is itself
+    skew-free). Bucket boundaries are a function of ts, so the global
+    (ts, event_id) pair order is preserved exactly; equality with the
+    plain path and the task-size bound are pinned in
+    tests/test_skew.py.
+
     -> (src, dst, n, top)."""
     from pyspark.sql.window import Window
-    w = Window.partitionBy("user_id").orderBy(F.expr(_TS_US), "event_id")
-    pairs = (ev.select("user_id", F.col("event_type").alias("src"),
-                       F.lead("event_type").over(w).alias("dst"))
-             .where(F.col("dst").isNotNull()))
+    base = ev.select("user_id", "event_id",
+                     F.col("event_type").alias("src"),
+                     F.expr(_TS_US).alias("ts_us"))
+    if bucket_us is None:
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        pairs = (base.select("user_id", "src",
+                             F.lead("src").over(w).alias("dst"))
+                 .where(F.col("dst").isNotNull()))
+    else:
+        b = base.withColumn("_b", F.expr(f"ts_us div {int(bucket_us)}"))
+        wb = Window.partitionBy("user_id", "_b") \
+            .orderBy("ts_us", "event_id")
+        within = (b.select("user_id", "src",
+                           F.lead("src").over(wb).alias("dst"))
+                  .where(F.col("dst").isNotNull()))
+        # (ts_us, event_id) is a total order, so struct min/max pick
+        # each bucket's true first/last event; src rides along and
+        # never decides the comparison
+        ends = (b.groupBy("user_id", "_b")
+                .agg(F.min(F.struct("ts_us", "event_id", "src"))
+                     .alias("_f"),
+                     F.max(F.struct("ts_us", "event_id", "src"))
+                     .alias("_l")))
+        wu = Window.partitionBy("user_id").orderBy("_b")
+        cross = (ends.select("user_id", F.col("_l.src").alias("src"),
+                             F.lead("_f.src").over(wu).alias("dst"))
+                 .where(F.col("dst").isNotNull()))
+        pairs = within.unionByName(cross)
     cnt = (pairs.groupBy("src", "dst")
            .agg(F.count("*").cast("bigint").alias("n")))
     rw = Window.partitionBy("src").orderBy(F.col("n").desc(), "dst")
@@ -216,7 +255,15 @@ def session_paths(ev: DataFrame, topk: int = 20,
     window and the per-session path assembly (sort_array over structs
     inside the aggregation — no second ordering shuffle); the path
     count table shuffles on the path string (bounded by distinct-path
-    cardinality) and the final top-k is a single tiny window.
+    cardinality) and the final top-k is ``orderBy(...).limit(topk)`` —
+    planned as TakeOrderedAndProject (per-partition heap top-k merged
+    on the driver), NEVER an unpartitioned row_number window: distinct
+    path cardinality approaches the session count in a real
+    clickstream, and a global-sort single task over billions of paths
+    would be the one non-distributed stage in the pipeline (VERDICT
+    r5 #1). The rank column is derived afterwards on the ≤topk
+    surviving rows, where a single-partition window is genuinely
+    driver-scale.
 
     -> (path, n_sessions, rank)."""
     from pyspark.sql.window import Window
@@ -238,10 +285,12 @@ def session_paths(ev: DataFrame, topk: int = 20,
     paths = (ses.groupBy("user_id", "sid").agg(path.alias("path"))
              .groupBy("path")
              .agg(F.count("*").cast("bigint").alias("n_sessions")))
+    # (n_sessions desc, path asc) is a total order (path is unique in
+    # the count table), so limit-then-rank equals rank-then-filter
+    top = paths.orderBy(F.col("n_sessions").desc(), "path").limit(topk)
     wr = Window.orderBy(F.col("n_sessions").desc(), "path")
-    return (paths.withColumn("rank",
-                             F.row_number().over(wr).cast("bigint"))
-            .where(F.col("rank") <= topk))
+    return top.withColumn("rank",
+                          F.row_number().over(wr).cast("bigint"))
 
 
 def oracle_session_paths(topk: int = 20,

@@ -70,9 +70,12 @@ def pack_sequences(df: DataFrame, seq_len: int, tokens_col: str,
     n = F.col(tokens_col)
     start = (F.sum(n).over(w) - n).alias("start_off")
     out = out.withColumn("start_off", start)
-    first = F.floor(F.col("start_off") / seq_len).cast("bigint")
+    # integer `div`, not floor(x / L): bigint / yields double, which
+    # loses exactness once a stream offset exceeds 2^53 tokens; all
+    # operands are non-negative so div == floor division
+    first = F.expr(f"start_off div {seq_len}").cast("bigint")
     last = F.when(n > 0,
-                  F.floor((F.col("start_off") + n - 1) / seq_len)
+                  F.expr(f"(start_off + {tokens_col} - 1) div {seq_len}")
                   .cast("bigint")).otherwise(first)
     return (out.withColumn("first_seq", first)
                .withColumn("last_seq", last)
@@ -128,14 +131,14 @@ def oracle_pack_sequences(seq_len: int, tokens_sql: str,
           FROM keyed
         )
         SELECT {id_sql}, {strata}, shard, n_tok AS n_tokens, start_off,
-               CAST(FLOOR(start_off / {seq_len}) AS BIGINT) AS first_seq,
+               CAST(start_off // {seq_len} AS BIGINT) AS first_seq,
                CAST(CASE WHEN n_tok > 0
-                    THEN FLOOR((start_off + n_tok - 1) / {seq_len})
-                    ELSE FLOOR(start_off / {seq_len}) END AS BIGINT)
+                    THEN (start_off + n_tok - 1) // {seq_len}
+                    ELSE start_off // {seq_len} END AS BIGINT)
                  AS last_seq,
                CAST(CASE WHEN n_tok > 0
-                    THEN FLOOR((start_off + n_tok - 1) / {seq_len})
-                       - FLOOR(start_off / {seq_len}) + 1
+                    THEN (start_off + n_tok - 1) // {seq_len}
+                       - start_off // {seq_len} + 1
                     ELSE 0 END AS BIGINT) AS n_seqs
         FROM placed ORDER BY {id_sql}
     """

@@ -317,8 +317,14 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str,
            .join(F.broadcast(df_.select(F.col("pk").alias("part_b"),
                                         F.col("df").alias("df_b"))),
                  "part_b")
+           # the numerator reaches ~1e6·cnt·n_orders (~1e24 at SF1000),
+           # past int64 — Spark would wrap silently under non-ANSI mode
+           # while DuckDB raises; widen to decimal(38,0)/HUGEINT so both
+           # engines stay exact (the quotient itself always fits int64:
+           # cnt <= min(df_a, df_b) bounds lift by 1e6 · n_orders)
            .withColumn("lift", F.expr(
-               f"(1000000 * cnt * {int(n_orders)}) div (df_a * df_b)")
+               f"(cast(1000000 as decimal(38,0)) * cnt * {int(n_orders)})"
+               f" div (cast(df_a as decimal(38,0)) * df_b)")
                .cast("bigint")))
     w = Window.partitionBy("part_a").orderBy(
         F.col("lift").desc(), F.col("cnt").desc(), "part_b")
@@ -343,7 +349,8 @@ p AS (
 ),
 s AS (
   SELECT part_a, part_b, cnt,
-         CAST((1000000 * cnt * n.n_orders) // (fa.df * fb.df)
+         CAST((CAST(1000000 AS HUGEINT) * cnt * n.n_orders)
+              // (CAST(fa.df AS HUGEINT) * fb.df)
               AS BIGINT) AS lift
   FROM p JOIN f fa ON fa.pk = part_a JOIN f fb ON fb.pk = part_b, n
 )

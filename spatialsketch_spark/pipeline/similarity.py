@@ -1105,3 +1105,79 @@ def ivfpq_topk(emb: DataFrame, query_ids: list, topk: int = 5,
             .select(F.col("qid").cast("bigint"),
                     F.col("vec_id").cast("bigint"),
                     F.col("d2").cast("bigint"), "rank"))
+
+
+def oracle_ivfpq_topk(query_ids: list, topk: int = 5, nprobe: int = 2,
+                      refine: int = 4, nlist: int = KMEANS_K,
+                      m: int = PQ_M, kc: int = PQ_K,
+                      src: str = "embeddings") -> str:
+    """Full DuckDB replay of :func:`ivfpq_topk` — coarse k-means
+    assignment, PQ encode, ADC candidate ranking within the probed
+    lists, and the exact integer-L2 re-rank of the topk*refine pool.
+    Every stage is the same int64 fixed-point arithmetic with the same
+    (distance, id) tie-breaks, so the PRUNED search (not just the
+    provably-exact full-probe configuration) is verified bit-for-bit."""
+    ids = ",".join(str(int(x)) for x in query_ids)
+    return f"""
+WITH {_PQ_SQL.format(src=src, m=m, k=kc)},
+kc2 AS (SELECT vec_id AS ccid, xq AS cx FROM q WHERE vec_id < {nlist}),
+kd AS (
+  SELECT q.vec_id, kc2.ccid,
+         list_sum(list_transform(range(1, len(q.xq) + 1),
+                  i -> (q.xq[i] - kc2.cx[i]) * (q.xq[i] - kc2.cx[i])))
+             AS d2
+  FROM q CROSS JOIN kc2
+),
+lists AS (
+  SELECT vec_id, ccid AS cid FROM (
+    SELECT vec_id, ccid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ccid)
+               AS rn
+    FROM kd) WHERE rn = 1
+),
+probed AS (
+  SELECT vec_id AS qid, ccid AS cid FROM (
+    SELECT vec_id, ccid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ccid)
+               AS rn
+    FROM kd WHERE vec_id IN ({ids})) WHERE rn <= {nprobe}
+),
+adc AS (
+  SELECT sub.vec_id AS qid, sub.m, cb.cid AS code,
+         list_sum(list_transform(range(1, len(sub.sv) + 1),
+                  i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
+             AS qd2
+  FROM sub JOIN cb USING (m)
+  WHERE sub.vec_id IN ({ids})
+),
+cand AS (
+  SELECT p.qid, enc.vec_id, CAST(SUM(a.qd2) AS BIGINT) AS adist
+  FROM enc
+  JOIN lists l ON l.vec_id = enc.vec_id
+  JOIN probed p ON p.cid = l.cid
+  JOIN adc a ON a.qid = p.qid AND a.m = enc.m AND a.code = enc.code
+  WHERE enc.vec_id <> p.qid
+  GROUP BY 1, 2
+),
+pool AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+               AS rn
+    FROM cand) WHERE rn <= {topk * refine}
+),
+exact AS (
+  SELECT pool.qid, pool.vec_id,
+         list_sum(list_transform(range(1, len(qv.xq) + 1),
+                  i -> (qv.xq[i] - bv.xq[i]) * (qv.xq[i] - bv.xq[i])))
+             AS d2
+  FROM pool JOIN q qv ON qv.vec_id = pool.qid
+       JOIN q bv ON bv.vec_id = pool.vec_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(d2 AS BIGINT) AS d2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id)
+            AS BIGINT) AS rank
+FROM exact QUALIFY rank <= {topk}
+ORDER BY qid, rank
+"""

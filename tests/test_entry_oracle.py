@@ -90,6 +90,33 @@ def test_gate_registry_staleness_rotation():
         assert stamps[0] == -1
 
 
+# gates renamed after their last driver row; their rotation history is
+# intentionally abandoned (the successor name re-enters as
+# never-verified, which sorts FIRST — strictly safe). Any new rename
+# must be added here consciously or the hygiene test fails.
+RENAMED_GATES = {"emb_cosine_dups"}  # r1 name; r2+ = emb_lsh_dups
+
+
+def test_no_stranded_rotation_history():
+    """Registry hygiene (VERDICT r5 #9): every gate name that ever got
+    a driver CORRECTNESS row must still be a live registry key (else a
+    rename silently strands its rotation history and the staleness
+    ordering runs on dead names), unless explicitly listed as a
+    conscious rename above."""
+    import glob
+    import json
+    import os
+    from spatialsketch_spark.gate import GATE_QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            seen |= set(json.load(fh))
+    stranded = seen - set(GATE_QUERIES) - RENAMED_GATES
+    assert not stranded, sorted(stranded)
+
+
 def test_oracle_sql_builds_without_spark_session():
     """Every oracle generator must be a pure SQL-string producer: run
     the whole dict in a subprocess with NO SparkContext — one generator

@@ -331,7 +331,7 @@ def test_ecm_unit_fold_equals_insert_fold():
             assert fast[0] == slow[0], (k, n)
 
 
-def test_ecm_nonunit_values_fall_back():
+def test_ecm_nonunit_values_mass_conserved():
     import numpy as np
     kern = ECMKernel(width=4, depth=2, k=2, seed=7)
     n = 200
@@ -345,6 +345,48 @@ def test_ecm_nonunit_values_fall_back():
     for r in range(kern.d):
         tot = sum(b[0] for slot in st[0][r] for b in slot)
         assert tot == vals.sum()
+
+
+def test_ecm_mixed_weight_fold_equals_insert_fold():
+    """VERDICT r5 #7: the mixed-weight fast paths — per-run closed
+    forms for piecewise-constant substreams with disjoint size
+    classes, and the per-size-class _EHFold for arbitrary weights —
+    must produce bit-identical bucket structures to the sequential
+    per-event _eh_insert fold, across ks, stream lengths, hash
+    collision patterns and weight shapes (dyadic collisions, disjoint
+    runs, repeated-weight runs)."""
+    import numpy as np
+
+    def compare(kern, items, vals, ts):
+        cells = np.zeros(len(items), dtype=np.int64)
+        _, fast = kern.build_grouped(cells, items, vals, ts)
+        cap = ECMKernel._UNIT_FOLD_MAX
+        ECMKernel._UNIT_FOLD_MAX = 0
+        try:
+            _, slow = kern.build_grouped(cells, items, vals, ts)
+        finally:
+            ECMKernel._UNIT_FOLD_MAX = cap
+        assert fast[0] == slow[0]
+
+    rng = np.random.default_rng(7)
+    for k in (1, 2, 8):
+        kern = ECMKernel(width=4, depth=2, k=k, seed=7)
+        for n in (100, 557, 2000):
+            items = rng.integers(0, 40, n).astype(np.int64)
+            ts = np.sort(rng.integers(0, 10 * n, n)).astype(np.int64)
+            # arbitrary mixed weights incl. dyadic collisions (1,2,4)
+            compare(kern, items, rng.integers(1, 5, n).astype(np.int64),
+                    ts)
+            # piecewise-constant disjoint-class runs (1 -> 3 -> 5)
+            t3 = n // 3
+            vals2 = np.concatenate([np.full(t3, 1), np.full(t3, 3),
+                                    np.full(n - 2 * t3, 5)]) \
+                .astype(np.int64)
+            compare(kern, items, vals2, ts)
+            # repeated-weight runs (self-collision -> _EHFold)
+            vals3 = np.full(n, 2, dtype=np.int64)
+            vals3[n // 2] = 3        # splits the run: 2..2,3,2..2
+            compare(kern, items, vals3, ts)
 
 
 def test_cm_codec_rejects_shape_mismatch():
@@ -386,16 +428,16 @@ def test_eh_unit_counts_closed_form():
 
 
 def test_ecm_mixed_weight_fold_cost_bound():
-    """VERDICT r4 task 8: non-uniform value streams take the residual
-    per-event python path (_eh_insert fold — inherently sequential
-    order-dependent state, same class as the reference's C++ insert
-    loop). Document and PIN the accepted cost class: one fully hot
-    cell at realistic (w=28, d=3, k=2) parameters sustains ~50k
-    events/s/core on this box; assert a 10x-slack floor so only a
-    complexity-class regression (e.g. a quadratic cascade scan), not
-    box noise, can trip it. The map-side-combined build bounds any
-    cell to one partition's events before merge, which is the
-    structural mitigation at scale."""
+    """VERDICT r4 task 8 / r5 task 7: non-uniform value streams now
+    fold through the per-size-class _EHFold (or per-run closed forms
+    when run classes are disjoint) — one fully hot cell at realistic
+    (w=28, d=3, k=2) parameters sustains ~200k events/s/core on this
+    box, 4x the r5 per-event _eh_insert path. PIN the improved cost
+    class at the 5x-the-old-floor level VERDICT asked for (25k ev/s,
+    ~8x slack) so only a complexity-class regression, not box noise,
+    can trip it. The map-side-combined build bounds any cell to one
+    partition's events before merge, which is the structural
+    mitigation at scale."""
     import time
     kern = ECMKernel(width=28, depth=3, k=2, seed=7)
     n = 60_000
@@ -407,7 +449,7 @@ def test_ecm_mixed_weight_fold_cost_bound():
     t0 = time.perf_counter()
     _, st = kern.build_grouped(cells, items, vals, ts)
     rate = n / (time.perf_counter() - t0)
-    assert rate > 5_000, f"mixed-weight ECM fold: {rate:,.0f} ev/s"
+    assert rate > 25_000, f"mixed-weight ECM fold: {rate:,.0f} ev/s"
     # mass conservation on the same build (cheap invariant)
     for r in range(kern.d):
         tot = sum(b[0] for slot in st[0][r] for b in slot)

@@ -242,3 +242,34 @@ def test_round5_session4_ops_plan_shape(spark):
             and "ArrowEvalPython" not in p, name
         if name in ("pivot", "hotspot", "pq_topk", "ivfpq_topk"):
             assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p, name
+
+
+def test_session_paths_topk_is_take_ordered(spark):
+    """The final top-k must plan as TakeOrderedAndProject (distributed
+    per-partition heaps merged on the driver), NEVER an unpartitioned
+    row_number window over the full path-count table — distinct-path
+    cardinality approaches session count at clickstream scale, so a
+    global-sort single task there is a scale-killer (VERDICT r5 #1)."""
+    from spatialsketch_spark.pipeline.events import session_paths
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    p = session_paths(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+
+
+def test_minhash_hashing_runs_once(spark):
+    """The LSH band self-join must REUSE the signature exchange: the
+    expensive map-side shingle hashing runs exactly once and both join
+    sides replay the 13-ints-per-doc shuffle files. The r5 union-of-
+    band-projections shape let column pruning specialize each branch,
+    silently re-executing the hashing 8× — pin the fixed shape here.
+    (AQE materializes the reuse at runtime, so assert on the final
+    adaptive plan after an action.)"""
+    from spatialsketch_spark.pipeline.dedup import minhash_lsh_candidates
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    df = minhash_lsh_candidates(docs)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("ReusedExchange") + p.count("ReusedQueryStage") >= 1
+    # and the signature side carries no Generate/explode below the
+    # reused exchange input — the hashing stage is map-side pure
+    assert "BatchEvalPython" not in p
