@@ -1174,6 +1174,15 @@ PIPELINE_GATE = {
         lambda: similarity.oracle_ivfpq_topk(EMB_QUERY_IDS, 5)),
     "evt_stream_sliding": (q_stream_sliding, oracle_stream_sliding),
     "evt_stream_join": (q_stream_join, oracle_stream_join),
+    # r6: ANALYZE-class per-column profiling (one-pass NDV/min/max)
+    "rel_profile_table": (
+        lambda s, d: relational.profile_table(s, d).orderBy("col_name"),
+        relational.oracle_profile_table),
+    # r6: mergeable histogram-sketch quantiles (scale path next to the
+    # exact percentile_disc gate)
+    "doc_hist_quantiles": (
+        lambda s, d: text.hist_quantiles(_docs(s, d)).orderBy("lang", "q"),
+        text.oracle_hist_quantiles),
     # --- round 6: SCD-2 versioned upsert + time travel (VERDICT #6) ---
     "doc_scd2_versions": (
         q_scd2_versions,

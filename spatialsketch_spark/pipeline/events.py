@@ -244,7 +244,8 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
 def session_paths(ev: DataFrame, topk: int = 20,
-                  gap_us: int = SESSION_GAP_US) -> DataFrame:
+                  gap_us: int = SESSION_GAP_US,
+                  bucket_us: int | None = None) -> DataFrame:
     """Top navigation paths: sessionize each user's clickstream (a new
     session when the gap from the previous event exceeds ``gap_us``),
     render each session as the '>'-joined event-type sequence in
@@ -265,18 +266,58 @@ def session_paths(ev: DataFrame, topk: int = 20,
     surviving rows, where a single-partition window is genuinely
     driver-scale.
 
+    Skew posture (r6): with ``bucket_us`` set, sessionization becomes
+    hot-user-proof via a TWO-LEVEL prefix scan — the distributed-scan
+    classic: per-(user, time-bucket) LAG/cumsum (task size bounded by
+    events per user-bucket), cross-bucket gaps from each bucket's
+    last event (a min/max-struct table, map-side partial), and the
+    global session id as within-bucket running starts + the cumulative
+    start count of earlier buckets. Bit-identical sid numbering to the
+    plain path (pinned in tests/test_skew.py); the later
+    groupBy(user, sid) stages are already bounded by session length.
+
     -> (path, n_sessions, rank)."""
     from pyspark.sql.window import Window
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    ses = (ev.select("user_id", "event_id", "event_type",
+    base = ev.select("user_id", "event_id", "event_type",
                      F.expr(_TS_US).alias("ts_us"))
-           .withColumn("_gap", F.col("ts_us")
-                       - F.lag("ts_us").over(w))
-           .withColumn("_new", F.when(F.col("_gap").isNull()
-                                      | (F.col("_gap") > gap_us), 1)
-                       .otherwise(0))
-           .withColumn("sid", F.sum("_new").over(
-               w.rowsBetween(Window.unboundedPreceding, 0))))
+    if bucket_us is None:
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        ses = (base
+               .withColumn("_gap", F.col("ts_us")
+                           - F.lag("ts_us").over(w))
+               .withColumn("_new", F.when(F.col("_gap").isNull()
+                                          | (F.col("_gap") > gap_us), 1)
+                           .otherwise(0))
+               .withColumn("sid", F.sum("_new").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    else:
+        b = base.withColumn("_b", F.expr(f"ts_us div {int(bucket_us)}"))
+        wb = Window.partitionBy("user_id", "_b") \
+            .orderBy("ts_us", "event_id")
+        # cross-bucket handoff: previous non-empty bucket's last ts
+        ends = (b.groupBy("user_id", "_b")
+                .agg(F.max(F.struct("ts_us", "event_id")).alias("_l")))
+        wu = Window.partitionBy("user_id").orderBy("_b")
+        prev_end = ends.select(
+            "user_id", "_b",
+            F.lag("_l.ts_us").over(wu).alias("_prev_ts"))
+        b = (b.join(prev_end, ["user_id", "_b"])
+             .withColumn("_gap", F.col("ts_us") - F.coalesce(
+                 F.lag("ts_us").over(wb), F.col("_prev_ts")))
+             .withColumn("_new", F.when(F.col("_gap").isNull()
+                                        | (F.col("_gap") > gap_us), 1)
+                         .otherwise(0))
+             .withColumn("_run", F.sum("_new").over(
+                 wb.rowsBetween(Window.unboundedPreceding, 0))))
+        # per-bucket start totals -> cumulative offset of EARLIER buckets
+        offs = (b.groupBy("user_id", "_b")
+                .agg(F.sum("_new").alias("_tot"))
+                .withColumn("_off", F.coalesce(F.sum("_tot").over(
+                    wu.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)))
+                .select("user_id", "_b", "_off"))
+        ses = (b.join(offs, ["user_id", "_b"])
+               .withColumn("sid", F.col("_off") + F.col("_run")))
     path = F.array_join(
         F.transform(
             F.sort_array(F.collect_list(

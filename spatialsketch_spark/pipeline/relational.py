@@ -361,3 +361,55 @@ SELECT CAST(part_a AS BIGINT) AS part_a,
 FROM s QUALIFY rank <= {topk}
 ORDER BY part_a, rank
 """
+
+
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority")
+
+
+def profile_table(spark: SparkSession, sf_dir: str,
+                  table: str = "orders",
+                  cols: tuple = PROFILE_COLS) -> DataFrame:
+    """Data profiling (ANALYZE-class column statistics): per column —
+    row count, null count, exact distinct count, min and max — the
+    metadata pass every large-scale ingestion runs before planning
+    (NDV feeds join reordering, min/max feed zone maps / file
+    pruning). ONE pass over the table: all aggregates share a single
+    grouping (Spark plans the multiple DISTINCTs via one Expand, still
+    map-side partial), and the wide 1-row result is melted driver-side
+    with ``stack`` — no per-column rescans. Only integer/string
+    columns are profiled so min/max stringify identically in both
+    engines.
+
+    -> (col_name, n, n_null, n_distinct, min_s, max_s)."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', cast(nn_{c} as bigint), cast(_n - nn_{c} as bigint), "
+        f"cast(nd_{c} as bigint), mn_{c}, mx_{c}" for c in cols)
+    return (wide.select(F.expr(
+        f"stack({len(cols)}, {parts}) AS "
+        f"(col_name, n, n_null, n_distinct, min_s, max_s)"))
+        .withColumn("n", F.col("n") + F.col("n_null")))
+
+
+def oracle_profile_table(table: str = "orders",
+                         cols: tuple = PROFILE_COLS) -> str:
+    sels = []
+    for c in cols:
+        sels.append(
+            f"SELECT '{c}' AS col_name, "
+            f"CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_s, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_s FROM {table}")
+    return " UNION ALL ".join(sels) + " ORDER BY col_name"

@@ -833,3 +833,64 @@ SELECT doc_id,
          AS ok
 FROM j ORDER BY doc_id
 """
+
+
+HIST_QS = (25, 50, 90, 99)
+
+
+def hist_quantiles(docs: DataFrame, col: str = "n_chars",
+                   width: int = 64, qs: tuple = HIST_QS) -> DataFrame:
+    """MERGEABLE histogram-sketch quantiles — the scale path next to
+    the exact ``length_quantiles`` gate (percentile_disc needs a
+    per-stratum sort of every value; at 100 TB the mergeable form is
+    what actually runs): equi-width integer buckets whose counts are
+    additive (map-side partial, mergeable across shards / streaming
+    micro-batches), quantile q answered as the upper bound of the
+    smallest bucket whose cumulative count reaches ceil(q·n/100) —
+    deterministic integers, error bounded by the bucket width.
+
+    Plan: one pass to the per-(lang, bucket) count table (cardinality
+    ≤ value-range/width per stratum — bounded state), then a tiny
+    cumulative window over buckets.
+
+    -> (lang, q, ub, n)."""
+    from pyspark.sql.window import Window
+    h = (docs.select("lang", F.expr(f"{col} div {width}").alias("b"))
+         .groupBy("lang", "b")
+         .agg(F.count("*").cast("bigint").alias("c")))
+    wl = Window.partitionBy("lang")
+    cum = (h.withColumn("cum", F.sum("c").over(
+        wl.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", F.sum("c").over(wl)))
+    outs = None
+    for q in qs:
+        # integer ceil(n*q/100): (n*q + 99) div 100
+        need = F.expr(f"(n * {int(q)} + 99) div 100")
+        o = (cum.where(F.col("cum") >= need)
+             .groupBy("lang", "n")
+             .agg(F.min("b").alias("b"))
+             .select("lang", F.lit(int(q)).cast("bigint").alias("q"),
+                     ((F.col("b") + 1) * width - 1).cast("bigint")
+                     .alias("ub"), F.col("n").cast("bigint")))
+        outs = o if outs is None else outs.unionByName(o)
+    return outs
+
+
+def oracle_hist_quantiles(col: str = "n_chars", width: int = 64,
+                          qs: tuple = HIST_QS) -> str:
+    sels = []
+    for q in qs:
+        sels.append(f"""
+SELECT lang, CAST({int(q)} AS BIGINT) AS q,
+       CAST((MIN(b) + 1) * {width} - 1 AS BIGINT) AS ub,
+       CAST(n AS BIGINT) AS n
+FROM (
+  SELECT lang, b, SUM(c) OVER (PARTITION BY lang ORDER BY b
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM (SELECT lang, {col} // {width} AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2))
+WHERE cum >= (n * {int(q)} + 99) // 100
+GROUP BY lang, n""")
+    return " UNION ALL ".join(sels) + " ORDER BY lang, q"

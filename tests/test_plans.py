@@ -13,7 +13,7 @@ from spatialsketch_spark.geo.events import ITEM_DOMAIN, derive_geo_events
 from spatialsketch_spark.geo.joins import knn_join, pip_join
 from spatialsketch_spark.core.partitioner import rect_shape
 
-from conftest import SF_ORACLE
+from conftest import SF_ORACLE, SF_UNIT
 
 N = 4096
 
@@ -263,9 +263,19 @@ def test_minhash_hashing_runs_once(spark):
     band-projections shape let column pruning specialize each branch,
     silently re-executing the hashing 8× — pin the fixed shape here.
     (AQE materializes the reuse at runtime, so assert on the final
-    adaptive plan after an action.)"""
+    adaptive plan after an action.)
+
+    Uses SF_UNIT, NOT SF_ORACLE: other test modules cache the
+    SF_ORACLE documents relation, and Spark's cache manager then
+    substitutes InMemoryTableScan into BOTH join sides of this plan —
+    whose canonicalized forms differ, silently defeating exchange
+    reuse (reproduced; an InMemoryTableScan canonicalization quirk).
+    Irrelevant at production scale — nobody caches the raw 100 TB
+    corpus, and the reuse exists precisely for the uncached big-data
+    path — but this assertion must run against a relation no other
+    test caches."""
     from spatialsketch_spark.pipeline.dedup import minhash_lsh_candidates
-    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
     df = minhash_lsh_candidates(docs)
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()

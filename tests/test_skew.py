@@ -88,6 +88,21 @@ def test_transitions_bucketed_bounds_task_skew(spark, zipf_events):
     assert bucketed <= plain / 3, (plain, bucketed)
 
 
+def test_session_paths_bucketed_equals_plain(spark, zipf_events):
+    """The two-level-scan sessionization must produce the identical
+    top-path table: cross-bucket gaps come from each bucket's last
+    event and the global sid is within-bucket running starts plus the
+    earlier-bucket start total — the same cumulative numbering as the
+    single per-user scan."""
+    from spatialsketch_spark.pipeline.events import session_paths
+    plain = sorted(map(tuple,
+                       session_paths(zipf_events, topk=50).collect()))
+    bucketed = sorted(map(tuple, session_paths(
+        zipf_events, topk=50, bucket_us=HOUR_US).collect()))
+    assert plain == bucketed
+    assert len(plain) > 10
+
+
 def test_funnel_aggregates_are_map_side_partial(spark):
     """funnel/retention immunity is structural: every user_id shuffle
     in the funnel plan is fed by a partial_min/partial-aggregate, so a
