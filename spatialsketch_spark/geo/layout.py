@@ -88,3 +88,31 @@ SELECT CAST(zval // {width} AS BIGINT) AS bucket,
        CAST(MAX(zval) AS BIGINT) AS z_max
 FROM z GROUP BY 1 ORDER BY 1
 """
+
+
+def _spread_py(v: int) -> int:
+    for mul, mask in _SPREAD:
+        v = (v | v * mul) & mask
+    return v
+
+
+def zorder_rect_buckets(x1: int, y1: int, x2: int, y2: int,
+                        buckets: int = DEFAULT_BUCKETS) -> list[int]:
+    """Reader-side rewrite for a z-ordered layout: the bucket ids a
+    rectangle query touches (each bucket is one square spatial block,
+    so this is just the Morton codes of the overlapped block range).
+    Appending `bucket IN (...)` to the rect predicate turns the scan
+    into static partition pruning — only the matching partitions of a
+    bucket-partitioned table are listed and read, which is the entire
+    point of the layout at 100 TB. Pure driver arithmetic, O(#blocks
+    overlapped)."""
+    import math
+    side = int(math.isqrt(buckets))
+    if side * side != buckets:
+        raise ValueError("buckets must be a perfect square")
+    blk = (1 << ZORDER_BITS) // side
+    out = set()
+    for bx in range(int(x1) // blk, int(x2) // blk + 1):
+        for by in range(int(y1) // blk, int(y2) // blk + 1):
+            out.add(_spread_py(bx) | (_spread_py(by) << 1))
+    return sorted(out)

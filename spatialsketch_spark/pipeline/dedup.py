@@ -135,23 +135,22 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """-> (doc_id, sig_0..sig_{NUM_PERM-1}): min over shingles of
     (a_i * h + b_i) mod p, h the md5-derived shingle hash reduced mod p.
 
-    Computed entirely MAP-SIDE: the per-doc shingle set stays an array
-    and each signature is an ``array_min`` over a transform — no
-    explode, no 100-TB-of-shingle-rows shuffle (the r5 shape exploded
-    every trigram through a 12-agg groupBy; the min over the same
-    values in the same modular arithmetic is bit-identical, so the
-    DuckDB oracle is unchanged). Docs with no trigram (fewer than 3
-    words) produced no group before and are filtered the same way."""
-    words = F.split(norm_text_col(F.col("text")), " ")
-    hs = F.transform(_trigrams_of(words),
-                     lambda g: word_hash_col(g) % MINHASH_P)
-    d = (docs.select("doc_id", hs.alias("_h"))
-         .where(F.size("_h") >= 1))
-    sigs = [F.array_min(F.transform(
-        F.col("_h"),
-        lambda h: (F.lit(PERM_A[i]) * h + F.lit(PERM_B[i]))
-        % MINHASH_P)).alias(f"sig_{i}") for i in range(NUM_PERM)]
-    return d.select("doc_id", *sigs)
+    Shape note (r6, measured): explode + 12 map-side-partial min-aggs
+    IS the fast shape. The tempting "map-side" alternative — keep the
+    shingle set as an array and take ``array_min`` over transforms —
+    is ~20x SLOWER: higher-order-function lambdas (and the nested
+    trigram/md5 lambdas underneath) are evaluated interpreted per
+    element, outside whole-stage codegen, while the exploded rows run
+    the identical md5/modular arithmetic fully codegen'd. The explode
+    never materializes a shingle table to storage, and the min-aggs
+    combine map-side, so the doc_id exchange carries only 12 ints per
+    doc — there is no "100 TB of shingle rows" shuffle to avoid in the
+    first place."""
+    sh = shingle_table(docs).withColumn(
+        "h", word_hash_col(F.col("shingle")) % MINHASH_P)
+    aggs = [F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i]))
+                  % MINHASH_P).alias(f"sig_{i}") for i in range(NUM_PERM)]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
@@ -163,7 +162,7 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     specialize every branch's plan, so the expensive shingle hashing
     re-executed 8× (4 bands × both join sides). Now the 4 band keys
     explode out of each signature row AFTER a pinned repartition: the
-    exchange sits directly above the map-side hashing with the full
+    exchange sits directly above the signature aggregate with the full
     signature schema on both join sides, so the subplans canonicalize
     identically and exchange reuse executes the hashing ONCE — the
     reused shuffle carries 13 ints per doc (ReusedExchange asserted by

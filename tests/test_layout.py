@@ -26,6 +26,38 @@ def test_zorder_bucket_is_spatial_block(spark):
     assert bad == 0
 
 
+def test_zorder_layout_prunes_partitions(spark, tmp_path):
+    """The 100 TB claim made concrete: write the events bucket-
+    partitioned by Morton block, rewrite a rectangle query with
+    `zorder_rect_buckets` (bucket IN (...) + the residual rect
+    predicate), and the scan must (a) show the bucket predicate as a
+    PartitionFilter — static partition pruning, only matching
+    directories listed/read — and (b) return exactly the full-scan
+    answer."""
+    from spatialsketch_spark.gate import N
+    from spatialsketch_spark.geo.events import derive_geo_events
+    from spatialsketch_spark.geo.layout import (zorder_col,
+                                                zorder_rect_buckets)
+
+    geo = derive_geo_events(spark, SF_UNIT, N, spread=False)
+    width = (1 << 24) // 64
+    out = str(tmp_path / "zsorted")
+    (geo.withColumn("zval", zorder_col(F.col("x"), F.col("y")))
+        .withColumn("bucket", F.expr(f"zval div {width}"))
+        .drop("zval")
+        .write.partitionBy("bucket").mode("overwrite").parquet(out))
+    t = spark.read.parquet(out)
+    x1, y1, x2, y2 = 700, 900, 1800, 2600
+    rect = (F.col("x").between(x1, x2) & F.col("y").between(y1, y2))
+    bks = zorder_rect_buckets(x1, y1, x2, y2)
+    assert 0 < len(bks) < 64
+    pruned = t.where(F.col("bucket").isin(bks) & rect)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    assert pruned.count() == t.where(rect).count()
+
+
 def test_zorder_codegen_no_python_stage(spark):
     from spatialsketch_spark.gate import N
     from spatialsketch_spark.geo.layout import q_zorder_layout
