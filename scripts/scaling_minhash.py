@@ -32,6 +32,11 @@ REP = int(os.environ.get("MINHASH_REP", "200"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _corpus_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "dist", f"mh_corpus_rep{REP}")
+
+
 def run_leg(cpus: int) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -45,18 +50,28 @@ def run_leg(cpus: int) -> dict:
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                    "2m")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    # replicate via per-partition explode (crossJoin(range) would be a
-    # serial single-partition replication stage — Amdahl trap, see
-    # scripts/scaling_packing.py); salt every word per replica so
-    # shingle sets are disjoint across replicas
-    big = (docs.repartition(cpus * 4)
-           .withColumn("rep", F.explode(F.sequence(F.lit(0),
-                                                   F.lit(REP - 1))))
-           .withColumn("doc_id", F.col("doc_id") * REP + F.col("rep"))
-           .withColumn("text", F.regexp_replace(
-               F.col("text"), " ",
-               F.concat(F.lit(" q"), F.col("rep").cast("string"))))
-           .select("doc_id", "text"))
+    # the replicated + per-replica-word-salted corpus is MATERIALIZED
+    # once (untimed, shared by both legs): the salting regexp is
+    # fixture preparation, not the operator — with the r6 fast
+    # operator it would otherwise dominate the measurement. Replicate
+    # via per-partition explode (crossJoin(range) would be a serial
+    # single-partition stage — Amdahl trap, scripts/scaling_packing.py)
+    corpus = _corpus_dir()
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        (docs.repartition(128)
+         .withColumn("rep", F.explode(F.sequence(F.lit(0),
+                                                 F.lit(REP - 1))))
+         .withColumn("doc_id", F.col("doc_id") * REP + F.col("rep"))
+         .withColumn("text", F.regexp_replace(
+             F.col("text"), " ",
+             F.concat(F.lit(" q"), F.col("rep").cast("string"))))
+         .select("doc_id", "text")
+         .write.mode("overwrite").parquet(corpus))
+    # NO repartition here: the corpus parquet is written 128-way, and
+    # maxPartitionBytes splitting parallelizes the scan — a repartition
+    # would put a full disk shuffle of the text INSIDE the timed job,
+    # turning the measurement I/O-bound at every width
+    big = spark.read.parquet(corpus)
     n_rows = docs.count() * REP
     # JIT warm pass: same operator (identical codegen class shapes) on
     # the unreplicated table
@@ -75,10 +90,34 @@ def run_leg(cpus: int) -> dict:
 
 
 def main():
+    if "--prep" in sys.argv:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from spatialsketch_spark.config import get_spark
+        spark = get_spark(cpus=32)
+        corpus = _corpus_dir()
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            (docs.repartition(128)
+             .withColumn("rep", F.explode(F.sequence(F.lit(0),
+                                                     F.lit(REP - 1))))
+             .withColumn("doc_id",
+                         F.col("doc_id") * REP + F.col("rep"))
+             .withColumn("text", F.regexp_replace(
+                 F.col("text"), " ",
+                 F.concat(F.lit(" q"), F.col("rep").cast("string"))))
+             .select("doc_id", "text")
+             .write.mode("overwrite").parquet(corpus))
+        spark.stop()
+        return
     if "--cpus" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         print(json.dumps(run_leg(cpus)))
         return
+    subprocess.run([sys.executable, os.path.abspath(__file__),
+                    "--prep"], check=True, capture_output=True)
     results = {}
     for cpus in (8, 32):
         if results:

@@ -25,7 +25,8 @@ from .config import SketchConfig
 from .core.partitioner import Shape, shape_to_ranges
 from .geo.build import SketchStore
 from .geo.events import ITEM_DOMAIN, derive_geo_events, geo_events_sql
-from .geo.layout import oracle_zorder_layout, q_zorder_layout
+from .geo.layout import (oracle_geohash_rollup, oracle_zorder_layout,
+                         q_geohash_rollup, q_zorder_layout)
 from .geo.query import QuerySpec, SpatialSketchEngine
 from .sources.interleaved import build_interleaved_docs, extract_geo_events
 
@@ -949,6 +950,10 @@ GATE_QUERIES = {
     # r6: hot-cell connected components (DBSCAN-core density clusters)
     "geo_cluster_hotspots": (q_cluster_hotspots,
                              oracle_cluster_hotspots_sql),
+    # r6: standard geohash encode + prefix rollup
+    "geo_geohash_rollup": (
+        lambda s, d: q_geohash_rollup(s, d).orderBy("gh4"),
+        oracle_geohash_rollup),
 }
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402

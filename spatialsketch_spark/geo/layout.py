@@ -116,3 +116,80 @@ def zorder_rect_buckets(x1: int, y1: int, x2: int, y2: int,
         for by in range(int(y1) // blk, int(y2) // blk + 1):
             out.add(_spread_py(bx) | (_spread_py(by) << 1))
     return sorted(out)
+
+
+# 64-bit parallel bit-spread (20-bit coordinate -> even positions of a
+# 40-bit word), same construction as _SPREAD one stage wider.
+_SPREAD64 = [(1 << 16, 0x0000FFFF0000FFFF), (1 << 8, 0x00FF00FF00FF00FF),
+             (16, 0x0F0F0F0F0F0F0F0F), (4, 0x3333333333333333),
+             (2, 0x5555555555555555)]
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_BITS = 20          # lon/lat index resolution (2^20 per axis)
+GEOHASH_CHARS = 8          # 8 chars x 5 bits = 40 = 2 x 20
+
+
+def geohash_col(lon_idx, lat_idx):
+    """Standard geohash (base32, MSB-first lon/lat bit alternation
+    starting with lon) of integer grid indices lon_idx, lat_idx in
+    [0, 2^20): 8 characters = the full 40 interleaved bits, so this is
+    the exact public geohash of the grid point (pytest pins it against
+    a reference bisection encoder). All codegen: two 5-stage bit
+    spreads, then one substring lookup per character."""
+    def spread(v):
+        for mul, mask in _SPREAD64:
+            v = v.bitwiseOR(v * mul).bitwiseAND(F.lit(mask))
+        return v
+    gh = spread(lat_idx).bitwiseOR(spread(lon_idx) * 2)
+    chars = [F.substring(F.lit(GEOHASH_B32),
+                         (F.shiftright(gh, 35 - 5 * j)
+                          .bitwiseAND(F.lit(31)) + 1).cast("int"), 1)
+             for j in range(GEOHASH_CHARS)]
+    return F.concat(*chars)
+
+
+def _spread64_sql(v: str) -> str:
+    for mul, mask in _SPREAD64:
+        v = f"((({v}) | ({v}) * {mul}) & {mask})"
+    return v
+
+
+def geohash_sql(lon_idx: str, lat_idx: str) -> str:
+    """The same geohash as ANSI SQL text (DuckDB oracle side)."""
+    gh = f"({_spread64_sql(lat_idx)} | {_spread64_sql(lon_idx)} * 2)"
+    chars = " || ".join(
+        f"substr('{GEOHASH_B32}', "
+        f"CAST((({gh} >> {35 - 5 * j}) & 31) + 1 AS INT), 1)"
+        for j in range(GEOHASH_CHARS))
+    return f"({chars})"
+
+
+def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash rollup gate: events -> the same deterministic integer
+    lon/lat indices the spherical gates use (sources/geocells.py
+    lonlat_sql multipliers) -> standard 8-char geohash -> per-4-char-
+    prefix counts + min/max hash. One map-side pass + one bounded
+    aggregation; the geohash itself is pinned against a reference
+    bisection encoder in tests/test_layout.py."""
+    m = 1 << GEOHASH_BITS
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kx = F.expr(f"((event_id % {m}) * 2654435761) % {m}")
+    ky = F.expr(f"((event_id % {m}) * 2246822519 + user_id * 97) % {m}")
+    return (ev.select(geohash_col(kx, ky).alias("gh"))
+            .groupBy(F.substring("gh", 1, 4).alias("gh4"))
+            .agg(F.count("*").cast("bigint").alias("cnt"),
+                 F.min("gh").alias("gh_min"),
+                 F.max("gh").alias("gh_max")))
+
+
+def oracle_geohash_rollup() -> str:
+    m = 1 << GEOHASH_BITS
+    kx = f"((event_id % {m}) * 2654435761) % {m}"
+    ky = f"((event_id % {m}) * 2246822519 + user_id * 97) % {m}"
+    gh = geohash_sql(kx, ky)
+    return f"""
+WITH g AS (SELECT {gh} AS gh FROM events)
+SELECT substr(gh, 1, 4) AS gh4, CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(gh) AS gh_min, MAX(gh) AS gh_max
+FROM g GROUP BY 1 ORDER BY 1
+"""

@@ -65,3 +65,47 @@ def test_zorder_codegen_no_python_stage(spark):
     p = q_zorder_layout(spark, SF_UNIT, N)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_geohash_matches_reference_bisection_encoder(spark):
+    """Our bit-spread geohash must equal the PUBLIC geohash algorithm
+    (successive interval bisection, lon first) character for character
+    — so downstream systems can join on it."""
+    from spatialsketch_spark.geo.layout import (GEOHASH_B32,
+                                                GEOHASH_BITS,
+                                                geohash_col)
+
+    def ref_geohash(lon, lat, length=8):
+        lat_i = [-90.0, 90.0]
+        lon_i = [-180.0, 180.0]
+        bits = []
+        even = True
+        while len(bits) < length * 5:
+            iv = lon_i if even else lat_i
+            v = lon if even else lat
+            mid = (iv[0] + iv[1]) / 2
+            if v >= mid:
+                bits.append(1)
+                iv[0] = mid
+            else:
+                bits.append(0)
+                iv[1] = mid
+            even = not even
+        out = ""
+        for j in range(length):
+            c = 0
+            for b in bits[5 * j:5 * j + 5]:
+                c = c * 2 + b
+            out += GEOHASH_B32[c]
+        return out
+
+    m = 1 << GEOHASH_BITS
+    rows = [(i, (i * 48271) % m, (i * 16807 + 13) % m)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "i bigint, kx bigint, ky bigint")
+    got = {r["i"]: r["gh"] for r in df.select(
+        "i", geohash_col(F.col("kx"), F.col("ky")).alias("gh")).collect()}
+    for i, kx, ky in rows:
+        lon = -180.0 + 360.0 * (kx / m)
+        lat = -90.0 + 180.0 * (ky / m)
+        assert got[i] == ref_geohash(lon, lat), (i, kx, ky)
