@@ -37,6 +37,26 @@ def _corpus_dir() -> str:
         os.path.abspath(__file__))), "dist", f"mh_corpus_rep{REP}")
 
 
+def _build_corpus(spark, docs):
+    """Replicate + per-replica-word-salt the fixture corpus and write
+    it once (shared, untimed). Replicate via per-partition explode
+    (crossJoin(range) would be a serial single-partition stage —
+    Amdahl trap, scripts/scaling_packing.py)."""
+    from pyspark.sql import functions as F
+    corpus = _corpus_dir()
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        (docs.repartition(128)
+         .withColumn("rep", F.explode(F.sequence(F.lit(0),
+                                                 F.lit(REP - 1))))
+         .withColumn("doc_id", F.col("doc_id") * REP + F.col("rep"))
+         .withColumn("text", F.regexp_replace(
+             F.col("text"), " ",
+             F.concat(F.lit(" q"), F.col("rep").cast("string"))))
+         .select("doc_id", "text")
+         .write.mode("overwrite").parquet(corpus))
+    return corpus
+
+
 def run_leg(cpus: int) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -53,20 +73,8 @@ def run_leg(cpus: int) -> dict:
     # the replicated + per-replica-word-salted corpus is MATERIALIZED
     # once (untimed, shared by both legs): the salting regexp is
     # fixture preparation, not the operator — with the r6 fast
-    # operator it would otherwise dominate the measurement. Replicate
-    # via per-partition explode (crossJoin(range) would be a serial
-    # single-partition stage — Amdahl trap, scripts/scaling_packing.py)
-    corpus = _corpus_dir()
-    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        (docs.repartition(128)
-         .withColumn("rep", F.explode(F.sequence(F.lit(0),
-                                                 F.lit(REP - 1))))
-         .withColumn("doc_id", F.col("doc_id") * REP + F.col("rep"))
-         .withColumn("text", F.regexp_replace(
-             F.col("text"), " ",
-             F.concat(F.lit(" q"), F.col("rep").cast("string"))))
-         .select("doc_id", "text")
-         .write.mode("overwrite").parquet(corpus))
+    # operator it would otherwise dominate the measurement
+    corpus = _build_corpus(spark, docs)
     # NO repartition here: the corpus parquet is written 128-way, and
     # maxPartitionBytes splitting parallelizes the scan — a repartition
     # would put a full disk shuffle of the text INSIDE the timed job,
@@ -97,27 +105,19 @@ def main():
 
         from spatialsketch_spark.config import get_spark
         spark = get_spark(cpus=32)
-        corpus = _corpus_dir()
-        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-            (docs.repartition(128)
-             .withColumn("rep", F.explode(F.sequence(F.lit(0),
-                                                     F.lit(REP - 1))))
-             .withColumn("doc_id",
-                         F.col("doc_id") * REP + F.col("rep"))
-             .withColumn("text", F.regexp_replace(
-                 F.col("text"), " ",
-                 F.concat(F.lit(" q"), F.col("rep").cast("string"))))
-             .select("doc_id", "text")
-             .write.mode("overwrite").parquet(corpus))
+        _build_corpus(spark,
+                      spark.read.parquet(f"{SF_DIR}/documents.parquet"))
         spark.stop()
         return
     if "--cpus" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         print(json.dumps(run_leg(cpus)))
         return
-    subprocess.run([sys.executable, os.path.abspath(__file__),
-                    "--prep"], check=True, capture_output=True)
+    prep = subprocess.run([sys.executable, os.path.abspath(__file__),
+                           "--prep"], capture_output=True, text=True)
+    if prep.returncode != 0:
+        sys.stderr.write(prep.stderr[-4000:])
+        raise SystemExit(f"--prep failed rc={prep.returncode}")
     results = {}
     for cpus in (8, 32):
         if results:

@@ -21,13 +21,18 @@ import subprocess
 import sys
 import time
 
-REP = int(os.environ.get("MINHASH_REP", "2000"))
+REP = int(os.environ.get("MINHASH_REP", "200"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CORPUS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "dist", f"mh_corpus_rep{REP}")
 
 
 def corpus_files() -> list:
+    if not os.path.isdir(CORPUS):
+        raise SystemExit(
+            f"corpus {CORPUS} missing — build it first with "
+            f"MINHASH_REP={REP} python scripts/scaling_minhash.py "
+            f"(or just its --prep mode)")
     return sorted(os.path.join(CORPUS, f) for f in os.listdir(CORPUS)
                   if f.endswith(".parquet"))
 
@@ -72,26 +77,31 @@ def main():
         return
 
     def spawn(cores: str, cpus: int, half: str):
-        cmd = ["taskset", "-c", cores, sys.executable,
-               os.path.abspath(__file__), "--leg", str(cpus), half]
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--leg", str(cpus), half]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", cores] + cmd
         return subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                stderr=subprocess.DEVNULL, text=True)
+                                stderr=subprocess.PIPE, text=True)
+
+    def leg_result(p):
+        out, err = p.communicate()
+        lines = [l for l in out.splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not lines:
+            sys.stderr.write(err[-4000:])
+            raise SystemExit(f"leg failed rc={p.returncode}")
+        return json.loads(lines[-1])
 
     out = {}
     # single 16-core JVM, full corpus (saturation curve point)
-    p = spawn("0-15", 16, "all")
-    out["single_jvm_16c"] = json.loads(
-        [l for l in p.communicate()[0].splitlines()
-         if l.startswith("{")][-1])
+    out["single_jvm_16c"] = leg_result(spawn("0-15", 16, "all"))
     time.sleep(30)
     # two concurrent 16-core JVMs, disjoint halves + disjoint cores
     t0 = time.time()
     pa = spawn("0-15", 16, "0")
     pb = spawn("16-31", 16, "1")
-    ra = json.loads([l for l in pa.communicate()[0].splitlines()
-                     if l.startswith("{")][-1])
-    rb = json.loads([l for l in pb.communicate()[0].splitlines()
-                     if l.startswith("{")][-1])
+    ra = leg_result(pa)
+    rb = leg_result(pb)
     wall = time.time() - t0
     docs = ra["docs"] + rb["docs"]
     # conservative combined rate: total docs / slower JVM's FULL wall

@@ -52,8 +52,15 @@ def zorder_layout(geo: DataFrame,
     one ≤`buckets`-group aggregation.
 
     -> (bucket, n_events, z_min, z_max)."""
-    if buckets & (buckets - 1) or buckets <= 0:
-        raise ValueError("buckets must be a power of two")
+    import math
+    side = int(math.isqrt(buckets)) if buckets > 0 else 0
+    if buckets <= 0 or side * side != buckets or buckets & (buckets - 1):
+        # a non-square power of two (e.g. 32) would make buckets 2:1
+        # rectangles — still valid ranges, but the square-block
+        # contract documented here and the zorder_rect_buckets reader
+        # rewrite both assume squares; require what we promise
+        raise ValueError("buckets must be a perfect-square power of "
+                         "two (4, 16, 64, 256, ...)")
     width = (1 << (2 * ZORDER_BITS)) // buckets
     return (geo.withColumn("zval", zorder_col(F.col("x"), F.col("y")))
             .withColumn("bucket", F.expr(f"zval div {width}"))

@@ -645,9 +645,15 @@ def scd2_upsert(base: DataFrame,
     cols = base.columns
     parts = [base.select(*cols)
              .withColumn("valid_from", F.lit(0).cast("bigint"))]
+    prev = 0
     for v, sh in shards:
-        if int(v) <= 0:
-            raise ValueError("shard versions must be > 0 (base is 0)")
+        if int(v) <= prev:
+            # duplicate versions would tie the LEAD ordering and make
+            # interval assignment nondeterministic — fail loudly
+            raise ValueError(
+                f"shard versions must be strictly increasing and > 0 "
+                f"(got {v} after {prev})")
+        prev = int(v)
         parts.append(sh.select(*cols)
                      .withColumn("valid_from",
                                  F.lit(int(v)).cast("bigint")))
