@@ -528,13 +528,17 @@ def q_stream_join(spark, sf_dir):
     class and match arithmetic bit-for-bit.
 
     -> (k, lts_s, rts_s NULL if unmatched, matched)."""
-    key = sf_dir
+    return _stream_join_harness(spark, sf_dir, "leftOuter") \
+        .orderBy("k")
+
+
+def _stream_join_harness(spark, sf_dir, how):
+    from pyspark.sql import functions as F
+    key = (sf_dir, how)
     res = _STREAM_JOIN.get(key)
     if res is None:
         import shutil
         import tempfile
-
-        from pyspark.sql import functions as F
 
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         pairs = ev.select(F.expr("event_id div 2").alias("i")).distinct()
@@ -552,7 +556,7 @@ def q_stream_join(spark, sf_dir):
         rows = pairs.select("i", lts.alias("lts"),
                             (lts + delta).alias("rts"),
                             is_r0.alias("r0"))
-        base = tempfile.mkdtemp(prefix="gate_ssjoin_")
+        base = tempfile.mkdtemp(prefix=f"gate_ssjoin_{how}_")
         try:
             lsrc, rsrc = f"{base}/l", f"{base}/r"
             out, ckpt = f"{base}/out", f"{base}/ck"
@@ -576,8 +580,9 @@ def q_stream_join(spark, sf_dir):
                       .withWatermark("rt", "600 seconds"))
                 j = (ls.join(rs, F.expr(
                     "k = rk AND rt BETWEEN lt "
-                    "AND lt + INTERVAL 120 seconds"), "leftOuter")
-                    .select("k", "lts_s", "rts_s"))
+                    "AND lt + INTERVAL 120 seconds"), how)
+                    .select(F.coalesce("k", "rk").alias("k"),
+                            "lts_s", "rts_s"))
                 (j.writeStream.outputMode("append").format("parquet")
                  .option("path", out).option("checkpointLocation", ckpt)
                  .trigger(availableNow=True).start()
@@ -597,13 +602,53 @@ def q_stream_join(spark, sf_dir):
             run()
             res = (spark.read.parquet(out).where("k >= 0")
                    .select("k", "lts_s", "rts_s",
-                           F.col("rts_s").isNotNull().cast("int")
+                           (F.col("rts_s").isNotNull()
+                            & F.col("lts_s").isNotNull()).cast("int")
                            .alias("matched"))
                    .localCheckpoint(eager=True))
             _STREAM_JOIN[key] = res
         finally:
             shutil.rmtree(base, ignore_errors=True)
-    return res.orderBy("k")
+    return res
+
+
+def q_stream_join_outer(spark, sf_dir):
+    """FULL OUTER variant of evt_stream_join on the identical fixture:
+    both emission sides at once — unmatched lefts flush as
+    (k, lts, NULL) on state expiry, ADMITTED-but-unmatched rights
+    (on-time, delta > 120 s) as (k, NULL, rts); late rights were
+    dropped at input, so their pairs surface ONLY as the left-null
+    row. -> (k, lts_s, rts_s, matched), ordered by (k, lts_s)."""
+    return _stream_join_harness(spark, sf_dir, "fullOuter") \
+        .orderBy("k", "lts_s")
+
+
+def oracle_stream_join_outer() -> str:
+    return """
+WITH u AS (SELECT DISTINCT event_id // 2 AS i FROM events),
+c AS (SELECT i, (i % 2 = 1 AND (i // 2) % 5 = 0) AS late,
+             (i % 2 = 0) AS r0 FROM u),
+t AS (SELECT i, late,
+        10000 + CASE WHEN r0 THEN (i * 41) % 2000
+             WHEN late THEN (i * 41) % 600
+             ELSE 1520 + (i * 41) % 480 END AS lts,
+        CASE WHEN late THEN (i * 13) % 120
+             ELSE (i * 13) % 180 END AS delta
+      FROM c)
+SELECT * FROM (
+  SELECT CAST(i AS BIGINT) AS k, CAST(lts AS BIGINT) AS lts_s,
+         CAST(CASE WHEN NOT late AND delta <= 120
+              THEN lts + delta END AS BIGINT) AS rts_s,
+         CAST(CASE WHEN NOT late AND delta <= 120
+              THEN 1 ELSE 0 END AS INT) AS matched
+  FROM t
+  UNION ALL
+  SELECT CAST(i AS BIGINT) AS k, CAST(NULL AS BIGINT) AS lts_s,
+         CAST(lts + delta AS BIGINT) AS rts_s, CAST(0 AS INT) AS matched
+  FROM t WHERE NOT late AND delta > 120
+)
+ORDER BY k, COALESCE(lts_s, -1)
+"""
 
 
 def oracle_stream_join() -> str:
@@ -1174,6 +1219,8 @@ PIPELINE_GATE = {
         lambda: similarity.oracle_ivfpq_topk(EMB_QUERY_IDS, 5)),
     "evt_stream_sliding": (q_stream_sliding, oracle_stream_sliding),
     "evt_stream_join": (q_stream_join, oracle_stream_join),
+    "evt_stream_join_outer": (q_stream_join_outer,
+                              oracle_stream_join_outer),
     # r6: ANALYZE-class per-column profiling (one-pass NDV/min/max)
     "rel_profile_table": (
         lambda s, d: relational.profile_table(s, d).orderBy("col_name"),
