@@ -268,6 +268,12 @@ def run_bench(cpus: int) -> dict:
             "freq_mean_errN": round(mean_errn, 6),
             "err_le_5pct": bool(mean_err <= 0.05),
             "accuracy_skipped": skip_acc,
+            # the error means above are computed over this fraction of
+            # placements (deterministic 1-in-5 truth-join subsample —
+            # a verification pass, not the measured metric; VERDICT r6
+            # task 6 asks the artifact to say so)
+            "accuracy_sample": 0.0 if skip_acc else round(
+                len(sample) / max(len(placements), 1), 2),
             "total_wall_s": round(total, 2),
             **({"kinds": kinds_block} if kinds_block else {}),
         },

@@ -126,11 +126,18 @@ def main():
                str(cpus)]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             check=True)
-        line = [l for l in out.stdout.splitlines()
-                if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        out = subprocess.run(cmd, capture_output=True, text=True)
+        lines = [l for l in out.stdout.splitlines()
+                 if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            # a leg that exits 0 but prints no JSON (truncated output)
+            # must surface its stderr, not a bare IndexError (ADVICE r6;
+            # same contract as scaling_minhash_multijvm.leg_result)
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(
+                f"leg cpus={cpus} failed rc={out.returncode} "
+                f"(json_lines={len(lines)})")
+        results[cpus] = json.loads(lines[-1])
     eff = (results[32]["docs_per_s"] / results[8]["docs_per_s"]) / 4.0
     print(json.dumps({"minhash_scaling": {
         "cpus_8": results[8], "cpus_32": results[32],

@@ -698,13 +698,17 @@ class ElasticKernel(BaseKernel):
       ordering) though not bit-identical to single-stream insertion
       order — estimates keep the never-underestimate property.
 
-    Cost note: insertion is inherently sequential (eviction state
-    depends on arrival order), so the build is a per-event python loop
-    bounded per cell — the same class the reference's C++ insert is.
-    Unlike ECM there is no closed form (the heavy part is
-    data-dependent); a hot coarse cell pays O(events) dict ops. The
-    map-side-combined build bounds any cell to one partition's events
-    before merge, which is the structural mitigation.
+    Cost note: eviction state depends on arrival order, so insertion
+    into a CONTENDED bucket (more distinct keys than slots) is
+    inherently sequential — the same class the reference's C++ insert
+    is. But a bucket that never reaches contention folds to exact
+    per-key sums independent of order, and `_insert_fast` detects that
+    per bucket in one numpy pass, so only the contended fraction of
+    events pays the python loop (throughput floor asserted in
+    tests/test_kernels.py::test_elastic_build_cost_bound, the ECM
+    treatment VERDICT r6 task 2 asked for). The map-side-combined
+    build additionally bounds any cell to one partition's events
+    before merge, which is the structural mitigation at scale.
     """
 
     kind = "elastic"
@@ -727,7 +731,7 @@ class ElasticKernel(BaseKernel):
         return (h[0] % self.b).astype(np.int64), \
                (h[1] % self.lw).astype(np.int64)
 
-    def _insert_seq(self, st, items, values, bpos, lpos):
+    def _insert_seq(self, st, items, values, bpos, lpos, lmap=None):
         heavy, guard, light = st["heavy"], st["guard"], st["light"]
         for j in range(len(items)):
             key = int(items[j]); f = int(values[j])
@@ -742,15 +746,53 @@ class ElasticKernel(BaseKernel):
             guard[bp] += 1
             mk = min(bkt, key=lambda k: (bkt[k][0], k))
             if guard[bp] >= self.lam * bkt[mk][0]:
-                # Ostracism eviction: loser's mass moves to light
+                # Ostracism eviction: loser's mass moves to light.
+                # Every resident key arrived as an event, so its light
+                # position is in lmap (built once per call) — the old
+                # per-eviction hash_items round trip was the hot path.
+                if lmap is None:
+                    lmap = dict(zip(items.tolist(), lpos.tolist()))
                 ev_cnt, ev_flag = bkt.pop(mk)
-                lp = int(hash_items(np.array([mk]), self.coeffs,
-                                    MERSENNE_P)[1, 0] % self.lw)
-                light[lp] += ev_cnt
+                light[lmap[mk]] += ev_cnt
                 bkt[key] = [f, 1]
                 guard[bp] = 0
             else:
                 light[int(lpos[j])] += f
+
+    def _insert_fast(self, st, items, values, bpos, lpos):
+        """Vectorized common case (VERDICT r6 task 2, mirroring the ECM
+        `_EHFold` treatment): a bucket whose DISTINCT-key count is
+        <= ``slots`` can never overflow — every event either matches a
+        resident entry or installs into a free slot, so its final state
+        is exactly {key: [sum(values), flag=0]} with guard 0 and zero
+        light writes, independent of arrival order. Those buckets fold
+        in one numpy pass (lexsort + reduceat); only CONTENDED buckets
+        (distinct > slots, where eviction depends on arrival order)
+        replay the sequential insert, restricted to their own events in
+        arrival order. Bucket states are independent and light writes
+        commute, so the combined result is identical to the full
+        sequential insert (pinned bit-for-bit in
+        tests/test_kernels.py::test_elastic_fast_path_identical)."""
+        n = len(items)
+        if n == 0:
+            return
+        ordk = np.lexsort((items, bpos))
+        bi, ki = bpos[ordk], items[ordk]
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = (bi[1:] != bi[:-1]) | (ki[1:] != ki[:-1])
+        gstart = np.flatnonzero(newg)
+        gsum = np.add.reduceat(values[ordk], gstart)
+        gbkt, gkey = bi[gstart], ki[gstart]
+        contended = np.bincount(gbkt, minlength=self.b) > self.slots
+        ok = ~contended[gbkt]
+        heavy = st["heavy"]
+        for bp, k, c in zip(gbkt[ok].tolist(), gkey[ok].tolist(),
+                            gsum[ok].tolist()):
+            heavy[bp][k] = [int(c), 0]
+        if contended.any():
+            m = contended[bpos]
+            self._insert_seq(st, items[m], values[m], bpos[m], lpos[m])
 
     def build_grouped(self, cell_keys, items, values, ts):
         order, uc, starts = _group_slices(cell_keys)
@@ -764,7 +806,7 @@ class ElasticKernel(BaseKernel):
             it, va = it[o], va[o]
             st = self._new_state()
             bpos, lpos = self._positions(it)
-            self._insert_seq(st, it, va, bpos, lpos)
+            self._insert_fast(st, it, va, bpos, lpos)
             states.append(st)
         return uc, states
 

@@ -117,7 +117,21 @@ def zorder_rect_buckets(x1: int, y1: int, x2: int, y2: int,
     side = int(math.isqrt(buckets))
     if side * side != buckets:
         raise ValueError("buckets must be a perfect square")
-    blk = (1 << ZORDER_BITS) // side
+    # strict input validation (ADVICE r6): a reversed rect would
+    # silently return [] and, as the documented `bucket IN (...)`
+    # reader rewrite, silently read ZERO rows; out-of-grid coords
+    # would emit nonexistent bucket ids. Mirror zorder_layout's
+    # strictness and fail loudly instead.
+    x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
+    if x1 > x2 or y1 > y2:
+        raise ValueError(
+            f"reversed rect ({x1},{y1})-({x2},{y2}): need x1<=x2, y1<=y2")
+    lim = 1 << ZORDER_BITS
+    if min(x1, y1) < 0 or max(x2, y2) >= lim:
+        raise ValueError(
+            f"rect ({x1},{y1})-({x2},{y2}) outside the z-order grid "
+            f"[0, {lim})")
+    blk = lim // side
     out = set()
     for bx in range(int(x1) // blk, int(x2) // blk + 1):
         for by in range(int(y1) // blk, int(y2) // blk + 1):

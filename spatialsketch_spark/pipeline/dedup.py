@@ -634,7 +634,15 @@ def scd2_upsert(base: DataFrame,
     strictly increasing and > 0; ``base`` is version 0. A doc_id
     appearing in shard v replaces its previous version at v (its
     predecessor's interval closes at v); ``valid_to`` is NULL for the
-    currently-live version.
+    currently-live version. A doc_id must appear at most once per
+    shard — a duplicate would tie the LEAD ordering and make interval
+    assignment nondeterministic, so it is rejected at EXECUTION time
+    the same way version monotonicity is rejected at plan time
+    (ADVICE r6): two rows with equal (doc_id, valid_from) are exactly
+    adjacent under the interval window, so the check is
+    ``LEAD(valid_from) != valid_from`` folded into the valid_to
+    expression itself via ``assert_true`` (it feeds the output column,
+    so Catalyst cannot prune it; zero extra shuffle).
 
     Plan: one unionAll (shuffle-free) + ONE shuffle on doc_id for the
     LEAD window that closes intervals — version-chain length per doc
@@ -662,8 +670,17 @@ def scd2_upsert(base: DataFrame,
         allr = allr.unionByName(p)
     from pyspark.sql.window import Window
     w = Window.partitionBy("doc_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    # coalesce(assert_true(...), nxt): NULL (pass) -> nxt; a duplicate
+    # (doc_id, valid_from) pair -> runtime error naming the invariant
     return allr.withColumn(
-        "valid_to", F.lead("valid_from").over(w).cast("bigint"))
+        "valid_to",
+        F.coalesce(
+            F.assert_true(
+                nxt.isNull() | (nxt != F.col("valid_from")),
+                F.lit("scd2_upsert: duplicate doc_id within one shard "
+                      "(ties the LEAD ordering; dedupe the shard first)")),
+            nxt).cast("bigint"))
 
 
 def scd2_asof(versioned: DataFrame, version: int) -> DataFrame:

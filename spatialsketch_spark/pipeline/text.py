@@ -851,7 +851,12 @@ def hist_quantiles(docs: DataFrame, col: str = "n_chars",
 
     Plan: one pass to the per-(lang, bucket) count table (cardinality
     ≤ value-range/width per stratum — bounded state), then a tiny
-    cumulative window over buckets.
+    cumulative window over buckets, then ONE aggregate with the
+    quantile list exploded against the (tiny) cum table — the raw data
+    is touched exactly once, structurally, not via exchange-reuse luck
+    (ADVICE r6: the previous 4-branch union re-derived the aggregate
+    per quantile and its "one pass" held only if ReusedExchange
+    deduplicated the identical subplans).
 
     -> (lang, q, ub, n)."""
     from pyspark.sql.window import Window
@@ -862,18 +867,16 @@ def hist_quantiles(docs: DataFrame, col: str = "n_chars",
     cum = (h.withColumn("cum", F.sum("c").over(
         wl.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("n", F.sum("c").over(wl)))
-    outs = None
-    for q in qs:
-        # integer ceil(n*q/100): (n*q + 99) div 100
-        need = F.expr(f"(n * {int(q)} + 99) div 100")
-        o = (cum.where(F.col("cum") >= need)
-             .groupBy("lang", "n")
-             .agg(F.min("b").alias("b"))
-             .select("lang", F.lit(int(q)).cast("bigint").alias("q"),
-                     ((F.col("b") + 1) * width - 1).cast("bigint")
-                     .alias("ub"), F.col("n").cast("bigint")))
-        outs = o if outs is None else outs.unionByName(o)
-    return outs
+    qarr = F.array(*[F.lit(int(q)) for q in qs])
+    # integer ceil(n*q/100): (n*q + 99) div 100
+    return (cum.select("lang", "b", "cum", "n",
+                       F.explode(qarr).alias("q"))
+            .where(F.col("cum") >= F.expr("(n * q + 99) div 100"))
+            .groupBy("lang", "q", "n")
+            .agg(F.min("b").alias("b"))
+            .select("lang", F.col("q").cast("bigint").alias("q"),
+                    ((F.col("b") + 1) * width - 1).cast("bigint")
+                    .alias("ub"), F.col("n").cast("bigint").alias("n")))
 
 
 def oracle_hist_quantiles(col: str = "n_chars", width: int = 64,

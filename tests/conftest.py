@@ -9,6 +9,13 @@ SF_UNIT = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    # register the ad-hoc mark used by test_submit (VERDICT r6 task 8:
+    # the unregistered mark was the suite's only warning)
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end check")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from spatialsketch_spark.config import get_spark

@@ -454,3 +454,90 @@ def test_ecm_mixed_weight_fold_cost_bound():
     for r in range(kern.d):
         tot = sum(b[0] for slot in st[0][r] for b in slot)
         assert tot == vals.sum()
+
+
+def _elastic_state_eq(a, b):
+    if not np.array_equal(a["light"], b["light"]):
+        return False
+    if not np.array_equal(a["guard"], b["guard"]):
+        return False
+    return [dict(bkt) for bkt in a["heavy"]] == \
+           [dict(bkt) for bkt in b["heavy"]]
+
+
+def test_elastic_fast_path_identical():
+    """VERDICT r6 task 2: the vectorized non-contended-bucket fold must
+    be bit-identical to the full sequential insert — including light
+    array, guards, counts AND flags — across skew regimes (all-light
+    uniform, Zipf-hot with evictions, tiny domains where every bucket
+    is contended, mixed weights)."""
+    from spatialsketch_spark.core.kernels import ElasticKernel
+    rng = np.random.default_rng(17)
+    cases = [
+        (rng.integers(0, 40, 5000), np.ones(5000)),          # few keys
+        ((rng.zipf(1.2, 8000) % 3000), np.ones(8000)),       # zipf hot
+        (rng.integers(0, 3000, 8000),
+         rng.integers(1, 7, 8000)),                          # dense+wts
+        (rng.integers(0, 9, 300), np.ones(300)),             # <= slots
+        (np.array([], dtype=np.int64), np.array([])),        # empty
+    ]
+    for b, slots in ((8, 4), (2, 2), (1, 1)):
+        kern = ElasticKernel(n_buckets=b, slots=slots, light_width=32,
+                             lam=8, seed=7)
+        for items, values in cases:
+            items = items.astype(np.int64)
+            values = values.astype(np.int64)
+            bpos, lpos = (kern._positions(items) if len(items)
+                          else (items, items))
+            st_fast = kern._new_state()
+            kern._insert_fast(st_fast, items, values, bpos, lpos)
+            st_seq = kern._new_state()
+            kern._insert_seq(st_seq, items, values, bpos, lpos)
+            assert _elastic_state_eq(st_fast, st_seq), (b, slots)
+            # and through the public grouped-build entry point
+            cells = (items % 3).astype(np.int64)
+            ts = np.arange(len(items), dtype=np.int64)
+            uc, sts = kern.build_grouped(cells, items, values, ts)
+            total = sum(kern.query_total(s) for s in sts)
+            assert total == int(values.sum())
+
+
+def test_elastic_build_cost_bound():
+    """VERDICT r6 task 2 (the ECM `_EHFold` treatment for elastic): a
+    fully hot cell at realistic parameters must sustain a floor that
+    only a complexity-class regression can trip. With the vectorized
+    non-contended fold this box runs the realistic mixed regime at
+    >1M ev/s (most buckets never contend) and the WORST case — every
+    bucket contended, constant evictions — at ~150k ev/s via the
+    per-call light-position map; pin both well under measured (8x /
+    5x slack) so box noise can't flake, mirroring
+    test_ecm_mixed_weight_fold_cost_bound."""
+    import time
+    from spatialsketch_spark.core.kernels import ElasticKernel
+    rng = np.random.default_rng(11)
+    n = 200_000
+    ts = np.arange(n, dtype=np.int64)
+    cells = np.zeros(n, dtype=np.int64)
+
+    # realistic regime: large domain over a realistic budget — the
+    # common case the fast path vectorizes
+    kern = ElasticKernel(n_buckets=4096, slots=4, light_width=4096,
+                         lam=8, seed=7)
+    items = (rng.zipf(1.3, n) % 100_000).astype(np.int64)
+    vals = rng.integers(1, 5, n).astype(np.int64)
+    t0 = time.perf_counter()
+    _, st = kern.build_grouped(cells, items, vals, ts)
+    rate = n / (time.perf_counter() - t0)
+    assert rate > 125_000, f"elastic realistic build: {rate:,.0f} ev/s"
+    tot = sum(c for bkt in st[0]["heavy"] for c, _ in bkt.values())
+    assert tot + int(st[0]["light"].sum()) == int(vals.sum())
+
+    # adversarial regime: tiny table, every bucket contended — the
+    # sequential fallback's own floor
+    kern2 = ElasticKernel(n_buckets=16, slots=4, light_width=64,
+                          lam=8, seed=7)
+    items2 = rng.integers(0, 10_000, n).astype(np.int64)
+    t0 = time.perf_counter()
+    _, st2 = kern2.build_grouped(cells, items2, vals, ts)
+    rate2 = n / (time.perf_counter() - t0)
+    assert rate2 > 30_000, f"elastic contended build: {rate2:,.0f} ev/s"
