@@ -6,8 +6,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .pipeline import (dedup, events, media, packing, relational,
-                       sampling, similarity, spans, temporal, text)
+from .pipeline import (curation, dedup, events, media, packing,
+                       relational, sampling, similarity, spans, temporal,
+                       text)
 
 EMB_QUERY_IDS = [0, 1, 2, 3]
 
@@ -30,6 +31,49 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("text_hash")
+
+
+DOMAIN_CAP_K = 30
+
+
+def _canon_docs(spark, sf_dir):
+    """documents + url + canon_url + registrable domain (the shared
+    front of the r7 URL/domain curation gates)."""
+    d = curation.with_url(_docs(spark, sf_dir))
+    d = curation.url_canonicalize(d)
+    return curation.registrable_domain(d)
+
+
+def q_url_canonical(spark, sf_dir):
+    import pyspark.sql.functions as F
+    return (_canon_docs(spark, sf_dir)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "url", "canon_url")
+            .orderBy("doc_id"))
+
+
+def q_domain_rollup(spark, sf_dir):
+    import pyspark.sql.functions as F
+    return (_canon_docs(spark, sf_dir)
+            .groupBy("domain")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.countDistinct("canon_url").cast("bigint")
+                 .alias("n_urls"))
+            .orderBy("domain"))
+
+
+def q_domain_cap(spark, sf_dir):
+    import pyspark.sql.functions as F
+    return (curation.domain_cap(_canon_docs(spark, sf_dir),
+                                DOMAIN_CAP_K)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "domain", "rk")
+            .orderBy("domain", "rk"))
+
+
+def q_url_dedup(spark, sf_dir):
+    return (curation.url_dedup(_canon_docs(spark, sf_dir))
+            .orderBy("canon_url"))
 
 
 def q_span_dedup(spark, sf_dir):
@@ -495,6 +539,136 @@ SELECT CAST((ts_s // 60) * 60 AS BIGINT) AS win_start,
 FROM r, wm
 WHERE p = 0 OR (ts_s // 60) * 60 + 60 > w0
 GROUP BY 1 ORDER BY 1
+"""
+
+
+_STREAM_SESSION = {}
+
+
+def q_stream_session(spark, sf_dir):
+    """Structured-Streaming SESSION windows (`F.session_window`, gap
+    sessionization with stateful merge — VERDICT r6 task 4, the batch
+    twin is `session_paths`): per-key sessions with a 120 s gap and a
+    600 s watermark, run as three availableNow restarts of one
+    checkpoint:
+
+      run 0  even half: a sparse "closed block" (md5-hashed designed
+             [10000, 34000) over 40 keys — per-key spacings
+             straddle the 120 s gap, so each key splits into MANY
+             sessions) plus an "open tail" (i%5==4, ts in
+             [34000, 34200)) whose sessions stay buffered in state
+      run 1  odd half: 1/5 deliberately LATE (ts in [10000, 11200),
+             ts AND ts+gap ≥ 60 s below run-0's watermark — dropped
+             under either the input-filter or state reading), 4/5
+             on-time in [34100, 34400) — these MUST merge into the
+             run-0 buffered tail sessions, proving session state
+             survived the restart; every EMITTED run-0 session's last
+             event sits ≥ 621 s (> gap + 60) below the on-time class,
+             so no emitted-and-final session could ever need them
+      run 2  a far-future sentinel flushing all state
+
+    Determinism: all designed ts are shifted +10000 (a ts of exactly 0
+    collides with the INITIAL watermark) and every class sits ≥ 60 s
+    from every watermark threshold. Spark's merge boundary is
+    END-INCLUSIVE: two events exactly gap apart DO merge (pinned
+    empirically on this fixture — the md5-spread block contains
+    exact-120 pairs, and Spark emitted 7 fewer sessions than a
+    strict-overlap oracle; `diff > gap → new session` matches
+    bit-for-bit). The DuckDB oracle recomputes the watermark, the
+    keep/drop verdict, and the full gap sessionization of the
+    surviving rows bit-for-bit.
+
+    -> (k, sess_start, sess_end epoch-seconds, cnt), sentinel
+    excluded."""
+    from pyspark.sql import functions as F
+    key = sf_dir
+    res = _STREAM_SESSION.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        i = F.expr("event_id div 2")
+        p = F.expr("event_id % 2")
+        ts_s = (F.when((p == 0) & (i % 5 == 4),
+                       F.lit(34000) + (i * 37) % 200)
+                .when(p == 0, F.lit(10000) + F.expr(
+                    "cast(conv(substring(md5(cast(event_id div 2 as "
+                    "string)), 1, 15), 16, 10) as bigint)") % 24000)
+                .when(i % 5 == 0, F.lit(10000) + (i * 37) % 1200)
+                .otherwise(F.lit(34100) + (i * 37) % 300)
+                ).cast("bigint").alias("ts_s")
+        rows = ev.select((i % 40).cast("bigint").alias("k"), ts_s,
+                         p.alias("p"))
+        base = tempfile.mkdtemp(prefix="gate_ssess_")
+        try:
+            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
+            rows.where("p = 0").select("k", "ts_s").coalesce(1) \
+                .write.mode("overwrite").parquet(src)
+
+            def run():
+                stream = (
+                    spark.readStream.schema("k bigint, ts_s bigint")
+                    .parquet(src)
+                    .select("k", F.timestamp_seconds("ts_s").alias("ts"))
+                    .withWatermark("ts", "600 seconds")
+                    .groupBy("k", F.session_window("ts", "120 seconds"))
+                    .count()
+                    .select("k",
+                            F.col("session_window.start").cast("long")
+                            .alias("sess_start"),
+                            F.col("session_window.end").cast("long")
+                            .alias("sess_end"),
+                            F.col("count").cast("long").alias("cnt")))
+                (stream.writeStream.outputMode("append").format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            run()
+            rows.where("p = 1").select("k", "ts_s").coalesce(1) \
+                .write.mode("append").parquet(src)
+            run()
+            spark.createDataFrame([(0, 100000)], "k bigint, ts_s bigint") \
+                .coalesce(1).write.mode("append").parquet(src)
+            run()
+            res = (spark.read.parquet(out)
+                   .where("sess_start < 50000")
+                   .localCheckpoint(eager=True))
+            _STREAM_SESSION[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("k", "sess_start")
+
+
+def oracle_stream_session() -> str:
+    return """
+WITH base AS (SELECT event_id // 2 AS i, event_id % 2 AS p FROM events),
+r AS (SELECT i % 40 AS k,
+        CASE WHEN p = 0 AND i % 5 = 4 THEN 34000 + (i * 37) % 200
+             WHEN p = 0 THEN 10000 +
+               (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % 24000)
+             WHEN i % 5 = 0 THEN 10000 + (i * 37) % 1200
+             ELSE 34100 + (i * 37) % 300 END AS ts_s, p FROM base),
+wm AS (SELECT MAX(ts_s) - 600 AS w0 FROM r WHERE p = 0),
+kept AS (SELECT k, ts_s FROM r, wm WHERE p = 0 OR ts_s > w0),
+marked AS (SELECT k, ts_s,
+             CASE WHEN ts_s - LAG(ts_s) OVER
+                    (PARTITION BY k ORDER BY ts_s) > 120
+                  OR LAG(ts_s) OVER (PARTITION BY k ORDER BY ts_s)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM kept),
+sess AS (SELECT k, ts_s,
+           SUM(new_s) OVER (PARTITION BY k ORDER BY ts_s
+                            ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(MIN(ts_s) AS BIGINT) AS sess_start,
+       CAST(MAX(ts_s) + 120 AS BIGINT) AS sess_end,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM sess GROUP BY k, sid ORDER BY k, sess_start
 """
 
 
@@ -1086,6 +1260,14 @@ PIPELINE_GATE = {
     "tmp_range_join_bucketed": (q_range_join_bucketed, oracle_range_join),
     "tmp_time_rollup": (q_time_rollup, oracle_time_rollup),
     "doc_exact_dedup": (q_exact_dedup, dedup.oracle_exact_dedup),
+    # r7: URL/domain curation family (VERDICT r6 task 3)
+    "doc_url_canonical": (q_url_canonical,
+                          curation.oracle_url_canonical),
+    "doc_domain_rollup": (q_domain_rollup,
+                          curation.oracle_domain_rollup),
+    "doc_domain_cap": (q_domain_cap,
+                       lambda: curation.oracle_domain_cap(DOMAIN_CAP_K)),
+    "doc_url_dedup": (q_url_dedup, curation.oracle_url_dedup),
     "doc_stratified_sample": (
         q_stratified_sample,
         lambda: sampling.oracle_stratified_sample(["lang", "source"], 7)),
@@ -1218,6 +1400,8 @@ PIPELINE_GATE = {
         q_ivfpq_topk,
         lambda: similarity.oracle_ivfpq_topk(EMB_QUERY_IDS, 5)),
     "evt_stream_sliding": (q_stream_sliding, oracle_stream_sliding),
+    # r7: stateful gap sessionization (VERDICT r6 task 4)
+    "evt_stream_session": (q_stream_session, oracle_stream_session),
     "evt_stream_join": (q_stream_join, oracle_stream_join),
     "evt_stream_join_outer": (q_stream_join_outer,
                               oracle_stream_join_outer),

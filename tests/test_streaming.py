@@ -338,3 +338,61 @@ SELECT COUNT(*) FROM r, wm
 WHERE p = 0 OR (ts_s // 60) * 60 + 120 > w0
 """).fetchone()[0]
     assert int(got.cnt.sum()) == 2 * kept
+
+
+def test_stream_session_fixture_margins_and_structure(spark, duck):
+    """r7 session-window gate: (1) bit-match vs the DuckDB oracle,
+    (2) the determinism margins hold at the oracle SF — late rows'
+    session ends sit >= 60 s below run-0's watermark, on-time run-1
+    rows sit >= 60 s above it AND > gap + 60 above every run-0 session
+    that could already be emitted, (3) late drops and cross-restart
+    merges actually happen (emitted total = kept rows; some session
+    spans the run-0 tail AND run-1 on-time ranges), (4) the fixture
+    contains exact-gap pairs, pinning Spark's END-INCLUSIVE merge
+    boundary (they must merge)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from conftest import SF_ORACLE
+    from spatialsketch_spark.gate_pipeline import (oracle_stream_session,
+                                                   q_stream_session)
+    got = q_stream_session(spark, SF_ORACLE).toPandas() \
+        .reset_index(drop=True)
+    want = duck.execute(oracle_stream_session()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    i = F.expr("event_id div 2")
+    p = F.expr("event_id % 2")
+    blk = F.expr("cast(conv(substring(md5(cast(event_id div 2 as "
+                 "string)), 1, 15), 16, 10) as bigint) % 24000")
+    ts_s = (F.when((p == 0) & (i % 5 == 4), F.lit(34000) + (i * 37) % 200)
+            .when(p == 0, F.lit(10000) + blk)
+            .when(i % 5 == 0, F.lit(10000) + (i * 37) % 1200)
+            .otherwise(F.lit(34100) + (i * 37) % 300)).cast("bigint")
+    rows = ev.select((i % 40).cast("bigint").alias("k"),
+                     ts_s.alias("ts_s"), p.alias("p")).cache()
+    wm0 = rows.where("p = 0").agg(F.max("ts_s")).collect()[0][0] - 600
+    late = rows.where("p = 1").where("ts_s < 20000")
+    n_late = late.count()
+    assert n_late > 0
+    assert late.agg(F.max("ts_s")).collect()[0][0] + 120 <= wm0 - 60
+    ontime_min = rows.where("p = 1").where("ts_s >= 20000") \
+        .agg(F.min("ts_s")).collect()[0][0]
+    assert ontime_min >= wm0 + 60
+    # any run-0 session emitted before run 1 ends <= wm0, i.e. its last
+    # event <= wm0 - 120; on-time rows must sit > gap + 60 above that
+    assert ontime_min - (wm0 - 120) > 120 + 60
+    # all kept rows emitted, late dropped
+    assert int(got["cnt"].sum()) == rows.count() - n_late
+    # cross-restart merge: some session starts in the run-0 tail range
+    # and ends after a run-1 on-time event extended it
+    merged = got[(got.sess_start < 34100) & (got.sess_end > 34220)]
+    assert len(merged) > 0, "no session merged across the restart"
+    # exact-gap pairs exist somewhere in the kept stream and merged
+    kept = rows.where("p = 0 or ts_s >= 20000")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("k").orderBy("ts_s")
+    gaps = kept.withColumn("d", F.col("ts_s") - F.lag("ts_s").over(w))
+    n_exact = gaps.where("d = 120").count()
+    assert n_exact > 0, "fixture lost its exact-gap boundary pairs"
+    rows.unpersist()
