@@ -226,7 +226,7 @@ def run_bench(cpus: int) -> dict:
     skip_pipe = os.environ.get("BENCH_SKIP_PIPELINE") == "1"
     pipe_trials = int(os.environ.get("BENCH_PIPE_TRIALS", "2"))
     for name in ([] if skip_pipe else ["doc_exact_dedup", "doc_minhash_lsh", "doc_token_stats",
-                 "doc_seq_pack", "doc_tfidf",
+                 "doc_seq_pack", "doc_tfidf", "doc_url_dedup",
                  "emb_cosine_topk", "emb_ivf_topk", "emb_pq_topk",
                  "geo_pip_assign", "geo_knn", "geo_cap_filter",
                  "geo_hotspot", "geo_zorder_layout",

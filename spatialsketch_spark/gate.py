@@ -25,8 +25,9 @@ from .config import SketchConfig
 from .core.partitioner import Shape, shape_to_ranges
 from .geo.build import SketchStore
 from .geo.events import ITEM_DOMAIN, derive_geo_events, geo_events_sql
-from .geo.layout import (oracle_geohash_rollup, oracle_zorder_layout,
-                         q_geohash_rollup, q_zorder_layout)
+from .geo.layout import (oracle_geohash_rollup, oracle_hilbert_layout,
+                         oracle_zorder_layout, q_geohash_rollup,
+                         q_hilbert_layout, q_zorder_layout)
 from .geo.query import QuerySpec, SpatialSketchEngine
 from .sources.interleaved import build_interleaved_docs, extract_geo_events
 
@@ -947,6 +948,10 @@ GATE_QUERIES = {
     "geo_zorder_layout": (
         lambda s, d: q_zorder_layout(s, d, N),
         lambda: oracle_zorder_layout(N)),
+    # r7: Hilbert-curve layout (the jump-free locality twin of zorder)
+    "geo_hilbert_layout": (
+        lambda s, d: q_hilbert_layout(s, d, N),
+        lambda: oracle_hilbert_layout(N)),
     # r6: hot-cell connected components (DBSCAN-core density clusters)
     "geo_cluster_hotspots": (q_cluster_hotspots,
                              oracle_cluster_hotspots_sql),

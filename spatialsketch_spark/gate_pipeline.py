@@ -542,6 +542,130 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_STREAM_DEDUP_WM = {}
+
+
+def q_stream_dedup_wm(spark, sf_dir):
+    """Watermark-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`
+    — the scale-correct form of `doc_stream_dedup`, whose plain
+    `dropDuplicates` state grows forever): per-key dedup state lives
+    only until the watermark passes the stored event time + delay, so
+    state size is bounded by the watermark horizon at ANY stream
+    length. Two availableNow runs of one checkpoint prove all three
+    contracts at once:
+
+      run 0  OLD keys (ts in [10000, 10300)), RECENT keys (ts in
+             [12500, 12700)), a same-batch duplicate-pair class, and
+             a driver row pinning max ts = 13000 → committed
+             watermark wm0 = 12400. Every distinct key emits once.
+      run 1  - OLD keys replayed at on-time ts (> wm0 + 60): their
+               state EXPIRED (old ts + 600 ≤ wm0 − 60), so they emit
+               AGAIN — the bounded-state eviction proof (plain
+               dropDuplicates would suppress them forever)
+             - RECENT keys replayed: state still alive (ts + 600 ≥
+               wm0 + 60) → correctly deduped across the restart
+             - brand-new keys at LATE ts (≤ wm0 − 60) → dropped by
+               the watermark filter, never emitted
+
+    Every class sits ≥ 60 s from every eviction/late boundary under
+    either <= or < semantics; the duplicate-pair keys are never
+    replayed, so their (batch-order-dependent) stored timestamp can
+    never matter. Oracle: DuckDB recomputes wm0 and replays the
+    eviction rule per key.
+
+    -> (k, run) — a key appears twice exactly when its state was
+    evicted between its two arrivals."""
+    from pyspark.sql import functions as F
+    key = sf_dir
+    res = _STREAM_DEDUP_WM.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        i = F.expr("event_id div 2")
+        p = F.expr("event_id % 2")
+        c = i % 10
+        # run-0 rows
+        k0 = F.when(c == 7, i - (i % 20 - 7)).otherwise(i)  # pair 7/17
+        ts0 = (F.when(c <= 3, F.lit(10000) + (i * 37) % 300)
+               .when(c == 8, F.lit(13000))
+               .when(c == 7, F.lit(10000) + (i * 37) % 300)
+               .otherwise(F.lit(12500) + (i * 37) % 200))
+        # run-1 rows
+        k1 = F.when(c >= 7, F.lit(1000000) + i).otherwise(i)
+        ts1 = (F.when(c <= 1, F.lit(12600) + (i * 37) % 200)
+               .when(c <= 3, F.lit(12600) + (i * 37) % 200)
+               .when(c <= 6, F.lit(12600) + (i * 37) % 100)
+               .otherwise(F.lit(11000) + (i * 37) % 1000))
+        keep1 = (c <= 1) | ((c >= 4) & (c <= 6)) | (c >= 7)
+        r0 = ev.where(p == 0).select(k0.cast("bigint").alias("k"),
+                                     ts0.cast("bigint").alias("ts_s"))
+        r1 = (ev.where(p == 1).where(keep1)
+              .select(k1.cast("bigint").alias("k"),
+                      ts1.cast("bigint").alias("ts_s")))
+        base = tempfile.mkdtemp(prefix="gate_sdwm_")
+        try:
+            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
+            r0.coalesce(1).write.mode("overwrite").parquet(src)
+
+            def run(tag):
+                stream = (
+                    spark.readStream.schema("k bigint, ts_s bigint")
+                    .parquet(src)
+                    .select("k", F.timestamp_seconds("ts_s").alias("ts"))
+                    .withWatermark("ts", "600 seconds")
+                    .dropDuplicatesWithinWatermark(["k"])
+                    .select("k"))
+
+                def sink(bdf, _bid):
+                    bdf.withColumn("run", F.lit(tag).cast("bigint")) \
+                        .write.mode("append").parquet(out)
+
+                (stream.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            run(0)
+            r1.coalesce(1).write.mode("append").parquet(src)
+            run(1)
+            res = spark.read.parquet(out).localCheckpoint(eager=True)
+            _STREAM_DEDUP_WM[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("k", "run")
+
+
+def oracle_stream_dedup_wm() -> str:
+    return """
+WITH base AS (SELECT event_id // 2 AS i, event_id % 2 AS p FROM base_ev),
+r0 AS (SELECT CASE WHEN i % 10 = 7 THEN i - (i % 20 - 7) ELSE i END AS k,
+         CASE WHEN i % 10 <= 3 OR i % 10 = 7
+                THEN 10000 + (i * 37) % 300
+              WHEN i % 10 = 8 THEN 13000
+              ELSE 12500 + (i * 37) % 200 END AS ts_s
+       FROM base WHERE p = 0),
+r1 AS (SELECT CASE WHEN i % 10 >= 7 THEN 1000000 + i ELSE i END AS k,
+         CASE WHEN i % 10 <= 3 THEN 12600 + (i * 37) % 200
+              WHEN i % 10 <= 6 THEN 12600 + (i * 37) % 100
+              ELSE 11000 + (i * 37) % 1000 END AS ts_s
+       FROM base
+       WHERE p = 1 AND (i % 10 <= 1 OR i % 10 >= 4)),
+wm AS (SELECT MAX(ts_s) - 600 AS w0 FROM r0),
+st AS (SELECT k, MIN(ts_s) AS ts0 FROM r0 GROUP BY k),
+em1 AS (SELECT DISTINCT r1.k
+        FROM r1 CROSS JOIN wm LEFT JOIN st ON r1.k = st.k
+        WHERE r1.ts_s > wm.w0
+          AND (st.k IS NULL OR st.ts0 + 600 < wm.w0))
+SELECT CAST(k AS BIGINT) AS k, CAST(0 AS BIGINT) AS run
+FROM (SELECT DISTINCT k FROM r0)
+UNION ALL
+SELECT CAST(k AS BIGINT) AS k, CAST(1 AS BIGINT) AS run FROM em1
+ORDER BY k, run
+""".replace("base_ev", "events")
+
+
 _STREAM_SESSION = {}
 
 
@@ -1402,6 +1526,8 @@ PIPELINE_GATE = {
     "evt_stream_sliding": (q_stream_sliding, oracle_stream_sliding),
     # r7: stateful gap sessionization (VERDICT r6 task 4)
     "evt_stream_session": (q_stream_session, oracle_stream_session),
+    # r7: watermark-bounded streaming dedup (state eviction proven)
+    "evt_stream_dedup_wm": (q_stream_dedup_wm, oracle_stream_dedup_wm),
     "evt_stream_join": (q_stream_join, oracle_stream_join),
     "evt_stream_join_outer": (q_stream_join_outer,
                               oracle_stream_join_outer),

@@ -109,3 +109,55 @@ def test_geohash_matches_reference_bisection_encoder(spark):
         lon = -180.0 + 360.0 * (kx / m)
         lat = -90.0 + 180.0 * (ky / m)
         assert got[i] == ref_geohash(lon, lat), (i, kx, ky)
+
+
+def test_hilbert_matches_public_algorithm(spark):
+    """hilbert_col must equal the public xy2d fold (Wikipedia Hilbert
+    curve) value-for-value, and be injective (a space-filling curve is
+    a bijection) on the sample."""
+    import random
+    from spatialsketch_spark.geo.layout import (HILBERT_BITS,
+                                                hilbert_col,
+                                                hilbert_xy2d_py)
+    n = 1 << HILBERT_BITS
+    random.seed(5)
+    pts = [(random.randrange(n), random.randrange(n)) for _ in range(400)]
+    pts += [(0, 0), (n - 1, 0), (0, n - 1), (n - 1, n - 1), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.x, r.y): r.hd for r in hilbert_col(df).collect()}
+    for (x, y), hd in got.items():
+        assert hd == hilbert_xy2d_py(n, x, y), (x, y, hd)
+        assert 0 <= hd < n * n
+    assert len(set(got.values())) == len(got)
+    p = hilbert_col(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_hilbert_beats_morton_fragmentation():
+    """The reason to offer Hilbert next to Morton: a rectangle query
+    over a curve-ordered layout reads one contiguous range per RUN of
+    consecutive curve indices inside the rect — fewer runs = fewer
+    seeks / bigger coalesced reads. Hilbert (no Z-jumps) must produce
+    fewer runs than Morton summed over a set of random rects on a
+    64x64 grid (pure-python check against the same reference fold)."""
+    import random
+    from spatialsketch_spark.geo.layout import (_spread_py,
+                                                hilbert_xy2d_py)
+
+    def runs(codes):
+        cs = sorted(codes)
+        return 1 + sum(1 for a, b in zip(cs, cs[1:]) if b != a + 1)
+
+    n = 64
+    random.seed(9)
+    h_runs = m_runs = 0
+    for _ in range(40):
+        x1 = random.randrange(n - 8); y1 = random.randrange(n - 8)
+        x2 = x1 + random.randrange(4, n - x1)
+        y2 = y1 + random.randrange(4, n - y1)
+        cells = [(x, y) for x in range(x1, x2 + 1)
+                 for y in range(y1, y2 + 1)]
+        h_runs += runs([hilbert_xy2d_py(n, x, y) for x, y in cells])
+        m_runs += runs([_spread_py(x) | (_spread_py(y) << 1)
+                        for x, y in cells])
+    assert h_runs < m_runs, (h_runs, m_runs)
