@@ -1037,6 +1037,14 @@ def q_scd2_asof(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def q_ivfpq_res_topk(spark, sf_dir):
+    """Residual-quantized IVF-PQ at the same PRUNED config (r7): PQ
+    codes over x − centroid(list) with a per-(query, list) ADC; the
+    oracle replays the whole residual path bit-for-bit."""
+    return similarity.ivfpq_residual_topk(
+        _emb(spark, sf_dir), EMB_QUERY_IDS, 5).orderBy("qid", "rank")
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ composed ANN at its PRUNED config (nprobe=2 of 8 lists,
     refine=4) — the oracle replays coarse assign + encode + ADC +
@@ -1523,6 +1531,10 @@ PIPELINE_GATE = {
     "emb_ivfpq_topk": (
         q_ivfpq_topk,
         lambda: similarity.oracle_ivfpq_topk(EMB_QUERY_IDS, 5)),
+    # r7: residual-quantized IVF-PQ (the FAISS-default recall upgrade)
+    "emb_ivfpq_res_topk": (
+        q_ivfpq_res_topk,
+        lambda: similarity.oracle_ivfpq_residual_topk(EMB_QUERY_IDS, 5)),
     "evt_stream_sliding": (q_stream_sliding, oracle_stream_sliding),
     # r7: stateful gap sessionization (VERDICT r6 task 4)
     "evt_stream_session": (q_stream_session, oracle_stream_session),

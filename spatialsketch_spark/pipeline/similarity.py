@@ -1181,3 +1181,225 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
 FROM exact QUALIFY rank <= {topk}
 ORDER BY qid, rank
 """
+
+
+def _residual_subvectors(emb: DataFrame, nlist: int,
+                         m: int) -> DataFrame:
+    """(vec_id, cid, m, sv): each vector's RESIDUAL against its coarse
+    centroid (fixed-point int subtraction — exact), split into m
+    subvector slices. The residual table is one broadcast-join pass
+    over the base table (centroids are nlist rows)."""
+    q = _quantized(emb)
+    dim = len(emb.select("embedding").head()["embedding"])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    lists = kmeans_assign(emb, nlist).select("vec_id", "cid")
+    cents = (q.where(F.col("vec_id") < nlist)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("xq").alias("cx")))
+    rx = F.zip_with("xq", "cx", lambda a, b: a - b)
+    res = (q.join(lists, "vec_id").join(F.broadcast(cents), "cid")
+           .select("vec_id", "cid", rx.alias("rx")))
+    w = F.lit(dim // m)
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
+    return (res.select("vec_id", "cid", "rx", ms)
+            .select("vec_id", "cid", "m",
+                    F.slice("rx", F.col("m") * w + 1, w).alias("sv")))
+
+
+def ivfpq_residual_topk(emb: DataFrame, query_ids: list, topk: int = 5,
+                        nprobe: int = 2, refine: int = 4,
+                        nlist: int = KMEANS_K, m: int = PQ_M,
+                        kc: int = PQ_K) -> DataFrame:
+    """IVF-PQ with RESIDUAL quantization — the production FAISS
+    `IVFPQ` default and the standard recall upgrade over
+    :func:`ivfpq_topk`: PQ codes quantize the residual
+    ``x − centroid(list(x))`` instead of the raw vector, so the
+    codebook only has to cover the (much tighter) within-list spread;
+    the ADC table becomes per-(query, probed list) because the query's
+    residual differs per list. Same int64 fixed-point arithmetic as
+    every ANN gate — deterministic, and the DuckDB oracle replays the
+    PRUNED search end-to-end (coarse assign → residual encode →
+    per-list ADC → exact re-rank).
+
+    Plan: residual encode is one broadcast-join pass over the base
+    table (codebook kc·m rows); the ADC side is |queries|·nprobe·m·kc
+    rows — KB-sized, broadcast; candidates = map-side filter+lookup on
+    the code table; only topk·refine rows per query reach the exact
+    re-rank. -> (qid, vec_id, d2, rank)."""
+    from pyspark.sql.window import Window
+    ids = [int(x) for x in query_ids]
+    q = _quantized(emb)
+    cents = (q.where(F.col("vec_id") < nlist)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("xq").alias("cx")))
+    rsub = _residual_subvectors(emb, nlist, m)
+    rcb = (rsub.where(F.col("vec_id") < kc)
+           .select(F.col("vec_id").alias("code"),
+                   F.col("m").alias("cm"), F.col("sv").alias("cv")))
+    # residual PQ encode: argmin over the kc-entry codebook per subspace
+    best = F.min(F.struct(F.col("_d2"), F.col("code"))).alias("_best")
+    enc = (rsub.join(F.broadcast(rcb), F.col("m") == F.col("cm"))
+           .withColumn("_d2", _sub_d2("sv", "cv"))
+           .groupBy("vec_id", "cid", "m").agg(best)
+           .select("vec_id", "cid", "m",
+                   F.col("_best.code").alias("code")))
+    # probe set: nprobe nearest lists per query (exact int L2)
+    qv = (q.where(F.col("vec_id").isin(ids))
+          .select(F.col("vec_id").alias("qid"), F.col("xq").alias("qx")))
+    cd2 = F.aggregate(
+        F.zip_with("qx", "cx", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    wp = Window.partitionBy("qid").orderBy("cd2", "cid")
+    probed = (qv.join(F.broadcast(cents))
+              .withColumn("cd2", cd2)
+              .withColumn("prn", F.row_number().over(wp))
+              .where(F.col("prn") <= nprobe)
+              .select("qid", "cid", "qx", "cx"))
+    # per-(query, list) residual ADC table
+    dim = len(emb.select("embedding").head()["embedding"])
+    w = F.lit(dim // m)
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
+    qrx = F.zip_with("qx", "cx", lambda a, b: a - b)
+    qsub = (probed.select("qid", "cid", qrx.alias("qrx"), ms)
+            .select("qid", "cid", "m",
+                    F.slice("qrx", F.col("m") * w + 1, w).alias("qsv")))
+    adc = (qsub.join(F.broadcast(rcb), F.col("m") == F.col("cm"))
+           .select("qid", "cid", "m", "code",
+                   _sub_d2("qsv", "cv").alias("qd2")))
+    wa = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    cand = (enc.join(F.broadcast(adc), ["cid", "m", "code"])
+            .where(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("qd2").cast("bigint").alias("adist"))
+            .withColumn("arn", F.row_number().over(wa))
+            .where(F.col("arn") <= topk * refine)
+            .select("qid", "vec_id"))
+    # exact integer-L2 re-rank of the small candidate set
+    ed2 = F.aggregate(
+        F.zip_with("qx", "xq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    we = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    return (cand.join(q, "vec_id")
+            .join(F.broadcast(qv.select("qid", "qx")), "qid")
+            .withColumn("d2", ed2)
+            .withColumn("rank", F.row_number().over(we).cast("bigint"))
+            .where(F.col("rank") <= topk)
+            .select(F.col("qid").cast("bigint"),
+                    F.col("vec_id").cast("bigint"),
+                    F.col("d2").cast("bigint"), "rank"))
+
+
+def oracle_ivfpq_residual_topk(query_ids: list, topk: int = 5,
+                               nprobe: int = 2, refine: int = 4,
+                               nlist: int = KMEANS_K, m: int = PQ_M,
+                               kc: int = PQ_K,
+                               src: str = "embeddings") -> str:
+    """Full DuckDB replay of :func:`ivfpq_residual_topk` — including
+    the per-(query, list) residual ADC, so the residual trick itself
+    is bit-verified at the PRUNED config."""
+    ids = ",".join(str(int(x)) for x in query_ids)
+    return f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+  FROM {src}
+),
+dimt AS (SELECT len(xq) AS dim FROM q LIMIT 1),
+c AS (SELECT vec_id AS cid, xq AS cx FROM q WHERE vec_id < {nlist}),
+kd AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(q.xq) + 1),
+                  i -> (q.xq[i] - c.cx[i]) * (q.xq[i] - c.cx[i]))) AS d2
+  FROM q CROSS JOIN c
+),
+lists AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM kd) WHERE rn = 1
+),
+res AS (
+  SELECT q.vec_id, l.cid,
+         list_transform(range(1, len(q.xq) + 1),
+                        i -> q.xq[i] - c.cx[i]) AS rx
+  FROM q JOIN lists l ON l.vec_id = q.vec_id JOIN c ON c.cid = l.cid
+),
+rsub AS (
+  SELECT res.vec_id, res.cid, u.m,
+         list_transform(range(u.m * (dim // {m}) + 1,
+                              (u.m + 1) * (dim // {m}) + 1),
+                        i -> rx[i]) AS sv
+  FROM res CROSS JOIN dimt,
+       LATERAL UNNEST(range(0, {m})) AS u(m)
+),
+rcb AS (SELECT vec_id AS code, m, sv AS cv FROM rsub
+        WHERE vec_id < {kc}),
+enc AS (
+  SELECT vec_id, cid, m, code FROM (
+    SELECT rsub.vec_id, rsub.cid, rsub.m, rcb.code,
+           ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.m
+                              ORDER BY list_sum(list_transform(
+                                range(1, len(rsub.sv) + 1),
+                                i -> (rsub.sv[i] - rcb.cv[i])
+                                     * (rsub.sv[i] - rcb.cv[i]))),
+                              rcb.code) AS rn
+    FROM rsub JOIN rcb USING (m)) WHERE rn = 1
+),
+probed AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM kd WHERE vec_id IN ({ids})) WHERE rn <= {nprobe}
+),
+qres AS (
+  SELECT p.qid, p.cid,
+         list_transform(range(1, len(q.xq) + 1),
+                        i -> q.xq[i] - c.cx[i]) AS rx
+  FROM probed p JOIN q ON q.vec_id = p.qid JOIN c ON c.cid = p.cid
+),
+qsub AS (
+  SELECT qres.qid, qres.cid, u.m,
+         list_transform(range(u.m * (dim // {m}) + 1,
+                              (u.m + 1) * (dim // {m}) + 1),
+                        i -> rx[i]) AS qsv
+  FROM qres CROSS JOIN dimt,
+       LATERAL UNNEST(range(0, {m})) AS u(m)
+),
+adc AS (
+  SELECT qsub.qid, qsub.cid, qsub.m, rcb.code,
+         list_sum(list_transform(range(1, len(qsub.qsv) + 1),
+                  i -> (qsub.qsv[i] - rcb.cv[i])
+                       * (qsub.qsv[i] - rcb.cv[i]))) AS qd2
+  FROM qsub JOIN rcb USING (m)
+),
+cand AS (
+  SELECT a.qid, enc.vec_id, CAST(SUM(a.qd2) AS BIGINT) AS adist
+  FROM enc
+  JOIN adc a ON a.cid = enc.cid AND a.m = enc.m AND a.code = enc.code
+  WHERE enc.vec_id <> a.qid
+  GROUP BY 1, 2
+),
+pool AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+               AS rn
+    FROM cand) WHERE rn <= {topk * refine}
+),
+exact AS (
+  SELECT pool.qid, pool.vec_id,
+         list_sum(list_transform(range(1, len(qv.xq) + 1),
+                  i -> (qv.xq[i] - bv.xq[i]) * (qv.xq[i] - bv.xq[i])))
+             AS d2
+  FROM pool JOIN q qv ON qv.vec_id = pool.qid
+       JOIN q bv ON bv.vec_id = pool.vec_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(d2 AS BIGINT) AS d2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id)
+            AS BIGINT) AS rank
+FROM exact QUALIFY rank <= {topk}
+ORDER BY qid, rank
+"""
