@@ -283,3 +283,71 @@ def test_minhash_hashing_runs_once(spark):
     # and the signature side carries no Generate/explode below the
     # reused exchange input — the hashing stage is map-side pure
     assert "BatchEvalPython" not in p
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """The co-located-join posture made concrete (r7): two tables
+    bucketed by the join key join WITHOUT any Exchange — at 100 TB
+    this is the difference between a free join and shuffling both
+    sides. (Broadcast disabled so the sort-merge path is what's
+    tested; bucketed scans satisfy its distribution requirement.)"""
+    from pyspark.sql import functions as F
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    a = spark.range(0, 20000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("va"))
+    b = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("vb"))
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite") \
+        .saveAsTable("bkt_a")
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite") \
+        .saveAsTable("bkt_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        n = j.count()
+        assert n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling proven live (r7): a join where one key
+    holds most rows gets its oversized shuffle partition SPLIT at
+    runtime (the `skew=true` marker on the SortMergeJoin) once the
+    skew thresholds are set to test scale — the runtime half of the
+    skew story next to the salting/bucketing tests in test_skew.py."""
+    from pyspark.sql import functions as F
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 150000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"))
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = big.join(small, "k")
+        # the FINAL adaptive plan only exists on the executed df itself
+        # (count() builds a separate QueryExecution)
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
