@@ -230,7 +230,7 @@ def run_bench(cpus: int) -> dict:
                  "emb_cosine_topk", "emb_ivf_topk", "emb_pq_topk",
                  "geo_pip_assign", "geo_knn", "geo_cap_filter",
                  "geo_hotspot", "geo_zorder_layout",
-                 "geo_geohash_rollup"]):
+                 "geo_hilbert_layout", "geo_geohash_rollup"]):
         fn = GATE_QUERIES[name][0]
         best = None
         for _ in range(pipe_trials):   # best-of: the host's proactive

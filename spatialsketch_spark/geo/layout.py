@@ -336,3 +336,33 @@ SELECT CAST(hd // {width} AS BIGINT) AS bucket,
        CAST(MAX(hd) AS BIGINT) AS h_max
 FROM ({inner}) GROUP BY 1 ORDER BY 1
 """
+
+
+def hilbert_rect_buckets(x1: int, y1: int, x2: int, y2: int,
+                         buckets: int = DEFAULT_BUCKETS) -> list[int]:
+    """Reader-side rewrite for a Hilbert layout (twin of
+    :func:`zorder_rect_buckets`): the bucket ids a rectangle touches.
+    Works because (a) every aligned 2^k square is a CONTIGUOUS Hilbert
+    range, and (b) the curve is self-similar MSB-first, so for a
+    power-of-4 bucket count each bucket is exactly one aligned
+    (n/side)² block whose id is the coarse-grid Hilbert index of the
+    block. Same strict validation as the Morton form."""
+    import math
+    side = int(math.isqrt(buckets))
+    if side * side != buckets or buckets & (buckets - 1):
+        raise ValueError("buckets must be a power of 4 for the "
+                         "square-block rewrite (4, 16, 64, 256, ...)")
+    x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
+    if x1 > x2 or y1 > y2:
+        raise ValueError(
+            f"reversed rect ({x1},{y1})-({x2},{y2}): need x1<=x2, y1<=y2")
+    lim = 1 << HILBERT_BITS
+    if min(x1, y1) < 0 or max(x2, y2) >= lim:
+        raise ValueError(
+            f"rect ({x1},{y1})-({x2},{y2}) outside the grid [0, {lim})")
+    blk = lim // side
+    out = set()
+    for bx in range(x1 // blk, x2 // blk + 1):
+        for by in range(y1 // blk, y2 // blk + 1):
+            out.add(hilbert_xy2d_py(side, bx, by))
+    return sorted(out)

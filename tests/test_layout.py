@@ -161,3 +161,56 @@ def test_hilbert_beats_morton_fragmentation():
         m_runs += runs([_spread_py(x) | (_spread_py(y) << 1)
                         for x, y in cells])
     assert h_runs < m_runs, (h_runs, m_runs)
+
+
+def test_hilbert_layout_prunes_partitions(spark, tmp_path):
+    """Hilbert twin of the zorder pruning proof: (a) the bucket id of
+    every event equals the coarse-grid Hilbert index of its block
+    (the self-similarity fact hilbert_rect_buckets relies on),
+    (b) writing bucket-partitioned and rewriting a rect query with
+    `bucket IN (hilbert_rect_buckets(...))` shows static partition
+    pruning AND returns exactly the full-scan answer."""
+    from spatialsketch_spark.gate import N
+    from spatialsketch_spark.geo.events import derive_geo_events
+    from spatialsketch_spark.geo.layout import (HILBERT_BITS,
+                                                hilbert_col,
+                                                hilbert_rect_buckets,
+                                                hilbert_xy2d_py)
+    geo = derive_geo_events(spark, SF_UNIT, N, spread=False)
+    width = (1 << (2 * HILBERT_BITS)) // 64
+    out = str(tmp_path / "hsorted")
+    hb = (hilbert_col(geo)
+          .withColumn("bucket", F.expr(f"hd div {width}")))
+    # (a) bucket == coarse Hilbert index of the (x div blk, y div blk)
+    # block, checked on a sample
+    blk = (1 << HILBERT_BITS) // 8
+    sample = hb.select("x", "y", "bucket").limit(200).collect()
+    for r in sample:
+        assert r["bucket"] == hilbert_xy2d_py(8, r["x"] // blk,
+                                              r["y"] // blk)
+    hb.drop("hd").write.partitionBy("bucket").mode("overwrite") \
+        .parquet(out)
+    t = spark.read.parquet(out)
+    x1, y1, x2, y2 = 700, 900, 1800, 2600
+    rect = (F.col("x").between(x1, x2) & F.col("y").between(y1, y2))
+    bks = hilbert_rect_buckets(x1, y1, x2, y2)
+    assert 0 < len(bks) < 64
+    pruned = t.where(F.col("bucket").isin(bks) & rect)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    assert pruned.count() == t.where(rect).count()
+
+
+def test_hilbert_rect_buckets_validation():
+    import pytest
+    from spatialsketch_spark.geo.layout import (HILBERT_BITS,
+                                                hilbert_rect_buckets)
+    lim = 1 << HILBERT_BITS
+    with pytest.raises(ValueError, match="reversed"):
+        hilbert_rect_buckets(10, 0, 5, 5)
+    with pytest.raises(ValueError, match="outside"):
+        hilbert_rect_buckets(0, 0, lim, 5)
+    with pytest.raises(ValueError, match="power of 4"):
+        hilbert_rect_buckets(0, 0, 5, 5, buckets=32)
+    assert hilbert_rect_buckets(0, 0, 0, 0) == [0]
