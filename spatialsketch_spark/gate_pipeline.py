@@ -33,6 +33,13 @@ def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("text_hash")
 
 
+def q_minhash_incremental(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return dedup.minhash_incremental_candidates(
+        d.where("doc_id % 5 = 0"), d.where("doc_id % 5 <> 0")) \
+        .orderBy("new_id", "seen_id")
+
+
 DOMAIN_CAP_K = 30
 
 
@@ -1392,6 +1399,10 @@ PIPELINE_GATE = {
     "tmp_range_join_bucketed": (q_range_join_bucketed, oracle_range_join),
     "tmp_time_rollup": (q_time_rollup, oracle_time_rollup),
     "doc_exact_dedup": (q_exact_dedup, dedup.oracle_exact_dedup),
+    # r7: incremental near-dup (shard vs corpus banding index)
+    "doc_minhash_incremental": (
+        lambda spark, sf_dir: q_minhash_incremental(spark, sf_dir),
+        lambda: dedup.oracle_minhash_incremental("doc_id % 5 = 0")),
     # r7: URL/domain curation family (VERDICT r6 task 3)
     "doc_url_canonical": (q_url_canonical,
                           curation.oracle_url_canonical),

@@ -153,6 +153,24 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, k0..k{rows-1}): the LSH band-key table — the
+    pinned repartition above the signature aggregate is what makes the
+    self-join's two sides reuse ONE exchange (see
+    minhash_lsh_candidates); for the incremental variant this is the
+    materializable banding INDEX."""
+    sig = minhash_signatures(docs).repartition("doc_id")
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"sig_{b * ROWS_PER_BAND + r}").alias(f"k{r}")
+              for r in range(ROWS_PER_BAND)])
+        for b in range(BANDS)])
+    return (sig.select("doc_id", F.explode(entries).alias("e"))
+            .select("doc_id", "e.band",
+                    *[f"e.k{r}" for r in range(ROWS_PER_BAND)]))
+
+
 def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     """LSH banding: docs sharing all ROWS_PER_BAND signature rows in any
     band become a candidate pair. -> (doc_a, doc_b) distinct.
@@ -169,16 +187,7 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     tests/test_plans.py). Downstream shuffles move only the 4 small
     band rows per doc; bucket fan-out is bounded by band-collision
     cardinality, the standard LSH posture."""
-    sig = minhash_signatures(docs).repartition("doc_id")
-    entries = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            *[F.col(f"sig_{b * ROWS_PER_BAND + r}").alias(f"k{r}")
-              for r in range(ROWS_PER_BAND)])
-        for b in range(BANDS)])
-    allb = (sig.select("doc_id", F.explode(entries).alias("e"))
-            .select("doc_id", "e.band",
-                    *[f"e.k{r}" for r in range(ROWS_PER_BAND)]))
+    allb = _band_table(docs)
     a = allb.alias("a")
     bb = allb.alias("b")
     keys = ["band"] + [f"k{r}" for r in range(ROWS_PER_BAND)]
@@ -189,6 +198,59 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
             .select(F.col("a.doc_id").cast("bigint").alias("doc_a"),
                     F.col("b.doc_id").cast("bigint").alias("doc_b"))
             .distinct())
+
+
+def minhash_incremental_candidates(new_docs: DataFrame,
+                                   seen_docs: DataFrame) -> DataFrame:
+    """Near-dup candidates of a NEW ingest shard against the
+    already-indexed corpus — the steady-state production shape (the
+    batch self-join `minhash_lsh_candidates` is the bootstrap): band
+    keys of the shard join the corpus banding INDEX, so per ingest
+    only the shard is shingled/hashed and NOTHING is all-pairs. At
+    scale the seen-side `_band_table` is materialized once (13 ints
+    per doc) and the shard's band table BROADCASTS — the corpus index
+    is never shuffled per ingest, mirroring `incremental_dedup`'s
+    exact-hash tier one level up the dedup ladder.
+
+    -> (new_id, seen_id) distinct candidate pairs."""
+    a = _band_table(new_docs).alias("a")
+    b = _band_table(seen_docs).alias("b")
+    keys = ["band"] + [f"k{r}" for r in range(ROWS_PER_BAND)]
+    cond = None
+    for k in keys:
+        c = F.col(f"a.{k}") == F.col(f"b.{k}")
+        cond = c if cond is None else cond & c
+    return (b.join(F.broadcast(a), cond)
+            .select(F.col("a.doc_id").cast("bigint").alias("new_id"),
+                    F.col("b.doc_id").cast("bigint").alias("seen_id"))
+            .distinct())
+
+
+def oracle_minhash_incremental(new_pred: str) -> str:
+    """DuckDB mirror: bands of the full corpus split by ``new_pred``
+    (a doc_id predicate), shard bands joined against the rest."""
+    sig_exprs = ",\n    ".join(
+        f"MIN(({PERM_A[i]} * h + {PERM_B[i]}) % {MINHASH_P}) AS sig_{i}"
+        for i in range(NUM_PERM))
+    band_selects = []
+    for b in range(BANDS):
+        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        ks = ", ".join(f"{c} AS k{r}" for r, c in enumerate(cols))
+        band_selects.append(f"SELECT doc_id, {b} AS band, {ks} FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    keys = " AND ".join(["a.band = b.band"]
+                        + [f"a.k{r} = b.k{r}" for r in range(ROWS_PER_BAND)])
+    return f"""
+WITH {TRIGRAM_SQL},
+sig AS (SELECT doc_id, {sig_exprs} FROM shh GROUP BY doc_id),
+bands AS ({bands_sql}),
+nb AS (SELECT * FROM bands WHERE {new_pred}),
+sb AS (SELECT * FROM bands WHERE NOT ({new_pred}))
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS new_id,
+                CAST(b.doc_id AS BIGINT) AS seen_id
+FROM nb a JOIN sb b ON {keys}
+ORDER BY new_id, seen_id
+"""
 
 
 def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
