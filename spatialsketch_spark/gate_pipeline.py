@@ -883,11 +883,15 @@ def _stream_join_harness(spark, sf_dir, how):
                       .select(F.col("k").alias("rk"), "rts_s",
                               F.timestamp_seconds("rts_s").alias("rt"))
                       .withWatermark("rt", "600 seconds"))
-                j = (ls.join(rs, F.expr(
+                j = ls.join(rs, F.expr(
                     "k = rk AND rt BETWEEN lt "
                     "AND lt + INTERVAL 120 seconds"), how)
-                    .select(F.coalesce("k", "rk").alias("k"),
-                            "lts_s", "rts_s"))
+                if how == "leftSemi":
+                    # semi emits only the left side
+                    j = j.select("k", "lts_s")
+                else:
+                    j = j.select(F.coalesce("k", "rk").alias("k"),
+                                 "lts_s", "rts_s")
                 (j.writeStream.outputMode("append").format("parquet")
                  .option("path", out).option("checkpointLocation", ckpt)
                  .trigger(availableNow=True).start()
@@ -905,16 +909,49 @@ def _stream_join_harness(spark, sf_dir, how):
                                   "k bigint, rts_s bigint") \
                 .coalesce(1).write.mode("append").parquet(rsrc)
             run()
-            res = (spark.read.parquet(out).where("k >= 0")
-                   .select("k", "lts_s", "rts_s",
-                           (F.col("rts_s").isNotNull()
-                            & F.col("lts_s").isNotNull()).cast("int")
-                           .alias("matched"))
-                   .localCheckpoint(eager=True))
+            res = spark.read.parquet(out).where("k >= 0")
+            if how == "leftSemi":
+                res = res.select("k", "lts_s") \
+                    .localCheckpoint(eager=True)
+            else:
+                res = res.select(
+                    "k", "lts_s", "rts_s",
+                    (F.col("rts_s").isNotNull()
+                     & F.col("lts_s").isNotNull()).cast("int")
+                    .alias("matched")).localCheckpoint(eager=True)
             _STREAM_JOIN[key] = res
         finally:
             shutil.rmtree(base, ignore_errors=True)
     return res
+
+
+def q_stream_join_semi(spark, sf_dir):
+    """LEFT SEMI stream-stream join on the identical fixture —
+    completes the join family (inner r6, left/full outer r6): emit
+    each left row once iff an on-time right matched it inside the
+    interval; no right columns, and join state still expires on the
+    watermark. Late rights were input-dropped, so their partners never
+    emit. -> (k, lts_s), ordered."""
+    return _stream_join_harness(spark, sf_dir, "leftSemi") \
+        .orderBy("k")
+
+
+def oracle_stream_join_semi() -> str:
+    return """
+WITH u AS (SELECT DISTINCT event_id // 2 AS i FROM events),
+c AS (SELECT i, (i % 2 = 1 AND (i // 2) % 5 = 0) AS late,
+             (i % 2 = 0) AS r0 FROM u),
+t AS (SELECT i, late,
+        10000 + CASE WHEN r0 THEN (i * 41) % 2000
+             WHEN late THEN (i * 41) % 600
+             ELSE 1520 + (i * 41) % 480 END AS lts,
+        CASE WHEN late THEN (i * 13) % 120
+             ELSE (i * 13) % 180 END AS delta
+      FROM t0)
+SELECT CAST(i AS BIGINT) AS k, CAST(lts AS BIGINT) AS lts_s
+FROM t WHERE NOT late AND delta <= 120
+ORDER BY k
+""".replace("t0", "c")
 
 
 def q_stream_join_outer(spark, sf_dir):
@@ -1552,6 +1589,9 @@ PIPELINE_GATE = {
     # r7: watermark-bounded streaming dedup (state eviction proven)
     "evt_stream_dedup_wm": (q_stream_dedup_wm, oracle_stream_dedup_wm),
     "evt_stream_join": (q_stream_join, oracle_stream_join),
+    # r7: LEFT SEMI variant completes the stream-stream join family
+    "evt_stream_join_semi": (q_stream_join_semi,
+                             oracle_stream_join_semi),
     "evt_stream_join_outer": (q_stream_join_outer,
                               oracle_stream_join_outer),
     # r6: ANALYZE-class per-column profiling (one-pass NDV/min/max)
