@@ -1579,6 +1579,11 @@ PIPELINE_GATE = {
     "emb_ivfpq_topk": (
         q_ivfpq_topk,
         lambda: similarity.oracle_ivfpq_topk(EMB_QUERY_IDS, 5)),
+    # r7: full Lloyd training loop (chained assign+update, 2 rounds)
+    "emb_kmeans_trained": (
+        lambda spark, sf_dir: similarity.kmeans_train(
+            _emb(spark, sf_dir), iters=2).orderBy("cid", "dim"),
+        lambda: similarity.oracle_kmeans_train(iters=2)),
     # r7: residual-quantized IVF-PQ (the FAISS-default recall upgrade)
     "emb_ivfpq_res_topk": (
         q_ivfpq_res_topk,

@@ -1403,3 +1403,111 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
 FROM exact QUALIFY rank <= {topk}
 ORDER BY qid, rank
 """
+
+
+def kmeans_train(emb: DataFrame, k: int = KMEANS_K,
+                 iters: int = 2) -> DataFrame:
+    """FULL Lloyd training loop in exact int64 fixed point — the
+    missing third of the k-means surface (assign + update are gated
+    separately; this CHAINS them): ``iters`` rounds of
+    assign → per-(cid, dim) mean, centroid components updated as true
+    FLOOR division computed via the nonneg-remainder identity
+    ``(s - ((s % n + n) % n)) div n`` — exact and engine-identical
+    even for negative sums (Spark `div` and DuckDB `//` both truncate,
+    which differs from floor on negatives; the identity makes the
+    numerator exactly divisible so truncation == floor). Clusters that
+    lose all members keep their previous centroid. Deterministic for a
+    fixed iteration count across engines, partitionings and retries —
+    the property float k-means famously lacks.
+
+    Plan per iteration: broadcast k centroids, one map-side assign
+    pass, one (cid, dim) shuffle of k·dim tiny rows. -> long form
+    (cid, dim, c_val, n_assigned) of the FINAL centroids."""
+    from pyspark.sql.window import Window
+    q = _quantized(emb).cache()
+    cents = (q.where(F.col("vec_id") < k)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("xq").alias("cx")))
+    last = None
+    for _ in range(int(iters)):
+        d2 = F.aggregate(
+            F.zip_with("xq", "cx", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        best = F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_b")
+        assign = (q.join(F.broadcast(cents))
+                  .withColumn("_d2", d2)
+                  .groupBy("vec_id").agg(best)
+                  .select("vec_id", F.col("_b.cid").alias("cid")))
+        sums = (assign.join(q, "vec_id")
+                .select("cid", F.posexplode("xq").alias("dim0", "v"))
+                .groupBy("cid", (F.col("dim0") + 1).alias("dim"))
+                .agg(F.count("*").cast("bigint").alias("n_assigned"),
+                     F.sum("v").cast("bigint").alias("s")))
+        upd = sums.withColumn(
+            "c_val",
+            F.expr("(s - ((s % n_assigned + n_assigned) % n_assigned))"
+                   " div n_assigned").cast("bigint"))
+        last = upd
+        new_c = (upd.groupBy("cid")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("dim", "c_val"))),
+                     lambda st: st.c_val).alias("cx_new")))
+        cents = (cents.join(new_c, "cid", "left")
+                 .select("cid", F.coalesce("cx_new", "cx").alias("cx")))
+    return (last.select(F.col("cid").cast("bigint"),
+                        F.col("dim").cast("bigint"),
+                        F.col("c_val").cast("bigint"),
+                        "n_assigned"))
+
+
+def oracle_kmeans_train(k: int = KMEANS_K, iters: int = 2,
+                        src: str = "embeddings") -> str:
+    """Unrolled-iteration DuckDB replay of :func:`kmeans_train` (the
+    pagerank pattern): per round an assign CTE + a floor-division
+    update CTE + a list re-assembly CTE; empty clusters COALESCE to
+    the previous round's centroid."""
+    parts = [f"""q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+  FROM {src}
+),
+c0 AS (SELECT vec_id AS cid, xq AS cq FROM q WHERE vec_id < {k})"""]
+    for t in range(int(iters)):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(q.xq) + 1),
+                      i -> (q.xq[i] - c.cq[i]) * (q.xq[i] - c.cq[i]))),
+             c.cid) AS rn
+    FROM q CROSS JOIN c{t} c) WHERE rn = 1
+),
+u{t} AS (
+  SELECT a.cid, u.i AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n_assigned,
+         CAST(SUM(q.xq[u.i]) AS BIGINT) AS s
+  FROM a{t} a JOIN q USING (vec_id),
+       LATERAL UNNEST(range(1, len(q.xq) + 1)) AS u(i)
+  GROUP BY 1, 2
+),
+f{t} AS (
+  SELECT cid, dim, n_assigned,
+         (s - ((s % n_assigned + n_assigned) % n_assigned))
+           // n_assigned AS c_val
+  FROM u{t}
+),
+c{t + 1} AS (
+  SELECT p.cid, COALESCE(n.cq, p.cq) AS cq
+  FROM c{t} p LEFT JOIN
+       (SELECT cid, list(c_val ORDER BY dim) AS cq
+        FROM f{t} GROUP BY cid) n ON n.cid = p.cid
+)""")
+    return f"""
+WITH {",".join(parts)}
+SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS BIGINT) AS dim,
+       CAST(c_val AS BIGINT) AS c_val,
+       CAST(n_assigned AS BIGINT) AS n_assigned
+FROM f{int(iters) - 1} ORDER BY cid, dim
+"""

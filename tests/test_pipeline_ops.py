@@ -1512,3 +1512,50 @@ def test_ivfpq_residual_exact_at_full_probe_and_tighter_adc(spark):
         qvec = X[ids == r.qid][0]
         true_d2 = int(((X[ids == r.vec_id][0] - qvec) ** 2).sum())
         assert r.d2 == true_d2, (r.qid, r.vec_id)
+
+
+def test_kmeans_train_chains_the_gated_halves(spark):
+    """kmeans_train (r7): (1) one training round reproduces exactly
+    the floor-mean of the gated assign/update pair (consistency with
+    emb_kmeans_assign/update); (2) training reduces total assignment
+    distortion vs the raw seed centroids (the point of iterating);
+    (3) floor division is true floor even for negative component
+    sums."""
+    from pyspark.sql import functions as F
+    from spatialsketch_spark.pipeline.similarity import (
+        KMEANS_K, _quantized, kmeans_train, kmeans_update)
+    from conftest import SF_UNIT
+    emb = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+    one = {(r.cid, r.dim): (r.c_val, r.n_assigned)
+           for r in kmeans_train(emb, iters=1).collect()}
+    upd = {(r.cid, r.dim): (r.s_micro, r.n_assigned)
+           for r in kmeans_update(emb, KMEANS_K).collect()}
+    assert set(one) == set(upd)
+    saw_negative = False
+    for key, (cv, n) in one.items():
+        s, n2 = upd[key]
+        assert n == n2
+        assert cv == s // n  # python // IS floor — the reference law
+        saw_negative = saw_negative or s < 0
+    assert saw_negative, "fixture never exercised negative sums"
+
+    def distortion(cent_long):
+        cx = {}
+        for r in cent_long:
+            cx.setdefault(r[0], {})[r[1]] = r[2]
+        import numpy as np
+        pdf = emb.toPandas()
+        X = np.floor(np.stack(pdf.embedding.values).astype("float64")
+                     * 1e6).astype("int64")
+        C = np.stack([
+            np.array([cx[c][d] for d in sorted(cx[c])], dtype="int64")
+            for c in sorted(cx)])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return int(d2.min(axis=1).sum())
+
+    q = _quantized(emb).where(F.col("vec_id") < KMEANS_K).collect()
+    seed_long = [(r.vec_id, d + 1, v) for r in q
+                 for d, v in enumerate(r.xq)]
+    trained_long = [(r.cid, r.dim, r.c_val)
+                    for r in kmeans_train(emb, iters=2).collect()]
+    assert distortion(trained_long) < distortion(seed_long)
