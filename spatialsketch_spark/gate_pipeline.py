@@ -248,6 +248,25 @@ def q_dup_clusters(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def q_dup_clusters_incremental(spark, sf_dir):
+    # INCREMENTAL cluster maintenance must reproduce the from-scratch
+    # labeling bit-for-bit: label the corpus-minus-shard pairs, then
+    # fold in the shard's pairs (vs-index + shard-internal) via the
+    # supernode contraction — banding is per-doc, so
+    # {old×old} ∪ {shard×old} ∪ {shard×shard} IS the full-corpus
+    # candidate set and the doc_dup_clusters oracle applies unchanged
+    from pyspark.sql import functions as F
+    docs = _docs(spark, sf_dir)
+    old = docs.where("doc_id % 5 != 0")
+    shard = docs.where("doc_id % 5 = 0")
+    labels = dedup.dup_clusters(dedup.minhash_lsh_candidates(old))
+    new_pairs = (dedup.minhash_incremental_candidates(shard, old)
+                 .select(F.col("new_id").alias("doc_a"),
+                         F.col("seen_id").alias("doc_b"))
+                 .union(dedup.minhash_lsh_candidates(shard)))
+    return dedup.merge_clusters(labels, new_pairs).orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -1485,6 +1504,12 @@ PIPELINE_GATE = {
         q_dup_clusters,
         lambda: dedup.oracle_dup_clusters(
             dedup.oracle_minhash_candidates())),
+    "doc_dup_clusters_incr": (
+        q_dup_clusters_incremental,
+        # SAME oracle as doc_dup_clusters: the incremental path must
+        # reproduce the from-scratch full-corpus labeling exactly
+        lambda: dedup.oracle_dup_clusters(
+            dedup.oracle_minhash_candidates())),
     "doc_simhash": (q_simhash, dedup.oracle_simhash),
     "doc_token_stats": (q_token_stats, text.oracle_token_stats),
     "doc_tfidf": (q_tfidf, text.oracle_tfidf_topk),
@@ -1558,6 +1583,12 @@ PIPELINE_GATE = {
     "rel_window_topk": (q_rel_window,
                         lambda: relational.oracle_top_orders_per_customer(2)),
     "rel_rollup": (q_rel_rollup, relational.oracle_lineitem_rollup),
+    "rel_range_frame": (
+        lambda s, d: relational.customer_trailing_spend(s, d),
+        relational.oracle_customer_trailing_spend),
+    "rel_grouping_sets": (
+        lambda s, d: relational.lineitem_grouping_sets(s, d),
+        relational.oracle_lineitem_grouping_sets),
     "rel_cube": (lambda s, d: relational.lineitem_cube(s, d),
                  relational.oracle_lineitem_cube),
     "rel_semi_anti": (lambda s, d: relational.customers_semi_anti(s, d),

@@ -366,3 +366,66 @@ def hilbert_rect_buckets(x1: int, y1: int, x2: int, y2: int,
         for by in range(y1 // blk, y2 // blk + 1):
             out.add(hilbert_xy2d_py(side, bx, by))
     return sorted(out)
+
+
+def coalesce_buckets(bucket_ids: list[int]) -> list[tuple[int, int]]:
+    """Merge a set of bucket ids into maximal contiguous [lo, hi]
+    ranges. The reader-side IN-list rewrite is correct at any scale
+    but its predicate SIZE grows with the rect: a country-sized rect
+    over a fine bucket grid touches thousands of buckets, and a
+    thousand-term IN list bloats the plan, the Hive partition-pruning
+    expression, and (for range-partitioned or file-sorted layouts)
+    loses the fact that most of those ids are CONSECUTIVE along the
+    curve. Coalescing turns the id set into O(#runs) BETWEEN ranges —
+    and #runs is exactly the curve-locality number the fragmentation
+    test measures (Hilbert: ~O(perimeter/block) runs; Morton: more,
+    from Z-jumps), so the predicate stays small precisely because the
+    layout is good. Pure driver arithmetic, O(k log k)."""
+    if not bucket_ids:
+        raise ValueError("empty bucket id list (reversed/degenerate "
+                         "rect upstream?)")
+    ids = sorted(set(int(b) for b in bucket_ids))
+    ranges = []
+    lo = prev = ids[0]
+    for b in ids[1:]:
+        if b == prev + 1:
+            prev = b
+            continue
+        ranges.append((lo, prev))
+        lo = prev = b
+    ranges.append((lo, prev))
+    return ranges
+
+
+def zorder_rect_ranges(x1: int, y1: int, x2: int, y2: int,
+                       buckets: int = DEFAULT_BUCKETS
+                       ) -> list[tuple[int, int]]:
+    """`zorder_rect_buckets` coalesced to contiguous ranges."""
+    return coalesce_buckets(zorder_rect_buckets(x1, y1, x2, y2, buckets))
+
+
+def hilbert_rect_ranges(x1: int, y1: int, x2: int, y2: int,
+                        buckets: int = DEFAULT_BUCKETS
+                        ) -> list[tuple[int, int]]:
+    """`hilbert_rect_buckets` coalesced to contiguous ranges — the
+    curve's whole point: an aligned query rect covers few long runs
+    of consecutive coarse-grid Hilbert indices, so the same pruning
+    rewrite ships as a handful of BETWEENs however large the rect."""
+    return coalesce_buckets(hilbert_rect_buckets(x1, y1, x2, y2, buckets))
+
+
+def bucket_range_predicate(ranges: list[tuple[int, int]],
+                           col: str = "bucket"):
+    """OR-of-BETWEEN reader predicate over coalesced bucket ranges —
+    drop-in replacement for `F.col(col).isin(bucket_ids)`. Catalyst
+    pushes each conjunct's GreaterThanOrEqual/LessThanOrEqual into the
+    partition filter, so static partition pruning is preserved (test
+    pins pruned-scan row equality with the IN form)."""
+    if not ranges:
+        raise ValueError("empty range list")
+    pred = None
+    for lo, hi in ranges:
+        term = (F.col(col) == int(lo)) if lo == hi else \
+            F.col(col).between(int(lo), int(hi))
+        pred = term if pred is None else (pred | term)
+    return pred

@@ -427,6 +427,71 @@ FROM reach GROUP BY node ORDER BY {out_id}
 """
 
 
+def merge_clusters(labels: DataFrame, new_pairs: DataFrame,
+                   id_a: str = "doc_a", id_b: str = "doc_b",
+                   max_iter: int = 25) -> DataFrame:
+    """INCREMENTAL connected-components maintenance — the steady-state
+    twin of :func:`dup_clusters`, completing the incremental dedup
+    ladder (exact: `incremental_dedup`; candidates:
+    `minhash_incremental_candidates`; clusters: here). Given
+
+      * ``labels``  — a valid min-id CC labeling (doc_id, cluster_id)
+        of all PREVIOUSLY ingested candidate pairs, and
+      * ``new_pairs`` — this ingest's candidate edges (endpoints may be
+        brand-new docs, known docs, or may BRIDGE two old clusters),
+
+    produce the labeling CC(old pairs ∪ new pairs) produces — without
+    ever touching the old edges. Trick: the old labeling IS a graph
+    contraction. Map each new-pair endpoint to its supernode
+    (its old cluster id if labeled, else itself), drop self-loops, and
+    run label propagation on the CONTRACTED edge set only — work is
+    O(new pairs), not O(corpus). Min-id representatives compose: an
+    old label is the min id of its old component, a new doc enters as
+    its own id, so the min over a merged component's supernode ids is
+    the min over all member doc ids. Final labels then propagate back
+    over ONE broadcast-sized join (supernode → final label).
+
+    At 100 TB this is the nightly-ingest shape: the billion-row label
+    table is only ever hash-joined on its two key columns (never
+    iterated), and the fixpoint loop runs on a shard-sized graph.
+
+    -> (doc_id, cluster_id) for every doc in ``labels`` or touched by
+    ``new_pairs`` — bit-identical to a from-scratch `dup_clusters`
+    over the union edge set (pinned by the gate and pytest)."""
+    lab = labels.select(F.col("doc_id").alias("node"),
+                        F.col("cluster_id").alias("super"))
+    ep = new_pairs.select(F.col(id_a).cast("long").alias("a"),
+                          F.col(id_b).cast("long").alias("b"))
+
+    def to_super(df, col):
+        return (df.join(lab.withColumnRenamed("node", col), col, "left")
+                .withColumn(f"{col}_s",
+                            F.coalesce(F.col("super"), F.col(col)))
+                .drop("super"))
+
+    contracted = (to_super(to_super(ep, "a"), "b")
+                  .where(F.col("a_s") != F.col("b_s"))
+                  .select(F.col("a_s").alias("doc_a"),
+                          F.col("b_s").alias("doc_b"))
+                  .distinct())
+    # CC over supernodes only — dup_clusters' label propagation, but on
+    # an edge set proportional to THIS ingest
+    final = dup_clusters(contracted, max_iter=max_iter) \
+        .withColumnRenamed("doc_id", "super") \
+        .withColumnRenamed("cluster_id", "final")
+    # docs seen only in new pairs (unlabeled endpoints) enter the
+    # output with their supernode (= own id)
+    new_nodes = (ep.select(F.col("a").alias("node"))
+                 .union(ep.select("b")).distinct()
+                 .join(lab.select("node"), "node", "left_anti")
+                 .withColumn("super", F.col("node")))
+    everyone = lab.union(new_nodes)
+    return (everyone.join(final, "super", "left")
+            .select(F.col("node").cast("long").alias("doc_id"),
+                    F.coalesce(F.col("final"), F.col("super"))
+                    .cast("long").alias("cluster_id")))
+
+
 def incremental_dedup(new_docs: DataFrame, seen_docs: DataFrame
                       ) -> DataFrame:
     """Ingest-time dedup of a NEW shard against an already-ingested

@@ -162,6 +162,61 @@ ORDER BY custkey, orderkey
 """
 
 
+def customer_trailing_spend(spark: SparkSession, sf_dir: str,
+                            max_cust: int = 20, days: int = 90
+                            ) -> DataFrame:
+    """Time-RANGE window frame — the VALUE-based sibling of
+    :func:`customer_running_spend`'s ROWS frame: trailing ``days``-day
+    order count and spend per customer, with the frame bound defined
+    on the ORDER BY *value* (epoch day), not on row positions. This is
+    semantically distinct from any rows frame: (a) PEER rows (orders
+    on the same day) always enter the frame together, so the result is
+    deterministic under ties with no tiebreaker column; (b) calendar
+    gaps count — an order 91+ days after its predecessor sees a frame
+    of just its own day. Executes in the same single window
+    exchange+sort as a rows frame (ONE hashpartitioning on custkey;
+    the frame bound is evaluated by value during the ordered scan, no
+    extra shuffle or self-join — the naive equivalent is an O(n²)
+    range self-join per customer). Spark's ``rangeBetween`` needs a
+    single numeric ORDER BY column, so the timestamp folds to integer
+    epoch days first — exact in both engines.
+
+    -> (custkey, orderkey, epoch_day, win_n, win_spend_c)."""
+    o = _read(spark, sf_dir, "orders").where(F.col("o_custkey") < max_cust)
+    o = o.withColumn(
+        "epoch_day",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.to_date(F.lit("1970-01-01"))).cast("bigint"))
+    w = (Window.partitionBy("o_custkey").orderBy("epoch_day")
+         .rangeBetween(-days, 0))
+    return (o.select(F.col("o_custkey").cast("bigint").alias("custkey"),
+                     F.col("o_orderkey").cast("bigint").alias("orderkey"),
+                     "epoch_day",
+                     F.count("*").over(w).cast("bigint").alias("win_n"),
+                     F.sum(cents(F.col("o_totalprice"))).over(w)
+                     .cast("bigint").alias("win_spend_c"))
+            .orderBy("custkey", "orderkey"))
+
+
+def oracle_customer_trailing_spend(max_cust: int = 20,
+                                   days: int = 90) -> str:
+    return f"""
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(o_orderkey AS BIGINT) AS orderkey,
+       CAST(DATEDIFF('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS win_spend_c
+FROM orders WHERE o_custkey < {max_cust}
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY DATEDIFF('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE))
+             RANGE BETWEEN {days} PRECEDING AND CURRENT ROW)
+ORDER BY custkey, orderkey
+"""
+
+
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup — the relational mirror of the dyadic grid
     pyramid (SURVEY.md §2.G: the pyramid IS a 2-D rollup)."""
@@ -208,6 +263,51 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rf,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY rf, ls
+"""
+
+
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the third member of the grouping
+    family next to rollup/cube: the set list ((rf, ls), (rf), ()) is
+    deliberately NOT rollup- or cube-expressible (it skips (ls) but
+    keeps the grand total). Uses the native `DataFrame.groupingSets`
+    (Spark 4) — one Expand node, ONE shuffle with map-side partials,
+    not |sets| passes over the table. NULL-vs-ALL ambiguity is
+    resolved the portable way: `F.grouping(col)` bits (0 = grouped,
+    1 = aggregated) composed into a gid — `grouping_id()`'s bit order
+    is engine-specific, per-column GROUPING() is standard SQL.
+
+    -> (gid, rf, ls, n_rows, sum_qty), gid = grouping(rf)*2 +
+    grouping(ls)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.groupingSets(
+                [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+                "l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("l_quantity").cast("bigint"))
+                 .alias("sum_qty"),
+                 (F.grouping("l_returnflag") * 2
+                  + F.grouping("l_linestatus")).alias("g"))
+            .select(F.col("g").cast("bigint").alias("gid"),
+                    F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    F.col("n_rows").cast("bigint"),
+                    F.col("sum_qty").cast("bigint"))
+            .orderBy("gid", "rf", "ls"))
+
+
+def oracle_lineitem_grouping_sets() -> str:
+    return """
+SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+            AS BIGINT) AS gid,
+       COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), ())
+ORDER BY gid, rf, ls
 """
 
 

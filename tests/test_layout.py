@@ -214,3 +214,76 @@ def test_hilbert_rect_buckets_validation():
     with pytest.raises(ValueError, match="power of 4"):
         hilbert_rect_buckets(0, 0, 5, 5, buckets=32)
     assert hilbert_rect_buckets(0, 0, 0, 0) == [0]
+
+
+def test_bucket_ranges_roundtrip_and_locality():
+    """coalesce_buckets must (a) round-trip to exactly the IN-list id
+    set, (b) stay SMALL: over random rects the Hilbert range count
+    never exceeds the bucket count it compresses and beats Morton in
+    total (the fragmentation property, now measured on the actual
+    reader API at the real 4096-grid / 256-bucket shape)."""
+    import random
+    import pytest
+    from spatialsketch_spark.geo.layout import (
+        coalesce_buckets, hilbert_rect_buckets, hilbert_rect_ranges,
+        zorder_rect_buckets, zorder_rect_ranges)
+
+    assert coalesce_buckets([9, 3, 1, 2, 10, 7]) == [(1, 3), (7, 7),
+                                                     (9, 10)]
+    with pytest.raises(ValueError, match="empty"):
+        coalesce_buckets([])
+
+    random.seed(11)
+    h_total = z_total = 0
+    for _ in range(30):
+        x1 = random.randrange(3500); y1 = random.randrange(3500)
+        x2 = x1 + random.randrange(64, 4096 - x1)
+        y2 = y1 + random.randrange(64, 4096 - y1)
+        for fb, fr in ((hilbert_rect_buckets, hilbert_rect_ranges),
+                       (zorder_rect_buckets, zorder_rect_ranges)):
+            ids = fb(x1, y1, x2, y2, 256)
+            rngs = fr(x1, y1, x2, y2, 256)
+            got = sorted(set().union(
+                *[range(lo, hi + 1) for lo, hi in rngs]))
+            assert got == ids, (x1, y1, x2, y2, fb.__name__)
+            assert len(rngs) <= len(ids)
+        h_total += len(hilbert_rect_ranges(x1, y1, x2, y2, 256))
+        z_total += len(zorder_rect_ranges(x1, y1, x2, y2, 256))
+    assert h_total < z_total, (h_total, z_total)
+    # the whole-grid rect is ONE range under either curve
+    assert hilbert_rect_ranges(0, 0, 4095, 4095, 256) == [(0, 255)]
+    assert zorder_rect_ranges(0, 0, 4095, 4095, 256) == [(0, 255)]
+
+
+def test_bucket_range_predicate_prunes_partitions(spark, tmp_path):
+    """The OR-of-BETWEEN rewrite must keep static partition pruning
+    (PartitionFilters on bucket) and return exactly the IN-list
+    answer — same proof as the IN form, with a predicate whose size
+    is O(#runs) instead of O(#buckets): the form a reader uses when a
+    continent-sized rect touches thousands of fine buckets."""
+    from spatialsketch_spark.gate import N
+    from spatialsketch_spark.geo.events import derive_geo_events
+    from spatialsketch_spark.geo.layout import (
+        HILBERT_BITS, bucket_range_predicate, hilbert_col,
+        hilbert_rect_buckets, hilbert_rect_ranges)
+
+    geo = derive_geo_events(spark, SF_UNIT, N, spread=False)
+    width = (1 << (2 * HILBERT_BITS)) // 64
+    out = str(tmp_path / "hranges")
+    (hilbert_col(geo)
+     .withColumn("bucket", F.expr(f"hd div {width}"))
+     .drop("hd")
+     .write.partitionBy("bucket").mode("overwrite").parquet(out))
+    t = spark.read.parquet(out)
+    x1, y1, x2, y2 = 0, 900, 3900, 2600     # wide rect: many buckets
+    rect = (F.col("x").between(x1, x2) & F.col("y").between(y1, y2))
+    ids = hilbert_rect_buckets(x1, y1, x2, y2)
+    rngs = hilbert_rect_ranges(x1, y1, x2, y2)
+    assert len(rngs) < len(ids)             # compression is real here
+    pruned = t.where(bucket_range_predicate(rngs) & rect)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:300]
+    assert (pruned.count()
+            == t.where(F.col("bucket").isin(ids) & rect).count()
+            == t.where(rect).count())

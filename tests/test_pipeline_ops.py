@@ -627,6 +627,42 @@ def test_dup_clusters_transitive_closure(spark):
     assert len(got) == 12
 
 
+def test_merge_clusters_equals_from_scratch(spark):
+    """Incremental CC maintenance == from-scratch CC over the union
+    edge set, on designed cases: (a) a new edge BRIDGING two old
+    clusters, (b) a new doc with a SMALLER id than its cluster's old
+    representative (the merged label must drop below every old label),
+    (c) a multi-hop chain THROUGH new docs linking two old clusters,
+    (d) an old cluster no new edge touches (must pass through
+    unchanged), (e) a pure-new component."""
+    old_pairs = spark.createDataFrame(
+        [(10, 11), (11, 12),          # cluster 10
+         (20, 21),                    # cluster 20
+         (30, 31), (31, 32),          # cluster 30
+         (40, 41),                    # cluster 40 — untouched
+         (50, 51)],                   # cluster 50
+        "doc_a BIGINT, doc_b BIGINT")
+    new_pairs = spark.createDataFrame(
+        [(12, 21),                    # (a) bridge 10–20
+         (5, 30),                     # (b) new min id joins cluster 30
+         (50, 100), (100, 101), (101, 20),   # (c) chain 50→new→20
+         (200, 201), (201, 202)],     # (e) pure-new component
+        "doc_a BIGINT, doc_b BIGINT")
+    labels = dedup.dup_clusters(old_pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           dedup.merge_clusters(labels, new_pairs).collect()}
+    want = {r["doc_id"]: r["cluster_id"] for r in
+            dedup.dup_clusters(old_pairs.union(new_pairs)).collect()}
+    assert got == want
+    # spot-check the designed outcomes, independent of dup_clusters
+    assert got[5] == 5 and got[30] == 5 and got[32] == 5       # (b)
+    assert (got[10] == got[21] == got[50] == got[100] == 10)   # (a)+(c)
+    assert got[40] == 40 and got[41] == 40                     # (d)
+    assert got[200] == got[202] == 200                         # (e)
+    assert set(got) == {5, 10, 11, 12, 20, 21, 30, 31, 32, 40,
+                        41, 50, 51, 100, 101, 200, 201, 202}
+
+
 def test_jpeg_roundtrip_and_errors():
     """Baseline JPEG codec (VERDICT r4 task 6): block-constant images
     are DC-only and round-trip EXACTLY under all-ones quantization;

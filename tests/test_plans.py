@@ -351,3 +351,92 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_range_frame_single_exchange_and_peer_semantics(spark):
+    """rel_range_frame: the value-bounded window must run as ONE
+    hashpartitioning exchange + one Window node over a sorted scan —
+    NOT the naive O(n²) range self-join (no Join node at all). And the
+    semantics that distinguish RANGE from ROWS are pinned on a designed
+    frame: same-day peers enter the frame TOGETHER (both rows see both)
+    and a >90-day calendar gap isolates the next row even though it is
+    row-adjacent."""
+    from spatialsketch_spark.pipeline.relational import (
+        customer_trailing_spend)
+    df = customer_trailing_spend(spark, SF_ORACLE)
+    plan = formatted(df)
+    # one hashpartitioning (the window) — the only other exchange is
+    # the gate's presentation orderBy (rangepartitioning)
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert n_exchanges(plan) == 2, plan
+    assert "RangeFrame" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+    rows = spark.createDataFrame(
+        [(1, 100, "1995-01-10", 10.0),   # peers: same day
+         (1, 101, "1995-01-10", 20.0),
+         (1, 102, "1995-03-01", 40.0),   # 50 days later: in range of peers
+         (1, 103, "1995-08-01", 80.0)],  # 153-day gap: alone
+        "o_custkey BIGINT, o_orderkey BIGINT, od STRING, "
+        "o_totalprice DOUBLE") \
+        .select("o_custkey", "o_orderkey",
+                F.col("od").cast("timestamp").alias("o_orderdate"),
+                "o_totalprice")
+    import tempfile
+    import shutil
+    base = tempfile.mkdtemp(prefix="range_frame_")
+    try:
+        rows.write.mode("overwrite").parquet(f"{base}/orders.parquet")
+        got = {r["orderkey"]: (r["win_n"], r["win_spend_c"]) for r in
+               customer_trailing_spend(spark, base).collect()}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    assert got[100] == (2, 3000) and got[101] == (2, 3000)  # peers
+    assert got[102] == (3, 7000)       # 50-day lookback catches both
+    assert got[103] == (1, 8000)       # gap isolates, rows-adjacency irrelevant
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Runtime row-level filtering (InjectRuntimeFilter): when the
+    build side of a shuffle join is selective, Catalyst plants a
+    bloom_filter_agg on it and a might_contain() pre-filter on the
+    probe-side SCAN — at 100 TB this is the difference between
+    shuffling the full fact table and shuffling only rows that can
+    possibly join. Broadcast is disabled so the join actually
+    shuffles; creation thresholds are lowered to test scale. Result
+    equality vs the unfiltered join is asserted alongside the plan
+    shape."""
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    spark.range(0, 200_000).selectExpr(
+        "id % 5000 AS k", "id AS v").write.parquet(fact)
+    spark.range(0, 5000).selectExpr(
+        "id AS k", "id * 3 AS w").write.parquet(dim)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "50MB",
+        # default 10GB: the probe side must be "big enough to be worth
+        # it" — at test scale, always inject instead
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        f = spark.read.parquet(fact)
+        d = spark.read.parquet(dim).where("k % 100 = 0")  # selective dim
+        j = f.join(d, "k")
+        plan = formatted(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan.lower(), plan
+        n = j.count()
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    assert n == 200_000 // 100   # 50 surviving keys x 40 fact rows... 
