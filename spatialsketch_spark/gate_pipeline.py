@@ -944,6 +944,97 @@ def _stream_join_harness(spark, sf_dir, how):
     return res
 
 
+_STREAM_STATIC = {}
+
+
+def q_stream_static_join(spark, sf_dir):
+    """Stream-STATIC broadcast join — the remaining Structured
+    Streaming join flavor next to the stream-stream family: a
+    watermark-free, state-free enrichment where each micro-batch
+    joins against the static side's CURRENT content. The contract
+    under test is per-batch re-read: the static dimension is
+    OVERWRITTEN between two availableNow restarts of one checkpoint
+    (v0: only segments 0-7 exist, so inner join DROPS half the run-0
+    events; v1: all 16 segments, names rewritten), and each run's
+    output must reflect the dim version live at processing time —
+    the slowly-changing-dimension behavior a 100 TB enrichment
+    pipeline relies on (no join state, no watermark, dim broadcast
+    per batch; plan pinned in tests/test_streaming.py).
+
+    Determinism: run membership is event_id % 2, seg_id is
+    user_id % 16, names are pure functions of (seg_id, version) —
+    the oracle replays both versions exactly.
+
+    -> (event_id, seg_id, seg_name, run), ordered."""
+    key = (sf_dir, "stream_static")
+    res = _STREAM_STATIC.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_id", "user_id")
+        base = tempfile.mkdtemp(prefix="gate_sstatic_")
+        try:
+            src, dim, out, ckpt = (f"{base}/src", f"{base}/dim",
+                                   f"{base}/out", f"{base}/ck")
+
+            def dim_rows(n_segs, ver):
+                return spark.range(n_segs).select(
+                    F.col("id").alias("seg_id"),
+                    F.concat(F.lit("S"), F.col("id"),
+                             F.lit(f"_v{ver}")).alias("seg_name"))
+
+            def run(tag):
+                s = (spark.readStream
+                     .schema("event_id bigint, user_id bigint")
+                     .parquet(src)
+                     .withColumn("seg_id", F.expr("user_id % 16")))
+                d = spark.read.parquet(dim)   # re-read EVERY batch
+                j = s.join(F.broadcast(d), "seg_id") \
+                     .select("event_id", "seg_id", "seg_name")
+
+                def sink(bdf, _bid):
+                    bdf.withColumn("run", F.lit(tag).cast("bigint")) \
+                        .write.mode("append").parquet(out)
+
+                (j.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            dim_rows(8, 0).write.mode("overwrite").parquet(dim)
+            ev.where("event_id % 2 = 0").coalesce(1) \
+                .write.mode("overwrite").parquet(src)
+            run(0)
+            # the dim CHANGES between restarts: run 1 must see v1
+            dim_rows(16, 1).write.mode("overwrite").parquet(dim)
+            ev.where("event_id % 2 = 1").coalesce(1) \
+                .write.mode("append").parquet(src)
+            run(1)
+            res = spark.read.parquet(out).localCheckpoint(eager=True)
+            _STREAM_STATIC[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("event_id")
+
+
+def oracle_stream_static_join() -> str:
+    return """
+SELECT event_id,
+       user_id % 16 AS seg_id,
+       'S' || CAST(user_id % 16 AS VARCHAR)
+           || CASE WHEN event_id % 2 = 0 THEN '_v0' ELSE '_v1' END
+           AS seg_name,
+       event_id % 2 AS run
+FROM events
+WHERE event_id % 2 = 1 OR user_id % 16 < 8
+ORDER BY event_id
+"""
+
+
 def q_stream_join_semi(spark, sf_dir):
     """LEFT SEMI stream-stream join on the identical fixture —
     completes the join family (inner r6, left/full outer r6): emit
@@ -1583,6 +1674,8 @@ PIPELINE_GATE = {
     "rel_window_topk": (q_rel_window,
                         lambda: relational.oracle_top_orders_per_customer(2)),
     "rel_rollup": (q_rel_rollup, relational.oracle_lineitem_rollup),
+    "evt_stream_static_join": (q_stream_static_join,
+                               oracle_stream_static_join),
     "rel_range_frame": (
         lambda s, d: relational.customer_trailing_spend(s, d),
         relational.oracle_customer_trailing_spend),

@@ -396,3 +396,87 @@ def test_stream_session_fixture_margins_and_structure(spark, duck):
     n_exact = gaps.where("d = 120").count()
     assert n_exact > 0, "fixture lost its exact-gap boundary pairs"
     rows.unpersist()
+
+
+def test_stream_static_join_broadcasts_and_rereads_dim(spark, tmp_path):
+    """evt_stream_static_join's load-bearing properties, pinned at the
+    physical level. (A) A plan-embedded static side enters every
+    micro-batch as a BroadcastHashJoin with NO StateStore operator
+    anywhere (stream-static is state-free enrichment, unlike every
+    stream-stream join) — but its file-source LISTING is snapshotted
+    at query start, so a mid-query overwrite of plain parquet is NOT
+    picked up (it fails with FILE_NOT_EXIST — pinned, because relying
+    on the opposite silently serves stale dims). (B) The per-batch
+    dim-refresh idiom on plain files is therefore a foreachBatch
+    re-read (what this pins, v0→v1 within ONE running query) or a
+    query restart (what the gate's two availableNow runs prove)."""
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+
+    def write_dim(n_segs, ver):
+        spark.range(n_segs).selectExpr(
+            "id AS seg_id", f"'{ver}' AS seg_name") \
+            .write.mode("overwrite").parquet(dim)
+
+    write_dim(8, "v0")
+    spark.range(0, 100).selectExpr("id AS event_id", "id % 16 AS seg_id") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    # --- A: plan shape + the listing-snapshot caveat -----------------
+    s = (spark.readStream.schema("event_id bigint, seg_id bigint")
+         .parquet(src)
+         .join(F.broadcast(spark.read.parquet(dim)), "seg_id")
+         .select("event_id", "seg_id", "seg_name"))
+    qa = (s.writeStream.outputMode("append").format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", str(tmp_path / "ck_a"))
+          .trigger(processingTime="1 second").start())
+    try:
+        qa.processAllAvailable()
+        plan = qa._jsq.explainInternal(False)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "StateStore" not in plan, plan
+        write_dim(8, "v0b")          # overwrite deletes listed files
+        spark.range(100, 110) \
+            .selectExpr("id AS event_id", "id % 8 AS seg_id") \
+            .coalesce(1).write.mode("append").parquet(src)
+        with pytest.raises(Exception, match="FILE_NOT_EXIST|does not exist"):
+            qa.processAllAvailable()
+    finally:
+        qa.stop()
+    assert spark.read.parquet(out).where("seg_name <> 'v0'").count() == 0
+
+    # --- B: foreachBatch re-read sees the new dim within one query ---
+    out_b = str(tmp_path / "out_b")
+    seen_plans = []
+
+    def sink(bdf, _bid):
+        d = F.broadcast(bdf.sparkSession.read.parquet(dim))
+        j = bdf.join(d, "seg_id").select("event_id", "seg_id", "seg_name")
+        seen_plans.append(
+            j._jdf.queryExecution().executedPlan().toString())
+        j.write.mode("append").parquet(out_b)
+
+    qb = (spark.readStream.schema("event_id bigint, seg_id bigint")
+          .parquet(src)
+          .writeStream.foreachBatch(sink)
+          .option("checkpointLocation", str(tmp_path / "ck_b"))
+          .trigger(processingTime="1 second").start())
+    try:
+        qb.processAllAvailable()
+        write_dim(16, "v1")
+        spark.range(200, 300) \
+            .selectExpr("id AS event_id", "id % 16 AS seg_id") \
+            .coalesce(1).write.mode("append").parquet(src)
+        qb.processAllAvailable()
+    finally:
+        qb.stop()
+    got = spark.read.parquet(out_b)
+    # first batches (event_id < 200, incl. the 10 appended in A):
+    # only seg_id < 8 joins, names v0/v0b; the v1 batch joins all 16
+    assert got.where("event_id < 200 AND seg_id >= 8").count() == 0
+    assert got.where("event_id < 200 AND seg_name = 'v1'").count() == 0
+    assert got.where("event_id >= 200").count() == 100
+    assert got.where("event_id >= 200 AND seg_name <> 'v1'").count() == 0
+    assert all("BroadcastHashJoin" in p for p in seen_plans)
