@@ -897,3 +897,46 @@ FROM (
 WHERE cum >= (n * {int(q)} + 99) // 100
 GROUP BY lang, n""")
     return " UNION ALL ".join(sels) + " ORDER BY lang, q"
+
+
+GK_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def gk_quantiles(docs: DataFrame, col: str = "n_chars",
+                 qs: tuple = GK_QS, accuracy: int = 1_000_000
+                 ) -> DataFrame:
+    """Greenwald-Khanna quantile SKETCH per stratum — the third member
+    of the quantile ladder (exact sort: ``length_quantiles``; additive
+    histogram: ``hist_quantiles``; rank sketch: here). Spark's
+    ``percentile_approx`` aggregate IS a mergeable GK summary: each
+    task folds its partition into a bounded-size summary, summaries
+    merge map-side (ObjectHashAggregate partial_merge), and ONE
+    sketch per stratum crosses the shuffle — never the values. At the
+    gate's accuracy the summary stays lossless (compression never
+    exceeds the error budget 1/accuracy), so the answer is EXACTLY the
+    discrete rank statistic ceil(q·n) — empirically and by both
+    engines' definitions identical to DuckDB's ``quantile_disc``
+    (verified including the q·n-integer boundary, where the naive
+    "index ceil(q·(n-1))" rule differs; pinned in pytest). At 100 TB
+    you lower ``accuracy`` and the identical plan runs with
+    O(accuracy·log(εn)) state per stratum instead of a sort.
+
+    -> (lang, n, q25, q50, q90, q99) — q values in per-mille column
+    names to stay identifier-safe; integer domain so the compare is
+    bit-stable."""
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for q in qs:
+        aggs.append(F.percentile_approx(col, q, accuracy)
+                    .cast("bigint").alias(f"q{int(q * 100)}"))
+    return docs.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+def oracle_gk_quantiles(col: str = "n_chars", qs: tuple = GK_QS) -> str:
+    sels = ",\n       ".join(
+        f"CAST(quantile_disc({col}, {q}) AS BIGINT) AS q{int(q * 100)}"
+        for q in qs)
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       {sels}
+FROM documents GROUP BY lang ORDER BY lang
+"""

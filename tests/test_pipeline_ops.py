@@ -1595,3 +1595,50 @@ def test_kmeans_train_chains_the_gated_halves(spark):
     trained_long = [(r.cid, r.dim, r.c_val)
                     for r in kmeans_train(emb, iters=2).collect()]
     assert distortion(trained_long) < distortion(seed_long)
+
+
+def test_gk_quantiles_rank_rule_merge_and_plan(spark, duck):
+    """gk_quantiles rests on percentile_approx (lossless-accuracy GK)
+    computing the SAME discrete rank statistic as DuckDB quantile_disc
+    — rank = ceil(q·n). Pin it exactly where definitions diverge: at
+    integer q·n both engines must pick index ceil(q·n)-1, NOT the
+    "ceil(q·(n-1))" candidate (n=4, q=0.5 → element 2 of [1,2,3,4],
+    not 3). Also pin the two properties the gate can't see: the
+    summary is MERGEABLE (sketch over disjoint halves == single shot,
+    bit-equal at lossless accuracy) and the plan is ONE exchange of
+    ObjectHashAggregate partials (sketches cross the shuffle, never
+    values)."""
+    from spatialsketch_spark.pipeline.text import gk_quantiles
+
+    rows = [(i, "a", v) for i, v in enumerate([1, 2, 3, 4])] + \
+           [(i + 10, "b", v) for i, v in enumerate(
+               [7, 1, 9, 3, 3, 5, 11, 2, 6, 8])]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    got = {r["lang"]: r.asDict() for r in gk_quantiles(docs).collect()}
+    assert got["a"]["q50"] == 2          # ceil(0.5*4)=2nd of [1,2,3,4]
+    assert got["a"]["q25"] == 1          # ceil(1)=1st
+    assert got["b"]["q50"] == 5          # ceil(5)=5th of sorted b
+    duck.execute("CREATE OR REPLACE TABLE _gk(lang VARCHAR, n_chars BIGINT)")
+    duck.executemany("INSERT INTO _gk VALUES (?, ?)",
+                     [(r[1], r[2]) for r in rows])
+    for lang, q, col in [("a", 0.25, "q25"), ("a", 0.5, "q50"),
+                         ("a", 0.9, "q90"), ("b", 0.5, "q50"),
+                         ("b", 0.9, "q90"), ("b", 0.99, "q99")]:
+        dd = duck.execute(
+            f"SELECT quantile_disc(n_chars, {q}) FROM _gk "
+            f"WHERE lang = '{lang}'").fetchone()[0]
+        assert got[lang][col] == dd, (lang, q, got[lang][col], dd)
+    duck.execute("DROP TABLE _gk")
+
+    # mergeability: disjoint halves through the same aggregate == whole
+    whole = gk_quantiles(docs.repartition(1)).collect()
+    halves = gk_quantiles(
+        docs.where("doc_id % 2 = 0").repartition(3).unionAll(
+            docs.where("doc_id % 2 = 1").repartition(2))).collect()
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, halves))
+
+    plan = gk_quantiles(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "ObjectHashAggregate" in plan, plan
+    assert plan.count("Exchange") <= 2, plan   # agg + presentation sort

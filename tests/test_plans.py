@@ -440,3 +440,24 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
             if v is not None:
                 spark.conf.set(k, v)
     assert n == 200_000 // 100   # 50 surviving keys x 40 fact rows... 
+
+
+def test_orc_scan_pushes_filters_and_prunes_partitions(spark, tmp_path):
+    """The ORC reader must carry the same scale guarantees the parquet
+    gates pin: predicate pushdown reaches the scan (PushedFilters),
+    the projection prunes columns (ReadSchema excludes text), and a
+    partition-column predicate lands in PartitionFilters — format
+    parity, not just roundtrip parity."""
+    out = str(tmp_path / "orc")
+    spark.read.parquet(f"{SF_ORACLE}/documents.parquet") \
+        .write.partitionBy("lang").orc(out)
+    df = (spark.read.orc(out)
+          .where((F.col("lang") == "en") & (F.col("n_chars") > 100))
+          .select("doc_id", "n_chars"))
+    plan = formatted(df)
+    assert "PushedFilters" in plan and "n_chars" in \
+        plan.split("PushedFilters", 1)[1][:200], plan
+    assert "PartitionFilters" in plan and "lang" in \
+        plan.split("PartitionFilters", 1)[1][:200], plan
+    rs = plan.split("ReadSchema", 1)[1][:200]
+    assert "text" not in rs and "doc_id" in rs, rs
