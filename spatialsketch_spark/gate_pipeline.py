@@ -1730,6 +1730,12 @@ PIPELINE_GATE = {
     "rel_rollup": (q_rel_rollup, relational.oracle_lineitem_rollup),
     "evt_stream_static_join": (q_stream_static_join,
                                oracle_stream_static_join),
+    "rel_rank_family": (
+        lambda s, d: relational.customer_rank_family(s, d),
+        relational.oracle_customer_rank_family),
+    "rel_gap_fill": (
+        lambda s, d: relational.orders_gap_fill(s, d),
+        relational.oracle_orders_gap_fill),
     "rel_range_frame": (
         lambda s, d: relational.customer_trailing_spend(s, d),
         relational.oracle_customer_trailing_spend),

@@ -279,6 +279,43 @@ def hilbert_xy2d_py(n: int, x: int, y: int) -> int:
     return d
 
 
+def hilbert_d2xy_py(n: int, d: int) -> tuple[int, int]:
+    """Inverse of :func:`hilbert_xy2d_py` (the public algorithm
+    verbatim): curve index -> (x, y). Driver-side utility for reader
+    tooling — turning a coalesced bucket range back into the grid
+    cells it covers (range audits, debugging a pruning rewrite,
+    emitting human-readable region bounds for a curve segment)."""
+    if not 0 <= d < n * n:
+        raise ValueError(f"d={d} outside curve of side {n}")
+    x = y = 0
+    t = d
+    s = 1
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def hilbert_range_cells(n: int, lo: int, hi: int
+                        ) -> list[tuple[int, int]]:
+    """Enumerate the (x, y) cells of curve segment [lo, hi] — the
+    audit inverse of the bucket-range reader: every cell a coalesced
+    BETWEEN range admits, in curve order (adjacent cells differ by
+    exactly one grid step, the curve's defining property)."""
+    if lo > hi:
+        raise ValueError(f"reversed range [{lo}, {hi}]")
+    return [hilbert_d2xy_py(n, d) for d in range(lo, hi + 1)]
+
+
 def hilbert_layout(geo: DataFrame,
                    buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """Hilbert twin of :func:`zorder_layout`: range-bucket the stream

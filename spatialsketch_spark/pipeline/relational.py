@@ -513,3 +513,103 @@ def oracle_profile_table(table: str = "orders",
             f"CAST(MIN({c}) AS VARCHAR) AS min_s, "
             f"CAST(MAX({c}) AS VARCHAR) AS max_s FROM {table}")
     return " UNION ALL ".join(sels) + " ORDER BY col_name"
+
+
+def customer_rank_family(spark: SparkSession, sf_dir: str,
+                         tiles: int = 4) -> DataFrame:
+    """The ranking-window family in one pass: RANK (gaps at ties),
+    DENSE_RANK (no gaps), NTILE (equi-depth buckets, first n%k buckets
+    one row deeper — the standard quantile-binning primitive for
+    stratified sampling / feature bucketing). All three share ONE
+    window spec, so they compute in a single exchange+sort; ranking on
+    integer cents with c_custkey as the final tiebreaker makes every
+    column deterministic (rank/dense_rank are tie-stable by value;
+    ntile SPLITS peers, so it needs the unique key to be
+    engine-stable).
+
+    -> (nation, custkey, bal_c, rnk, drnk, tile)."""
+    c = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("bal_c"), F.asc("c_custkey"))
+    return (c.withColumn("bal_c", cents(F.col("c_acctbal")))
+            .select(F.col("c_nationkey").cast("bigint").alias("nation"),
+                    F.col("c_custkey").cast("bigint").alias("custkey"),
+                    F.col("bal_c").cast("bigint"),
+                    F.rank().over(w).cast("bigint").alias("rnk"),
+                    F.dense_rank().over(w).cast("bigint").alias("drnk"),
+                    F.ntile(tiles).over(w).cast("bigint").alias("tile"))
+            .orderBy("nation", "rnk", "custkey"))
+
+
+def oracle_customer_rank_family(tiles: int = 4) -> str:
+    return f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       CAST(c_custkey AS BIGINT) AS custkey,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       CAST(NTILE({tiles}) OVER w AS BIGINT) AS tile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC,
+                      c_custkey ASC)
+ORDER BY nation, rnk, custkey
+"""
+
+
+def orders_gap_fill(spark: SparkSession, sf_dir: str,
+                    max_cust: int = 12) -> DataFrame:
+    """Calendar densification — the training-pipeline primitive for
+    regular time series (a model can't learn from implicitly-missing
+    months): per customer, generate EVERY month between their first
+    and last order via ``sequence()`` + ``explode`` (rows materialize
+    in the executor generator — no driver loop, no join against a
+    calendar table), left-join the actual monthly aggregate, and
+    zero-fill the gaps. Month arithmetic in pure integers
+    (year*12 + month) so both engines agree exactly.
+
+    -> (custkey, ym, n_orders, spend_c) — one row per
+    customer-month, gaps present with zeros."""
+    o = _read(spark, sf_dir, "orders").where(F.col("o_custkey") < max_cust)
+    m = o.select(F.col("o_custkey").cast("bigint").alias("custkey"),
+                 (F.year("o_orderdate") * 12
+                  + F.month("o_orderdate") - 1).cast("bigint").alias("ym"),
+                 cents(F.col("o_totalprice")).alias("c"))
+    agg = m.groupBy("custkey", "ym").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("c").cast("bigint").alias("spend_c"))
+    span = m.groupBy("custkey").agg(F.min("ym").alias("lo"),
+                                    F.max("ym").alias("hi"))
+    cal = span.select("custkey",
+                      F.explode(F.sequence("lo", "hi")).alias("ym"))
+    return (cal.join(agg, ["custkey", "ym"], "left")
+            .select("custkey", "ym",
+                    F.coalesce("n_orders", F.lit(0)).cast("bigint")
+                    .alias("n_orders"),
+                    F.coalesce("spend_c", F.lit(0)).cast("bigint")
+                    .alias("spend_c"))
+            .orderBy("custkey", "ym"))
+
+
+def oracle_orders_gap_fill(max_cust: int = 12) -> str:
+    return f"""
+WITH m AS (
+  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1
+              AS BIGINT) AS ym,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_custkey < {max_cust}
+), agg AS (
+  SELECT custkey, ym, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(c) AS BIGINT) AS spend_c
+  FROM m GROUP BY 1, 2
+), cal AS (
+  SELECT custkey, UNNEST(generate_series(MIN(ym), MAX(ym))) AS ym
+  FROM m GROUP BY custkey
+)
+SELECT cal.custkey, CAST(cal.ym AS BIGINT) AS ym,
+       CAST(COALESCE(agg.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(agg.spend_c, 0) AS BIGINT) AS spend_c
+FROM cal LEFT JOIN agg USING (custkey, ym)
+ORDER BY custkey, ym
+"""

@@ -287,3 +287,25 @@ def test_bucket_range_predicate_prunes_partitions(spark, tmp_path):
     assert (pruned.count()
             == t.where(F.col("bucket").isin(ids) & rect).count()
             == t.where(rect).count())
+
+
+def test_hilbert_d2xy_inverse_and_unit_steps():
+    """d2xy is the exact inverse of xy2d over the full 64x64 grid; a
+    curve segment enumerates to cells where CONSECUTIVE cells differ
+    by exactly one grid step (Hilbert's defining locality, the reason
+    bucket ranges map to connected regions); bounds are validated."""
+    import pytest
+    from spatialsketch_spark.geo.layout import (
+        hilbert_d2xy_py, hilbert_range_cells, hilbert_xy2d_py)
+    n = 64
+    for d in range(n * n):
+        x, y = hilbert_d2xy_py(n, d)
+        assert hilbert_xy2d_py(n, x, y) == d
+    cells = hilbert_range_cells(n, 100, 300)
+    assert len(cells) == 201 and len(set(cells)) == 201
+    for (x0, y0), (x1, y1) in zip(cells, cells[1:]):
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+    with pytest.raises(ValueError, match="outside"):
+        hilbert_d2xy_py(n, n * n)
+    with pytest.raises(ValueError, match="reversed"):
+        hilbert_range_cells(n, 5, 4)

@@ -1642,3 +1642,43 @@ def test_gk_quantiles_rank_rule_merge_and_plan(spark, duck):
         .toString()
     assert "ObjectHashAggregate" in plan, plan
     assert plan.count("Exchange") <= 2, plan   # agg + presentation sort
+
+
+def test_rank_family_and_gap_fill_semantics(spark):
+    """rel_rank_family / rel_gap_fill designed properties the oracle
+    compare can't isolate: rank gaps at ties vs dense_rank's none;
+    ntile depths differ by at most one and are monotone over the
+    ordering; gap_fill really fills (the fixture HAS empty months,
+    they appear zeroed, and filled months are exactly the min..max
+    span) and the calendar materializes executor-side via Generate
+    (explode(sequence)) — no driver loop, no calendar-table join."""
+    from spatialsketch_spark.pipeline.relational import (
+        customer_rank_family, orders_gap_fill)
+    sf = "/root/testdata/sf0.001"
+    rf = customer_rank_family(spark, sf).collect()
+    by_nation = {}
+    for r in rf:
+        by_nation.setdefault(r["nation"], []).append(r)
+    for rows in by_nation.values():
+        # rows arrive ordered by rnk; dense_rank never skips and never
+        # exceeds rank (rank gaps at ties are what separate the two)
+        drs = [r["drnk"] for r in rows]
+        assert drs[0] == 1 and all(b - a in (0, 1)
+                                   for a, b in zip(drs, drs[1:]))
+        assert all(r["drnk"] <= r["rnk"] for r in rows)
+        sizes = [sum(1 for r in rows if r["tile"] == t)
+                 for t in sorted({r["tile"] for r in rows})]
+        assert max(sizes) - min(sizes) <= 1
+        tiles = [r["tile"] for r in rows]
+        assert tiles == sorted(tiles)
+    gf = orders_gap_fill(spark, sf)
+    rows = gf.collect()
+    zeros = [r for r in rows if r["n_orders"] == 0]
+    assert zeros and all(r["spend_c"] == 0 for r in zeros)
+    spans = {}
+    for r in rows:
+        spans.setdefault(r["custkey"], []).append(r["ym"])
+    for yms in spans.values():
+        assert yms == list(range(min(yms), max(yms) + 1))
+    plan = gf._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan, plan
