@@ -1768,6 +1768,12 @@ PIPELINE_GATE = {
         lambda spark, sf_dir: similarity.kmeans_train(
             _emb(spark, sf_dir), iters=2).orderBy("cid", "dim"),
         lambda: similarity.oracle_kmeans_train(iters=2)),
+    # r7: IVF search over the TRAINED codebook — training, list
+    # build, probing and re-rank ALL replayed end-to-end in DuckDB
+    "emb_ivf_trained_topk": (
+        lambda spark, sf_dir: similarity.ivf_trained_topk(
+            _emb(spark, sf_dir), EMB_QUERY_IDS, 5),
+        lambda: similarity.oracle_ivf_trained_topk(EMB_QUERY_IDS, 5)),
     # r7: residual-quantized IVF-PQ (the FAISS-default recall upgrade)
     "emb_ivfpq_res_topk": (
         q_ivfpq_res_topk,

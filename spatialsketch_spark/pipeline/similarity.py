@@ -1406,7 +1406,8 @@ ORDER BY qid, rank
 
 
 def kmeans_train(emb: DataFrame, k: int = KMEANS_K,
-                 iters: int = 2) -> DataFrame:
+                 iters: int = 2, return_centroids: bool = False
+                 ) -> DataFrame:
     """FULL Lloyd training loop in exact int64 fixed point — the
     missing third of the k-means surface (assign + update are gated
     separately; this CHAINS them): ``iters`` rounds of
@@ -1455,6 +1456,10 @@ def kmeans_train(emb: DataFrame, k: int = KMEANS_K,
                      lambda st: st.c_val).alias("cx_new")))
         cents = (cents.join(new_c, "cid", "left")
                  .select("cid", F.coalesce("cx_new", "cx").alias("cx")))
+    if return_centroids:
+        # the FINAL codebook including empty-cluster carryovers —
+        # the array form downstream index builds consume
+        return cents
     return (last.select(F.col("cid").cast("bigint"),
                         F.col("dim").cast("bigint"),
                         F.col("c_val").cast("bigint"),
@@ -1467,6 +1472,20 @@ def oracle_kmeans_train(k: int = KMEANS_K, iters: int = 2,
     pagerank pattern): per round an assign CTE + a floor-division
     update CTE + a list re-assembly CTE; empty clusters COALESCE to
     the previous round's centroid."""
+    parts = _kmeans_train_parts(k, iters, src)
+    return f"""
+WITH {",".join(parts)}
+SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS BIGINT) AS dim,
+       CAST(c_val AS BIGINT) AS c_val,
+       CAST(n_assigned AS BIGINT) AS n_assigned
+FROM f{int(iters) - 1} ORDER BY cid, dim
+"""
+
+
+def _kmeans_train_parts(k: int, iters: int, src: str) -> list[str]:
+    """WITH-clause parts of the Lloyd replay, shared between the
+    training oracle and downstream consumers (trained-IVF search);
+    the final codebook is CTE ``c{iters}``."""
     parts = [f"""q AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding,
@@ -1504,10 +1523,109 @@ c{t + 1} AS (
        (SELECT cid, list(c_val ORDER BY dim) AS cq
         FROM f{t} GROUP BY cid) n ON n.cid = p.cid
 )""")
+    return parts
+
+
+def ivf_trained_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                     nprobe: int = 2, kc: int = KMEANS_K,
+                     iters: int = 2) -> DataFrame:
+    """IVF search over a TRAINED codebook — the production composition
+    the separately-gated pieces build toward: Lloyd-train ``kc``
+    centroids (:func:`kmeans_train`, exact int64 fixed point), assign
+    every vector to its nearest trained centroid (the inverted lists),
+    then per query probe the ``nprobe`` nearest lists and exact-re-rank
+    candidates by integer squared L2. Unlike :func:`ivf_topk` (float
+    numpy centroids, cosine re-rank, brute-force oracle), EVERY stage
+    here is integer arithmetic with deterministic tie-breaks (d2 then
+    cid/vec_id), so the oracle replays training → lists → probe →
+    re-rank END-TO-END — the approximation itself is verified, not
+    just its agreement with brute force.
+
+    Plan: training as in kmeans_train (broadcast codebook per round),
+    then one map-side assign pass (codebook broadcast, kc·dim ints),
+    probe fan-out = |queries|·nprobe rows broadcast against the
+    cid-keyed lists — the scan cost is the probed fraction of the
+    table, never O(n²). -> (qid, rank, vec_id, d2), ordered."""
+    q = _quantized(emb)
+    cents = kmeans_train(emb, kc, iters, return_centroids=True)
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    best = F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_b")
+    assign = (q.join(F.broadcast(cents))
+              .withColumn("_d2", d2("xq", "cx"))
+              .groupBy("vec_id").agg(best)
+              .select("vec_id", F.col("_b.cid").alias("cid")))
+    lists = assign.join(q, "vec_id")
+
+    wq = Window.partitionBy("qid").orderBy("_d2", "cid")
+    probes = (q.where(F.col("vec_id").isin(query_ids))
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("xq").alias("qx"))
+              .join(F.broadcast(cents))
+              .withColumn("_d2", d2("qx", "cx"))
+              .withColumn("pr", F.row_number().over(wq))
+              .where(F.col("pr") <= nprobe)
+              .select("qid", "qx", F.col("cid").alias("pcid")))
+
+    wr = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    return (lists.join(F.broadcast(probes),
+                       (F.col("cid") == F.col("pcid"))
+                       & (F.col("vec_id") != F.col("qid")))
+            .withColumn("d2", d2("xq", "qx"))
+            .withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").cast("bigint"),
+                    F.col("rank").cast("bigint"),
+                    F.col("vec_id").cast("bigint"),
+                    F.col("d2").cast("bigint"))
+            .orderBy("qid", "rank"))
+
+
+def oracle_ivf_trained_topk(query_ids: list[int], k: int = 5,
+                            nprobe: int = 2, kc: int = KMEANS_K,
+                            iters: int = 2,
+                            src: str = "embeddings") -> str:
+    ids = ",".join(str(i) for i in query_ids)
+    parts = _kmeans_train_parts(kc, iters, src)
+    parts.append(f"""lists AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(q.xq) + 1),
+                      i -> (q.xq[i] - c.cq[i]) * (q.xq[i] - c.cq[i]))),
+             c.cid) AS rn
+    FROM q CROSS JOIN c{int(iters)} c) WHERE rn = 1
+)""")
+    parts.append(f"""probes AS (
+  SELECT qid, cid AS pcid FROM (
+    SELECT q.vec_id AS qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(q.xq) + 1),
+                      i -> (q.xq[i] - c.cq[i]) * (q.xq[i] - c.cq[i]))),
+             c.cid) AS rn
+    FROM q CROSS JOIN c{int(iters)} c
+    WHERE q.vec_id IN ({ids})) WHERE rn <= {nprobe}
+)""")
     return f"""
-WITH {",".join(parts)}
-SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS BIGINT) AS dim,
-       CAST(c_val AS BIGINT) AS c_val,
-       CAST(n_assigned AS BIGINT) AS n_assigned
-FROM f{int(iters) - 1} ORDER BY cid, dim
+WITH {",".join(parts)},
+cand AS (
+  SELECT p.qid, l.vec_id,
+         list_sum(list_transform(range(1, len(x.xq) + 1),
+                  i -> (x.xq[i] - y.xq[i]) * (x.xq[i] - y.xq[i])))
+             AS d2
+  FROM probes p JOIN lists l ON l.cid = p.pcid
+                               AND l.vec_id <> p.qid
+       JOIN q x ON x.vec_id = l.vec_id
+       JOIN q y ON y.vec_id = p.qid
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id)
+            AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, CAST(d2 AS BIGINT) AS d2
+FROM cand QUALIFY rank <= {k}
+ORDER BY qid, rank
 """

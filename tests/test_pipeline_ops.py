@@ -1682,3 +1682,27 @@ def test_rank_family_and_gap_fill_semantics(spark):
         assert yms == list(range(min(yms), max(yms) + 1))
     plan = gf._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan, plan
+
+
+def test_ivf_trained_full_probe_is_exact(spark):
+    """ivf_trained_topk's approximation knob is nprobe: probing ALL
+    trained lists must recover the exact integer-L2 top-k (brute
+    force), because every vector lives in exactly one list and re-rank
+    is exact — the invariant that separates 'prunes candidates' from
+    'changes answers'. At nprobe=2 results stay a subset of the probed
+    lists (the oracle replays that); here we pin the exact end."""
+    from spatialsketch_spark.pipeline.similarity import (
+        KMEANS_K, _quantized, ivf_trained_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [(r["qid"], r["rank"], r["vec_id"], r["d2"]) for r in
+           ivf_trained_topk(emb, [0, 7], 4, nprobe=KMEANS_K).collect()]
+    q = _quantized(emb)
+    import itertools
+    rows = {r["vec_id"]: r["xq"] for r in q.collect()}
+    want = []
+    for qid in [0, 7]:
+        d2s = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(x, rows[qid])), v)
+            for v, x in rows.items() if v != qid)[:4]
+        want += [(qid, i + 1, v, d) for i, (d, v) in enumerate(d2s)]
+    assert sorted(got) == sorted(want)
