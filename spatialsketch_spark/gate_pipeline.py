@@ -1089,6 +1089,91 @@ ORDER BY event_id
 """
 
 
+_STREAM_COMPLETE = {}
+
+
+def q_stream_complete_topk(spark, sf_dir):
+    """COMPLETE-output-mode streaming aggregation with a global
+    ORDER BY + LIMIT — the one output mode where streaming sorting is
+    legal at all (append/update reject it: rows could still move), and
+    the mode the other streaming gates deliberately avoid. Per-user
+    event counts stream in across TWO availableNow restarts of one
+    checkpoint; every trigger re-emits the FULL top-10 table (complete
+    mode = state snapshot, not delta), the foreachBatch sink
+    OVERWRITES per emission, and the surviving table after the final
+    run must equal the batch top-10 over all input — which is exactly
+    the aggregation-state-survives-restart proof: run 1 only appends
+    the odd half, so its top-10 is correct only if run 0's counts are
+    still in the state store. Ties broken by user_id in BOTH the
+    window and the limit (a global top-k over ties is otherwise
+    nondeterministic).
+
+    -> (pos, user_id, n_events), ordered."""
+    key = (sf_dir, "stream_complete")
+    res = _STREAM_COMPLETE.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_id", "user_id")
+        base = tempfile.mkdtemp(prefix="gate_scomplete_")
+        try:
+            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
+
+            def run():
+                agg = (spark.readStream
+                       .schema("event_id bigint, user_id bigint")
+                       .parquet(src)
+                       .groupBy("user_id")
+                       .agg(F.count("*").cast("bigint")
+                            .alias("n_events"))
+                       .orderBy(F.desc("n_events"), F.asc("user_id"))
+                       .limit(10))
+
+                def sink(bdf, _bid):
+                    # complete mode re-emits the whole table: the sink
+                    # REPLACES, so the final emission wins
+                    bdf.write.mode("overwrite").parquet(out)
+
+                (agg.writeStream.outputMode("complete")
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            ev.where("event_id % 2 = 0").coalesce(1) \
+                .write.mode("overwrite").parquet(src)
+            run()
+            ev.where("event_id % 2 = 1").coalesce(1) \
+                .write.mode("append").parquet(src)
+            run()
+            from pyspark.sql.window import Window
+            w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+            res = (spark.read.parquet(out)
+                   .withColumn("pos", F.row_number().over(w)
+                               .cast("bigint"))
+                   .select("pos", "user_id", "n_events")
+                   .localCheckpoint(eager=True))
+            _STREAM_COMPLETE[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("pos")
+
+
+def oracle_stream_complete_topk() -> str:
+    return """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id)
+            AS BIGINT) AS pos,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_events AS BIGINT) AS n_events
+FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
 def q_stream_join_semi(spark, sf_dir):
     """LEFT SEMI stream-stream join on the identical fixture —
     completes the join family (inner r6, left/full outer r6): emit
@@ -1730,6 +1815,11 @@ PIPELINE_GATE = {
     "rel_rollup": (q_rel_rollup, relational.oracle_lineitem_rollup),
     "evt_stream_static_join": (q_stream_static_join,
                                oracle_stream_static_join),
+    "evt_stream_complete_topk": (q_stream_complete_topk,
+                                 oracle_stream_complete_topk),
+    "rel_nullsafe_join": (
+        lambda s, d: relational.nullsafe_join_rollup(s, d),
+        relational.oracle_nullsafe_join_rollup),
     "rel_rank_family": (
         lambda s, d: relational.customer_rank_family(s, d),
         relational.oracle_customer_rank_family),

@@ -613,3 +613,43 @@ SELECT cal.custkey, CAST(cal.ym AS BIGINT) AS ym,
 FROM cal LEFT JOIN agg USING (custkey, ym)
 ORDER BY custkey, ym
 """
+
+
+def nullsafe_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM) — the
+    join flavor plain ``=`` silently breaks: with nullable keys on
+    BOTH sides, ``=`` drops every NULL row (NULL = NULL is NULL), while
+    the null-safe form matches NULL with NULL like a value. Catalyst
+    treats ``<=>`` as a full equi-join key (hash join, NOT the
+    BroadcastNestedLoopJoin a general predicate would force — plan
+    pinned in pytest). Fixture: orders bucketed by a nullable derived
+    key (NULLIF(o_custkey % 7, 3) — 1-in-7 keys NULL on both sides),
+    self-join orders-to-customers on the same derivation, rolled up.
+
+    -> (k, n_pairs, spend_c) with k = -1 standing in for the NULL
+    bucket in the output (the JOIN itself ran on real NULLs)."""
+    o = _read(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_custkey") % 7, F.lit(3)).alias("ok"),
+        cents(F.col("o_totalprice")).alias("c"))
+    c = _read(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("ck"))
+    j = o.join(c, o["ok"].eqNullSafe(c["ck"]))
+    return (j.groupBy(F.coalesce(F.col("ok"), F.lit(-1)).alias("k"))
+            .agg(F.count("*").cast("bigint").alias("n_pairs"),
+                 F.sum("c").cast("bigint").alias("spend_c"))
+            .select(F.col("k").cast("bigint"), "n_pairs", "spend_c")
+            .orderBy("k"))
+
+
+def oracle_nullsafe_join_rollup() -> str:
+    return """
+WITH o AS (SELECT NULLIF(o_custkey % 7, 3) AS ok,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+c AS (SELECT NULLIF(c_custkey % 7, 3) AS ck FROM customer)
+SELECT CAST(COALESCE(ok, -1) AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(o.c) AS BIGINT) AS spend_c
+FROM o JOIN c ON o.ok IS NOT DISTINCT FROM c.ck
+GROUP BY 1 ORDER BY k
+"""

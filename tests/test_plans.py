@@ -461,3 +461,16 @@ def test_orc_scan_pushes_filters_and_prunes_partitions(spark, tmp_path):
         plan.split("PartitionFilters", 1)[1][:200], plan
     rs = plan.split("ReadSchema", 1)[1][:200]
     assert "text" not in rs and "doc_id" in rs, rs
+
+
+def test_nullsafe_join_is_hash_join(spark):
+    """rel_nullsafe_join: Catalyst must treat `<=>` as a full equi-join
+    key — a hash-based join (broadcast or shuffle), never the
+    BroadcastNestedLoopJoin a general non-equi predicate degrades to.
+    At 100 TB that is the difference between a keyed shuffle and an
+    O(n·m) predicate evaluation."""
+    from spatialsketch_spark.pipeline.relational import (
+        nullsafe_join_rollup)
+    plan = formatted(nullsafe_join_rollup(spark, SF_ORACLE))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
