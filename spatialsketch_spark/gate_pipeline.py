@@ -1815,6 +1815,12 @@ PIPELINE_GATE = {
     "rel_rollup": (q_rel_rollup, relational.oracle_lineitem_rollup),
     "evt_stream_static_join": (q_stream_static_join,
                                oracle_stream_static_join),
+    "doc_fuzzy_pairs": (
+        lambda s, d: dedup.fuzzy_pairs(_docs(s, d)),
+        dedup.oracle_fuzzy_pairs),
+    "evt_running_distinct": (
+        lambda s, d: events.running_distinct(events._events(s, d)),
+        events.oracle_running_distinct),
     "evt_stream_complete_topk": (q_stream_complete_topk,
                                  oracle_stream_complete_topk),
     "rel_nullsafe_join": (

@@ -856,3 +856,53 @@ WHERE valid_from <= {int(version)}
   AND (valid_to IS NULL OR valid_to > {int(version)})
 ORDER BY doc_id
 """
+
+
+def fuzzy_pairs(docs: DataFrame, prefix: int = 24,
+                max_dist: int = 5, band: int = 32) -> DataFrame:
+    """Blocked fuzzy matching (record linkage) — the edit-distance
+    rung of the near-dup ladder, catching what token-set methods
+    (MinHash/Jaccard) miss: small in-place EDITS (typos, OCR noise)
+    that shift every downstream shingle. The blocking key
+    (lang, n_chars div ``band``) bounds the candidate set — the
+    quadratic verify runs per block, never per corpus (at 100 TB the
+    self-join shuffles on the block key and each block is
+    broadcast-sized); the verifier is ``levenshtein`` over the first
+    ``prefix`` normalized chars — byte-identical in Spark and DuckDB.
+    A real pair whose lengths straddle a band boundary is missed by
+    design (documented blocking recall trade-off, the same contract as
+    LSH banding). -> (doc_a, doc_b, dist), a < b, ordered."""
+    d = docs.select(
+        "doc_id", "lang",
+        F.expr(f"n_chars div {band}").alias("blk"),
+        F.substring(norm_text_col(F.col("text")), 1, prefix).alias("p"))
+    a = d.select(F.col("doc_id").alias("doc_a"), "lang", "blk",
+                 F.col("p").alias("pa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), "lang", "blk",
+                 F.col("p").alias("pb"))
+    return (a.join(b, ["lang", "blk"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("dist", F.levenshtein("pa", "pb"))
+            .where(F.col("dist") <= max_dist)
+            .select(F.col("doc_a").cast("bigint"),
+                    F.col("doc_b").cast("bigint"),
+                    F.col("dist").cast("bigint"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def oracle_fuzzy_pairs(prefix: int = 24, max_dist: int = 5,
+                       band: int = 32) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars // {band} AS blk,
+         substr({NORM_SQL}, 1, {prefix}) AS p
+  FROM documents
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+       CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk
+                   AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= {max_dist}
+ORDER BY doc_a, doc_b
+"""

@@ -367,3 +367,49 @@ SELECT path, n_sessions,
 FROM c QUALIFY rank <= {topk}
 ORDER BY rank
 """
+
+
+def running_distinct(ev: DataFrame) -> DataFrame:
+    """Cumulative DISTINCT count — the windowed aggregate Spark does
+    NOT support directly (``COUNT(DISTINCT ...) OVER`` raises), as the
+    standard composition: distinct-collapse (user, type, day), keep
+    each user's FIRST day per type (a user adds to the running
+    distinct exactly once, on that day), count first-appearances per
+    day, cumulative-sum them, and re-attach to EVERY active day via a
+    running MAX over the sparse new-user days. One distinct + one agg
+    + two window passes over the same (event_type, day) ordering —
+    state is |types|×|days|, never |users|. The oracle runs DuckDB's
+    NATIVE windowed DISTINCT aggregate, so the composition is proven
+    against the real semantics, not replayed.
+
+    -> (event_type, day, cum_users) for every (type, active day)."""
+    from pyspark.sql.window import Window
+    day = F.expr(f"({_TS_US}) div {_DAY_US}")
+    atd = ev.select("event_type", "user_id", day.alias("d")).distinct()
+    firsts = (atd.groupBy("event_type", "user_id")
+              .agg(F.min("d").alias("d"))
+              .groupBy("event_type", "d")
+              .agg(F.count("*").alias("new_users")))
+    days = atd.select("event_type", "d").distinct()
+    w = (Window.partitionBy("event_type").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (days.join(firsts, ["event_type", "d"], "left")
+            .withColumn("cum_users",
+                        F.sum(F.coalesce("new_users", F.lit(0))).over(w))
+            .select("event_type", F.col("d").cast("bigint").alias("day"),
+                    F.col("cum_users").cast("bigint"))
+            .orderBy("event_type", "day"))
+
+
+def oracle_running_distinct(src: str = "events") -> str:
+    return f"""
+SELECT DISTINCT event_type,
+       CAST(epoch_us(ts) // {{day_us}} AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT user_id) OVER (
+            PARTITION BY event_type
+            ORDER BY epoch_us(ts) // {{day_us}}
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_users
+FROM {src}
+ORDER BY event_type, day
+""".format(day_us=_DAY_US)

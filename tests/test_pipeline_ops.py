@@ -1706,3 +1706,42 @@ def test_ivf_trained_full_probe_is_exact(spark):
             for v, x in rows.items() if v != qid)[:4]
         want += [(qid, i + 1, v, d) for i, (d, v) in enumerate(d2s)]
     assert sorted(got) == sorted(want)
+
+
+def test_fuzzy_pairs_designed_edits_and_blocking(spark):
+    """fuzzy_pairs catches what MinHash-class dedup misses — small
+    in-place EDITS: a 2-typo copy pairs with its source at dist 2; an
+    unrelated doc in the same block does NOT pair; a true near-dup
+    whose padded length crosses the band boundary is missed BY DESIGN
+    (the documented blocking recall trade-off); and running distinct
+    counts stay exact: cum_users is nondecreasing and its final value
+    per type equals the type's total distinct users."""
+    from spatialsketch_spark.pipeline.dedup import fuzzy_pairs
+    from spatialsketch_spark.pipeline.events import running_distinct
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    typo = "the quick brwon fox jumps over the lazy dog tonight"
+    other = "completely different text with nothing in common here"
+    # same block: same lang, n_chars div 32 equal
+    straddle = base + " " + "x" * 40        # pushes into the next band
+    docs = spark.createDataFrame(
+        [(1, base, "en", len(base)), (2, typo, "en", len(typo)),
+         (3, other, "en", len(other)), (4, straddle, "en", len(straddle))],
+        "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+    got = {(r["doc_a"], r["doc_b"]): r["dist"]
+           for r in fuzzy_pairs(docs).collect()}
+    assert got.get((1, 2)) == 2          # the typo pair, exact distance
+    assert (1, 3) not in got and (2, 3) not in got
+    assert (1, 4) not in got             # band-straddler: designed miss
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rd = running_distinct(ev).collect()
+    per_type = {}
+    for r in rd:
+        per_type.setdefault(r["event_type"], []).append(r["cum_users"])
+    from pyspark.sql import functions as F
+    totals = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for t, seq in per_type.items():
+        assert seq == sorted(seq)
+        assert seq[-1] == totals[t]
