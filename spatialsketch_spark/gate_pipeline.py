@@ -155,6 +155,128 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+_DYN_OVERWRITE = {}
+
+
+def q_dynamic_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the lakehouse incremental-ingest
+    idiom: ``partitionOverwriteMode=dynamic`` makes INSERT OVERWRITE
+    replace ONLY the partitions the incoming batch touches, leaving
+    every other partition's files untouched (static mode would wipe
+    the whole table root). Fixture: the corpus lands partitioned by
+    lang; a re-ingest batch containing only the 'en' docs with a
+    bumped marker column overwrites; the read-back table must show
+    v1 for 'en' and v0 everywhere else — per-lang counts, marker sums
+    and a text fingerprint so silently-dropped or duplicated rows in
+    ANY partition flip the compare. -> (lang, n, marker_sum, text_fp).
+    """
+    key = (sf_dir, "dyn_overwrite")
+    res = _DYN_OVERWRITE.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="gate_dynow_")
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(mode_key, "STATIC")
+        try:
+            t = f"{base}/docs"
+            docs.withColumn("marker", F.lit(0)) \
+                .write.mode("overwrite").partitionBy("lang").parquet(t)
+            spark.conf.set(mode_key, "dynamic")
+            docs.where("lang = 'en'").withColumn("marker", F.lit(1)) \
+                .write.mode("overwrite").partitionBy("lang").parquet(t)
+            back = spark.read.parquet(t)
+            fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10) \
+                .cast("bigint")
+            res = (back.groupBy("lang")
+                   .agg(F.count("*").cast("bigint").alias("n"),
+                        F.sum("marker").cast("bigint")
+                        .alias("marker_sum"),
+                        F.sum(fp).cast("bigint").alias("text_fp"))
+                   .localCheckpoint(eager=True))
+            _DYN_OVERWRITE[key] = res
+        finally:
+            spark.conf.set(mode_key, old_mode)
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("lang")
+
+
+def oracle_dynamic_overwrite() -> str:
+    return """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS marker_sum,
+       CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+           AS text_fp
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+_SCHEMA_MERGE = {}
+
+
+def q_schema_merge(spark, sf_dir):
+    """Parquet schema evolution (``mergeSchema``) — the multi-year-
+    lake reality: old shards lack columns newer shards carry. Shard A
+    (even doc_ids) lands WITHOUT the later ``quality`` column; shard B
+    (odd) carries it; reading the directory with mergeSchema=true must
+    union the schemas and NULL-fill the absent column for old files —
+    NULL (unknown), not a default. The rollup splits counts by
+    quality-known/unknown per lang and checksums doc_ids on each side,
+    so misfiled NULLs or a dropped shard flip the compare.
+
+    -> (lang, n, n_quality_null, sum_quality, id_sum)."""
+    key = (sf_dir, "schema_merge")
+    res = _SCHEMA_MERGE.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="gate_schmerge_")
+        try:
+            t = f"{base}/docs"
+            docs.where("doc_id % 2 = 0") \
+                .select("doc_id", "lang") \
+                .write.mode("overwrite").parquet(t)
+            docs.where("doc_id % 2 = 1") \
+                .select("doc_id", "lang",
+                        (F.col("n_chars") % 4).cast("bigint")
+                        .alias("quality")) \
+                .write.mode("append").parquet(t)
+            back = spark.read.option("mergeSchema", "true").parquet(t)
+            res = (back.groupBy("lang")
+                   .agg(F.count("*").cast("bigint").alias("n"),
+                        F.sum(F.col("quality").isNull().cast("int"))
+                        .cast("bigint").alias("n_quality_null"),
+                        F.sum(F.coalesce("quality", F.lit(0)))
+                        .cast("bigint").alias("sum_quality"),
+                        F.sum("doc_id").cast("bigint").alias("id_sum"))
+                   .localCheckpoint(eager=True))
+            _SCHEMA_MERGE[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("lang")
+
+
+def oracle_schema_merge() -> str:
+    return """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_null,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 4 ELSE 0 END)
+            AS BIGINT) AS sum_quality,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_repetition(spark, sf_dir):
     return spans.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -1895,6 +2017,9 @@ PIPELINE_GATE = {
         lambda s, d: text.hist_quantiles(_docs(s, d)).orderBy("lang", "q"),
         text.oracle_hist_quantiles),
     "doc_orc_roundtrip": (q_orc_roundtrip, oracle_orc_roundtrip),
+    "doc_dynamic_overwrite": (q_dynamic_overwrite,
+                              oracle_dynamic_overwrite),
+    "doc_schema_merge": (q_schema_merge, oracle_schema_merge),
     "doc_gk_quantiles": (
         lambda s, d: text.gk_quantiles(_docs(s, d)),
         text.oracle_gk_quantiles),
