@@ -230,7 +230,11 @@ def run_bench(cpus: int) -> dict:
                  "emb_cosine_topk", "emb_ivf_topk", "emb_pq_topk",
                  "geo_pip_assign", "geo_knn", "geo_cap_filter",
                  "geo_hotspot", "geo_zorder_layout",
-                 "geo_hilbert_layout", "geo_geohash_rollup"]):
+                 "geo_hilbert_layout", "geo_geohash_rollup",
+                 # r7 additions: quantile sketch, blocked fuzzy
+                 # matching, ranking-window family
+                 "doc_gk_quantiles", "doc_fuzzy_pairs",
+                 "rel_rank_family"]):
         fn = GATE_QUERIES[name][0]
         best = None
         for _ in range(pipe_trials):   # best-of: the host's proactive
