@@ -1296,6 +1296,107 @@ ORDER BY n_events DESC, user_id LIMIT 10
 """
 
 
+_STREAM_UPDATE = {}
+
+
+def q_stream_update_counts(spark, sf_dir):
+    """UPDATE-output-mode streaming aggregation — completing the
+    output-mode triple (append: watermark-finalized windows r5-r7;
+    complete: full-table re-emission `evt_stream_complete_topk`).
+    Update mode emits per trigger ONLY the groups whose state CHANGED
+    — the contract that makes a billion-group running aggregate
+    emittable at all (complete re-emits all groups, append can never
+    emit an updatable group). Fixture: per-user event counts over two
+    availableNow restarts; run 1 delivers ONLY the odd-numbered events
+    of every third user (user_id % 3 = 0), run 0 everything else — so
+    two thirds of users are untouched in run 1 and MUST NOT re-emit
+    (the pin that makes this gate non-vacuous; the sink tags emissions
+    with the run). The compare pins BOTH the final counts (state
+    survived the restart: run-1 counts include run-0 events) AND the
+    per-user emission pattern. n_emissions counts distinct runs a
+    user's group emitted in.
+
+    -> (user_id, n_events, n_emissions, in_run0, in_run1), ordered."""
+    key = (sf_dir, "stream_update")
+    res = _STREAM_UPDATE.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_id", "user_id")
+        base = tempfile.mkdtemp(prefix="gate_supdate_")
+        try:
+            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
+
+            def run(tag):
+                agg = (spark.readStream
+                       .schema("event_id bigint, user_id bigint")
+                       .parquet(src)
+                       .groupBy("user_id")
+                       .agg(F.count("*").cast("bigint")
+                            .alias("n_events")))
+
+                def sink(bdf, _bid):
+                    bdf.withColumn("run", F.lit(tag).cast("bigint")) \
+                        .write.mode("append").parquet(out)
+
+                (agg.writeStream.outputMode("update")
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            upd = "user_id % 3 = 0 AND event_id % 2 = 1"
+            ev.where(f"NOT ({upd})").coalesce(1) \
+                .write.mode("overwrite").parquet(src)
+            run(0)
+            ev.where(upd).coalesce(1) \
+                .write.mode("append").parquet(src)
+            run(1)
+            em = spark.read.parquet(out)
+            # the LAST emission per user carries the final count
+            w_last = (F.max(F.struct("run", "n_events"))
+                      .alias("_last"))
+            res = (em.groupBy("user_id")
+                   .agg(w_last,
+                        F.countDistinct("run").cast("bigint")
+                        .alias("n_emissions"),
+                        F.max((F.col("run") == 0).cast("int"))
+                        .cast("bigint").alias("in_run0"),
+                        F.max((F.col("run") == 1).cast("int"))
+                        .cast("bigint").alias("in_run1"))
+                   .select(F.col("user_id").cast("bigint"),
+                           F.col("_last.n_events").alias("n_events"),
+                           "n_emissions", "in_run0", "in_run1")
+                   .localCheckpoint(eager=True))
+            _STREAM_UPDATE[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("user_id")
+
+
+def oracle_stream_update_counts() -> str:
+    return """
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN user_id % 3 = 0 AND event_id % 2 = 1
+              THEN 1 ELSE 0 END AS run
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT run) AS BIGINT) AS n_emissions,
+       CAST(MAX(CASE WHEN run = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS in_run0,
+       CAST(MAX(CASE WHEN run = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS in_run1
+FROM e GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_stream_join_semi(spark, sf_dir):
     """LEFT SEMI stream-stream join on the identical fixture —
     completes the join family (inner r6, left/full outer r6): emit
@@ -1945,6 +2046,8 @@ PIPELINE_GATE = {
         events.oracle_running_distinct),
     "evt_stream_complete_topk": (q_stream_complete_topk,
                                  oracle_stream_complete_topk),
+    "evt_stream_update_counts": (q_stream_update_counts,
+                                 oracle_stream_update_counts),
     "rel_nullsafe_join": (
         lambda s, d: relational.nullsafe_join_rollup(s, d),
         relational.oracle_nullsafe_join_rollup),
