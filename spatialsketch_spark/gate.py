@@ -25,8 +25,9 @@ from .config import SketchConfig
 from .core.partitioner import Shape, shape_to_ranges
 from .geo.build import SketchStore
 from .geo.events import ITEM_DOMAIN, derive_geo_events, geo_events_sql
-from .geo.layout import (oracle_geohash_rollup, oracle_hilbert_layout,
-                         oracle_zorder_layout, q_geohash_rollup,
+from .geo.layout import (oracle_geohash_rollup, oracle_hexbin_rollup,
+                         oracle_hilbert_layout, oracle_zorder_layout,
+                         q_geohash_rollup, q_hexbin_rollup,
                          q_hilbert_layout, q_zorder_layout)
 from .geo.query import QuerySpec, SpatialSketchEngine
 from .sources.interleaved import build_interleaved_docs, extract_geo_events
@@ -959,6 +960,10 @@ GATE_QUERIES = {
     "geo_geohash_rollup": (
         lambda s, d: q_geohash_rollup(s, d).orderBy("gh4"),
         oracle_geohash_rollup),
+    # r7: hexagonal binning (H3-style tiling, no library, no floats)
+    "geo_hexbin_rollup": (
+        lambda s, d: q_hexbin_rollup(s, d, N).orderBy("hx", "hy"),
+        lambda: oracle_hexbin_rollup(N)),
 }
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402

@@ -466,3 +466,90 @@ def bucket_range_predicate(ranges: list[tuple[int, int]],
             F.col(col).between(int(lo), int(hi))
         pred = term if pred is None else (pred | term)
     return pred
+
+
+# ------------------------------------------------------------------ hexbin
+
+HEX_W2 = 346    # doubled-space column pitch ~= 2*sqrt(3)*s, s = 100
+HEX_H2 = 300    # doubled-space row pitch    =  2*1.5*s
+
+
+def hexbin_sql(x: str, y: str) -> str:
+    """Hexagonal binning as ANSI SQL — an H3-style hex tiling with NO
+    library and NO floats: the Voronoi diagram of two staggered
+    rectangular lattices (offset by half a pitch in both axes) is a
+    hexagonal tiling when the pitch ratio approximates sqrt(3):1.5
+    (346:300 here — the classic two-lattice hexbin construction).
+    Coordinates are DOUBLED so every candidate center is an integer;
+    each point compares its squared distance to the nearest center of
+    each lattice and keeps the closer (ties -> lattice A,
+    deterministic). Pure integer div/mul/compare — engine-identical,
+    codegen-friendly, and trivially pushed into any SQL engine.
+
+    Returns SQL text for (hx, hy) — the doubled-space hex center."""
+    X, Y = f"(2 * ({x}))", f"(2 * ({y}))"
+    cxa = f"((({X} + {HEX_W2 // 2}) // {HEX_W2}) * {HEX_W2})"
+    cya = f"((({Y} + {HEX_H2 // 2}) // {HEX_H2}) * {HEX_H2})"
+    cxb = f"(({X} // {HEX_W2}) * {HEX_W2} + {HEX_W2 // 2})"
+    cyb = f"(({Y} // {HEX_H2}) * {HEX_H2} + {HEX_H2 // 2})"
+    d2a = (f"(({X} - {cxa}) * ({X} - {cxa})"
+           f" + ({Y} - {cya}) * ({Y} - {cya}))")
+    d2b = (f"(({X} - {cxb}) * ({X} - {cxb})"
+           f" + ({Y} - {cyb}) * ({Y} - {cyb}))")
+    hx = f"CASE WHEN {d2a} <= {d2b} THEN {cxa} ELSE {cxb} END"
+    hy = f"CASE WHEN {d2a} <= {d2b} THEN {cya} ELSE {cyb} END"
+    return hx, hy
+
+
+def hexbin_cols(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """Spark side of :func:`hexbin_sql` — identical integer program
+    via expr (floor div on nonnegative ints == `//`), so the oracle
+    compares bit-for-bit. Appends (hx, hy)."""
+    hx, hy = hexbin_sql(x, y)
+    # Spark SQL uses `div` for integer division
+    return df.withColumns({"hx": F.expr(hx.replace("//", "div")),
+                           "hy": F.expr(hy.replace("//", "div"))})
+
+
+def hexbin_py(x: int, y: int) -> tuple[int, int]:
+    """Reference scalar implementation for the pytest pin (true
+    nearest-center over both lattices by brute force)."""
+    X, Y = 2 * x, 2 * y
+    cxa = ((X + HEX_W2 // 2) // HEX_W2) * HEX_W2
+    cya = ((Y + HEX_H2 // 2) // HEX_H2) * HEX_H2
+    cxb = (X // HEX_W2) * HEX_W2 + HEX_W2 // 2
+    cyb = (Y // HEX_H2) * HEX_H2 + HEX_H2 // 2
+    d2a = (X - cxa) ** 2 + (Y - cya) ** 2
+    d2b = (X - cxb) ** 2 + (Y - cyb) ** 2
+    return (cxa, cya) if d2a <= d2b else (cxb, cyb)
+
+
+def q_hexbin_rollup(spark: SparkSession, sf_dir: str,
+                    n: int) -> DataFrame:
+    """Hexbin rollup gate: geo events -> staggered-lattice hex cell ->
+    per-cell count + value sum. One map-side integer pass + one
+    bounded aggregation (cells <= area/hex-area, independent of row
+    count) — the same shape the H3 rollups of a production geo stack
+    take. -> (hx, hy, n_events, value_sum)."""
+    from .events import derive_geo_events
+    geo = derive_geo_events(spark, sf_dir, n, spread=False)
+    return (hexbin_cols(geo)
+            .groupBy("hx", "hy")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum("value").cast("bigint").alias("value_sum"))
+            .select(F.col("hx").cast("bigint"),
+                    F.col("hy").cast("bigint"),
+                    "n_events", "value_sum"))
+
+
+def oracle_hexbin_rollup(n: int) -> str:
+    from .events import geo_events_sql
+    hx, hy = hexbin_sql("x", "y")
+    return f"""
+WITH geo AS ({geo_events_sql(n)}),
+h AS (SELECT {hx} AS hx, {hy} AS hy, value FROM geo)
+SELECT CAST(hx AS BIGINT) AS hx, CAST(hy AS BIGINT) AS hy,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value) AS BIGINT) AS value_sum
+FROM h GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -309,3 +309,57 @@ def test_hilbert_d2xy_inverse_and_unit_steps():
         hilbert_d2xy_py(n, n * n)
     with pytest.raises(ValueError, match="reversed"):
         hilbert_range_cells(n, 5, 4)
+
+
+def test_hexbin_nearest_center_and_six_neighbors():
+    """hexbin_py must pick the TRUE nearest center over both staggered
+    lattices (brute-forced over a center neighborhood, lattice-A
+    preference on exact ties), and the tiling must actually be
+    hexagonal: every interior cell touches exactly SIX distinct
+    neighbor cells (a rectangular tiling would touch 4 edge + 4
+    corner = 8 by the same adjacency probe, a brick/offset-rect
+    tiling 6 only if the aspect is right — this pins the geometry,
+    not just the arithmetic)."""
+    from spatialsketch_spark.geo.layout import (
+        HEX_H2, HEX_W2, hexbin_py)
+
+    def centers_near(X, Y):
+        out = []
+        for i in range(X // HEX_W2 - 2, X // HEX_W2 + 3):
+            for j in range(Y // HEX_H2 - 2, Y // HEX_H2 + 3):
+                out.append((i * HEX_W2, j * HEX_H2))
+                out.append((i * HEX_W2 + HEX_W2 // 2,
+                            j * HEX_H2 + HEX_H2 // 2))
+        return out
+
+    import random
+    random.seed(5)
+    for _ in range(500):
+        x, y = random.randrange(2000), random.randrange(2000)
+        cx, cy = hexbin_py(x, y)
+        X, Y = 2 * x, 2 * y
+        d2 = (X - cx) ** 2 + (Y - cy) ** 2
+        best = min((X - a) ** 2 + (Y - b) ** 2
+                   for a, b in centers_near(X, Y))
+        assert d2 == best, (x, y, cx, cy, d2, best)
+
+    # adjacency probe: walk a dense grid, record each point's cell and
+    # the cells of its 4-neighbors; interior cells must see exactly 6
+    # distinct others
+    cell = {}
+    for x in range(0, 1400):
+        for y in range(0, 1200):
+            cell[(x, y)] = hexbin_py(x, y)
+    from collections import defaultdict
+    nbrs = defaultdict(set)
+    for (x, y), c in cell.items():
+        for dx, dy in ((1, 0), (0, 1)):
+            o = cell.get((x + dx, y + dy))
+            if o is not None and o != c:
+                nbrs[c].add(o)
+                nbrs[o].add(c)
+    interior = [c for c in nbrs
+                if 400 < c[0] < 2200 and 400 < c[1] < 1800]
+    assert len(interior) >= 12
+    assert all(len(nbrs[c]) == 6 for c in interior), \
+        sorted((c, len(nbrs[c])) for c in interior)[:4]
