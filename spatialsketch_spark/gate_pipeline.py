@@ -2041,6 +2041,9 @@ PIPELINE_GATE = {
     "doc_fuzzy_pairs": (
         lambda s, d: dedup.fuzzy_pairs(_docs(s, d)),
         dedup.oracle_fuzzy_pairs),
+    "evt_triangle_count": (
+        lambda s, d: events.triangle_counts(events._events(s, d)),
+        events.oracle_triangle_counts),
     "evt_running_distinct": (
         lambda s, d: events.running_distinct(events._events(s, d)),
         events.oracle_running_distinct),

@@ -413,3 +413,85 @@ SELECT DISTINCT event_type,
 FROM {src}
 ORDER BY event_type, day
 """.format(day_us=_DAY_US)
+
+
+def triangle_counts(ev: DataFrame) -> DataFrame:
+    """Per-user triangle counts over the co-activity graph (edge =
+    two users active on the same (event_type, day)) via DEGREE
+    ORIENTATION — the canonical distributed triangle algorithm: orient
+    every edge from its lower-(degree, id) endpoint to the higher, so
+    each triangle has exactly ONE node with two out-edges and is
+    enumerated exactly once, and wedge fan-out is bounded by the
+    ORIENTED out-degree (≤ sqrt(2m) for every node, even power-law
+    hubs — the naive neighbor self-join explodes quadratically on the
+    hub; this is what makes 100 TB triangle counting possible).
+    Wedges (u→v, u→w) close against the oriented edge (v, w); joins
+    are plain key equi-joins throughout. The DuckDB oracle counts the
+    SAME triangles with the naive canonical triple-join — independent
+    semantics, not a replay of the orientation trick.
+
+    -> (user_id, n_triangles) for users in ≥1 triangle, ordered."""
+    day = F.expr(f"({_TS_US}) div {_DAY_US}")
+    atd = ev.select("event_type", "user_id", day.alias("d")).distinct()
+    o = atd.withColumnRenamed("user_id", "ua")
+    t = atd.withColumnRenamed("user_id", "ub")
+    edges = (o.join(t, ["event_type", "d"])
+             .where(F.col("ua") < F.col("ub"))
+             .select("ua", "ub").distinct())
+    deg = (edges.select(F.col("ua").alias("u"))
+           .union(edges.select("ub"))
+           .groupBy("u").agg(F.count("*").alias("dg")))
+
+    def keyed(df, col):
+        return (df.join(deg.select(F.col("u").alias(col),
+                                   F.col("dg").alias(f"k_{col}")), col))
+
+    e = keyed(keyed(edges, "ua"), "ub")
+    lower = ((F.col("k_ua") < F.col("k_ub"))
+             | ((F.col("k_ua") == F.col("k_ub"))
+                & (F.col("ua") < F.col("ub"))))
+    out = e.select(
+        F.when(lower, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+        F.when(lower, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+        F.when(lower, F.col("k_ub")).otherwise(F.col("k_ua"))
+        .alias("k_dst"))
+    w1 = out.select("src", F.col("dst").alias("v"),
+                    F.col("k_dst").alias("kv"))
+    w2 = out.select("src", F.col("dst").alias("w"),
+                    F.col("k_dst").alias("kw"))
+    wedges = (w1.join(w2, "src")
+              .where((F.col("kv") < F.col("kw"))
+                     | ((F.col("kv") == F.col("kw"))
+                        & (F.col("v") < F.col("w")))))
+    tri = wedges.join(
+        out.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"])
+    members = (tri.select(F.col("src").alias("user_id"))
+               .union(tri.select("v")).union(tri.select("w")))
+    return (members.groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_triangles"))
+            .select(F.col("user_id").cast("bigint"), "n_triangles")
+            .orderBy("user_id"))
+
+
+def oracle_triangle_counts(src: str = "events") -> str:
+    return f"""
+WITH atd AS (
+  SELECT DISTINCT event_type, user_id,
+         epoch_us(ts) // {_DAY_US} AS d FROM {src}
+), e AS (
+  SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+  FROM atd a JOIN atd b ON a.event_type = b.event_type AND a.d = b.d
+  WHERE a.user_id < b.user_id
+), tri AS (
+  SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
+  FROM e e1 JOIN e e2 ON e2.ua = e1.ua AND e2.ub > e1.ub
+       JOIN e e3 ON e3.ua = e1.ub AND e3.ub = e2.ub
+), m AS (
+  SELECT x AS user_id FROM tri
+  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM m GROUP BY user_id ORDER BY user_id
+"""

@@ -1745,3 +1745,26 @@ def test_fuzzy_pairs_designed_edits_and_blocking(spark):
     for t, seq in per_type.items():
         assert seq == sorted(seq)
         assert seq[-1] == totals[t]
+
+
+def test_triangle_counts_designed_graph(spark):
+    """Degree-oriented triangle counting on a hand-checked graph: two
+    triangles sharing edge (2,3) — users 2 and 3 sit in both, 1 and 4
+    in one each — plus a triangle-free edge (5,6) whose endpoints must
+    NOT appear. Co-activity groups are built directly as (type, day)
+    cohorts; ts=epoch day 0 throughout."""
+    from spatialsketch_spark.pipeline.events import triangle_counts
+    rows = []
+    eid = 0
+    for etype, users in [("a", [1, 2, 3]), ("b", [2, 3, 4]),
+                         ("c", [5, 6])]:
+        for u in users:
+            rows.append((eid, "1970-01-01 00:00:05", u, etype))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, ts STRING, user_id BIGINT, "
+              "event_type STRING") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r["n_triangles"]
+           for r in triangle_counts(ev).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
