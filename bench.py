@@ -232,9 +232,9 @@ def run_bench(cpus: int) -> dict:
                  "geo_hotspot", "geo_zorder_layout",
                  "geo_hilbert_layout", "geo_geohash_rollup",
                  # r7 additions: quantile sketch, blocked fuzzy
-                 # matching, ranking-window family
+                 # matching, ranking-window family, trained-IVF search
                  "doc_gk_quantiles", "doc_fuzzy_pairs",
-                 "rel_rank_family"]):
+                 "rel_rank_family", "emb_ivf_trained_topk"]):
         fn = GATE_QUERIES[name][0]
         best = None
         for _ in range(pipe_trials):   # best-of: the host's proactive
@@ -243,6 +243,44 @@ def run_bench(cpus: int) -> dict:
             t = time.time() - t0
             best = t if best is None else min(best, t)
         timings[name] = round(best, 3)
+
+    # ---- 4b. ANN quality + graph analytics (r7 pointer items) ----------
+    ann_recall = None
+    graph_block = None
+    if not skip_pipe:
+        # trained-IVF recall@5 at the default probe budget vs the SAME
+        # pipeline at full probe (pinned == brute force by
+        # test_pipeline_ops): the accuracy knob the 100 TB operator
+        # trades against the probed-fraction scan cost
+        from spatialsketch_spark.gate_pipeline import EMB_QUERY_IDS, _emb
+        from spatialsketch_spark.pipeline.similarity import (
+            KMEANS_K, ivf_trained_topk)
+        emb = _emb(spark, SF_DIR)
+        approx = ivf_trained_topk(emb, EMB_QUERY_IDS, 5, nprobe=2)
+        exact = ivf_trained_topk(emb, EMB_QUERY_IDS, 5, nprobe=KMEANS_K)
+        hits = (approx.select("qid", "vec_id")
+                .join(exact.select("qid", "vec_id"), ["qid", "vec_id"])
+                .count())
+        ann_recall = hits / (len(EMB_QUERY_IDS) * 5)
+        # triangle count runs at the sf0.01 sibling (it is cubic-ish in
+        # the densest degree bucket; sf0.1 ~ 311 s — a coverage phase,
+        # not a throughput headline)
+        from spatialsketch_spark.pipeline.events import (
+            _events, triangle_counts)
+        g_dir = os.environ.get(
+            "BENCH_GRAPH_SF",
+            os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01"))
+        tri = triangle_counts(_events(spark, g_dir))
+        tri.limit(1).collect()                               # warm plan
+        best = None
+        for _ in range(pipe_trials):
+            t0 = time.time()
+            n_tri = tri.agg(F.sum("n_triangles").alias("t")).collect()[0]["t"]
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+        timings["evt_triangle_count"] = round(best, 3)
+        graph_block = {"sf_dir": g_dir, "triangle_sum": int(n_tri),
+                       "wall_s": round(best, 3)}
 
     # ---- 5. per-kind build+probe (reference Table 3 analogue) ----------
     kinds_block = None
@@ -278,6 +316,9 @@ def run_bench(cpus: int) -> dict:
             # task 6 asks the artifact to say so)
             "accuracy_sample": 0.0 if skip_acc else round(
                 len(sample) / max(len(placements), 1), 2),
+            **({"ivf_trained_recall_at5": round(ann_recall, 3)}
+               if ann_recall is not None else {}),
+            **({"graph": graph_block} if graph_block else {}),
             "total_wall_s": round(total, 2),
             **({"kinds": kinds_block} if kinds_block else {}),
         },
