@@ -25,15 +25,19 @@ from .config import SketchConfig
 from .core.partitioner import Shape, shape_to_ranges
 from .geo.build import SketchStore
 from .geo.events import ITEM_DOMAIN, derive_geo_events, geo_events_sql
-from .geo.layout import (oracle_geohash_rollup, oracle_hexbin_rollup,
+from .geo.layout import (oracle_geohash_rollup, oracle_hex_cell_reader,
+                         oracle_hexbin_rollup,
                          oracle_hilbert_layout, oracle_zorder_layout,
-                         q_geohash_rollup, q_hexbin_rollup,
+                         q_geohash_rollup, q_hex_cell_reader,
+                         q_hexbin_rollup,
                          q_hilbert_layout, q_zorder_layout)
 from .geo.query import QuerySpec, SpatialSketchEngine
 from .sources.interleaved import build_interleaved_docs, extract_geo_events
 
 N = 4096
 MIN_LEVEL = 4
+# hex reader gate fixture: off-lattice-aligned rect, interior of the grid
+HEX_READER_RECT = (512, 768, 2300, 1900)
 N_DOCS = 97
 
 # ---------------------------------------------------------------------------
@@ -964,6 +968,13 @@ GATE_QUERIES = {
     "geo_hexbin_rollup": (
         lambda s, d: q_hexbin_rollup(s, d, N).orderBy("hx", "hy"),
         lambda: oracle_hexbin_rollup(N)),
+    # r7: rect query answered AGAINST the hex layout via the
+    # driver-enumerated candidate cell-set predicate + exact residual;
+    # oracle filters the rect directly (independent semantics)
+    "geo_hex_cell_reader": (
+        lambda s, d: q_hex_cell_reader(
+            s, d, N, HEX_READER_RECT).orderBy("hx", "hy"),
+        lambda: oracle_hex_cell_reader(N, HEX_READER_RECT)),
 }
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402

@@ -553,3 +553,108 @@ SELECT CAST(hx AS BIGINT) AS hx, CAST(hy AS BIGINT) AS hy,
        CAST(SUM(value) AS BIGINT) AS value_sum
 FROM h GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ------------------------------------------------- hex-cell reader rewrite
+
+# max squared doubled-space distance from any point to its assigned hex
+# center: assignment picks the NEARER of two lattices, so it is bounded
+# by the half-diagonal of ONE lattice's pitch rectangle (the bound a
+# single rectangular lattice would give; the second lattice only shrinks
+# it). Dilating a query rect by this radius therefore yields a provable
+# SUPERSET of the hex cells whose members can lie inside the rect.
+_HEX_D2 = (HEX_W2 // 2) ** 2 + (HEX_H2 // 2) ** 2
+# packing offsets for the single-column cell key (centers of lattice B
+# start at -W2/2 in doubled space, so shift both axes nonnegative)
+_HEX_OFF = 1 << 12
+_HEX_SHIFT = 1 << 22
+
+
+def hex_key_py(hx: int, hy: int) -> int:
+    """Single-int64 cell key for a doubled-space hex center."""
+    return (hx + _HEX_OFF) * _HEX_SHIFT + (hy + _HEX_OFF)
+
+
+def hex_rect_cells(x1: int, y1: int, x2: int, y2: int
+                   ) -> list[tuple[int, int]]:
+    """Reader-side rewrite for a HEX-partitioned layout: the set of hex
+    cells a query rect can draw events from — the hexagonal twin of
+    :func:`hilbert_rect_buckets` (reference rewrites rect queries into
+    its rectangular dyadic grids, SpatialSketch.cpp:660-676; a hex
+    tiling has no dyadic nesting, so the rewrite is center enumeration
+    instead). Enumerates both staggered lattices over the rect dilated
+    by the max assignment radius and keeps centers whose point-to-rect
+    squared distance is within that radius — a tight SUPERSET of the
+    truly-touched cells (pytest pins superset-ness by brute force), so
+    `cells-predicate AND exact-rect-residual` is exactly the rect
+    filter while scanning only O(rect-area / hex-area) cells. Pure
+    driver arithmetic, O(#cells); predicate size ~ cells touched."""
+    x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
+    if x1 > x2 or y1 > y2:
+        raise ValueError(
+            f"reversed rect ({x1},{y1})-({x2},{y2}): need x1<=x2, y1<=y2")
+    import math
+    D = math.isqrt(_HEX_D2) + 1
+    X1, Y1, X2, Y2 = 2 * x1, 2 * y1, 2 * x2, 2 * y2
+    out = []
+    for ox, oy in ((0, 0), (HEX_W2 // 2, HEX_H2 // 2)):
+        i_lo = -((-(X1 - D - ox)) // HEX_W2)      # ceil div
+        i_hi = (X2 + D - ox) // HEX_W2
+        j_lo = -((-(Y1 - D - oy)) // HEX_H2)
+        j_hi = (Y2 + D - oy) // HEX_H2
+        for i in range(i_lo, i_hi + 1):
+            cx = i * HEX_W2 + ox
+            dx = max(X1 - cx, 0, cx - X2)
+            for j in range(j_lo, j_hi + 1):
+                cy = j * HEX_H2 + oy
+                dy = max(Y1 - cy, 0, cy - Y2)
+                if dx * dx + dy * dy <= _HEX_D2:
+                    out.append((cx, cy))
+    return sorted(out)
+
+
+def q_hex_cell_reader(spark: SparkSession, sf_dir: str, n: int,
+                      rect: tuple[int, int, int, int]) -> DataFrame:
+    """Hex reader gate: answer a rect query AGAINST THE HEX LAYOUT —
+    filter to the driver-enumerated candidate cell-key set (the
+    predicate a hex-partitioned 100 TB table prunes on; pushed to the
+    scan as a plain IN over one int64 column), apply the exact rect
+    residual, and roll up per cell. The DuckDB oracle answers the SAME
+    rect with a plain filter over all events — so the compare proves
+    the candidate set misses nothing (superset + residual == exact).
+    -> (hx, hy, n_events, value_sum) for cells with events in rect."""
+    from .events import derive_geo_events
+    x1, y1, x2, y2 = rect
+    keys = [hex_key_py(hx, hy) for hx, hy in hex_rect_cells(x1, y1, x2, y2)]
+    geo = derive_geo_events(spark, sf_dir, n, spread=False)
+    lay = hexbin_cols(geo).withColumn(
+        "hkey", (F.col("hx") + _HEX_OFF) * _HEX_SHIFT
+                + (F.col("hy") + _HEX_OFF))
+    return (lay.where(F.col("hkey").isin(keys))
+            .where(F.col("x").between(x1, x2)
+                   & F.col("y").between(y1, y2))
+            .groupBy("hx", "hy")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum("value").cast("bigint").alias("value_sum"))
+            .select(F.col("hx").cast("bigint"),
+                    F.col("hy").cast("bigint"),
+                    "n_events", "value_sum"))
+
+
+def oracle_hex_cell_reader(n: int,
+                           rect: tuple[int, int, int, int]) -> str:
+    """Plain rect filter + hexbin rollup — independent of the cell-set
+    rewrite under test (no candidate enumeration on this side)."""
+    from .events import geo_events_sql
+    x1, y1, x2, y2 = rect
+    hx, hy = hexbin_sql("x", "y")
+    return f"""
+WITH geo AS ({geo_events_sql(n)}),
+r AS (SELECT * FROM geo
+      WHERE x BETWEEN {x1} AND {x2} AND y BETWEEN {y1} AND {y2}),
+h AS (SELECT {hx} AS hx, {hy} AS hy, value FROM r)
+SELECT CAST(hx AS BIGINT) AS hx, CAST(hy AS BIGINT) AS hy,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value) AS BIGINT) AS value_sum
+FROM h GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -363,3 +363,56 @@ def test_hexbin_nearest_center_and_six_neighbors():
     assert len(interior) >= 12
     assert all(len(nbrs[c]) == 6 for c in interior), \
         sorted((c, len(nbrs[c])) for c in interior)[:4]
+
+
+def test_hex_rect_cells_superset_tight_and_pushdown(spark, tmp_path):
+    """The hex reader rewrite's three contracts: (1) hex_rect_cells is
+    a SUPERSET of the truly-touched cell set (brute-forced via
+    hexbin_py over every integer point of the rect) — the property
+    that makes `cell-set predicate AND exact residual == plain rect
+    filter`; (2) it is TIGHT — every extra candidate is a boundary
+    cell (center within one assignment radius of the rect), so the
+    predicate stays O(rect-area / hex-area); (3) the single-int64 key
+    predicate reaches the parquet scan as a pushed In filter and the
+    rewritten query returns exactly the plain-rect answer."""
+    import math
+
+    import pytest
+
+    from spatialsketch_spark.gate import N
+    from spatialsketch_spark.geo.events import derive_geo_events
+    from spatialsketch_spark.geo.layout import (
+        _HEX_D2, _HEX_OFF, _HEX_SHIFT, hex_key_py, hex_rect_cells,
+        hexbin_cols, hexbin_py)
+
+    x1, y1, x2, y2 = 37, 55, 400, 310
+    touched = {hexbin_py(x, y)
+               for x in range(x1, x2 + 1) for y in range(y1, y2 + 1)}
+    cand = set(hex_rect_cells(x1, y1, x2, y2))
+    assert touched <= cand, sorted(touched - cand)[:4]
+    # tightness: every candidate center is within the assignment radius
+    # of the (doubled-space) rect — only the boundary ring is extra
+    D = math.isqrt(_HEX_D2) + 1
+    for cx, cy in cand:
+        dx = max(2 * x1 - cx, 0, cx - 2 * x2)
+        dy = max(2 * y1 - cy, 0, cy - 2 * y2)
+        assert dx <= D and dy <= D
+    assert len(cand) <= len(touched) + 60      # ring, not area, overhead
+    with pytest.raises(ValueError, match="reversed"):
+        hex_rect_cells(5, 0, 4, 10)
+
+    lay = hexbin_cols(derive_geo_events(spark, SF_UNIT, N, spread=False)) \
+        .withColumn("hkey", (F.col("hx") + _HEX_OFF) * _HEX_SHIFT
+                            + (F.col("hy") + _HEX_OFF))
+    out = str(tmp_path / "hexlay")
+    lay.write.mode("overwrite").parquet(out)
+    t = spark.read.parquet(out)
+    rx1, ry1, rx2, ry2 = 512, 768, 2300, 1900
+    keys = [hex_key_py(hx, hy) for hx, hy in
+            hex_rect_cells(rx1, ry1, rx2, ry2)]
+    rect = (F.col("x").between(rx1, rx2) & F.col("y").between(ry1, ry2))
+    rewritten = t.where(F.col("hkey").isin(keys)).where(rect)
+    plan = rewritten._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "hkey" in pushed and "In(" in pushed
+    assert rewritten.count() == t.where(rect).count() > 0
