@@ -2047,6 +2047,11 @@ PIPELINE_GATE = {
     "evt_running_distinct": (
         lambda s, d: events.running_distinct(events._events(s, d)),
         events.oracle_running_distinct),
+    # r7: per-window mergeable-histogram quantiles (windowed member of
+    # the exact / additive-hist / GK quantile ladder)
+    "evt_window_quantiles": (
+        lambda s, d: events.window_quantiles(events._events(s, d)),
+        events.oracle_window_quantiles),
     "evt_stream_complete_topk": (q_stream_complete_topk,
                                  oracle_stream_complete_topk),
     "evt_stream_update_counts": (q_stream_update_counts,

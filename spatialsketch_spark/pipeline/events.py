@@ -415,6 +415,74 @@ ORDER BY event_type, day
 """.format(day_us=_DAY_US)
 
 
+WINDOW_QS = (50, 90, 99)
+# value is quantized to exact centi-units (floor(value*100): IEEE
+# multiply + floor are bit-identical across engines) and binned into
+# 4-unit-wide buckets — ~125 live buckets per day on this stream
+_WQ_CENTI_WIDTH = 400
+
+
+def window_quantiles(ev: DataFrame, width: int = _WQ_CENTI_WIDTH,
+                     qs: tuple = WINDOW_QS) -> DataFrame:
+    """Per-time-window APPROXIMATE quantiles via the mergeable
+    equi-width histogram — the windowed member of the quantile ladder
+    (exact sort / additive histogram / GK sketch, all corpus-level):
+    per (day, bucket) counts are additive, so partial histograms merge
+    across shards and streaming micro-batches with NO re-sort — the
+    t-digest-shaped structure a 100 TB per-hour latency dashboard
+    actually maintains; quantile q = upper bound of the first bucket
+    whose cumulative count reaches ceil(q·n/100), error ≤ bucket width.
+
+    Plan: raw stream touched ONCE to the bounded (day, bucket) count
+    table, then a tiny cumulative window + one explode/min over the
+    quantile list (same single-pass shape as hist_quantiles, keyed by
+    window instead of stratum). -> (day, q, ub_centi, n), ordered."""
+    from pyspark.sql.window import Window
+    day = F.expr(f"({_TS_US}) div {_DAY_US}")
+    v = F.expr(f"CAST(FLOOR(value * 100) AS BIGINT) div {width}")
+    h = (ev.select(day.alias("day"), v.alias("b"))
+         .groupBy("day", "b")
+         .agg(F.count("*").cast("bigint").alias("c")))
+    wd = Window.partitionBy("day")
+    cum = (h.withColumn("cum", F.sum("c").over(
+        wd.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", F.sum("c").over(wd)))
+    qarr = F.array(*[F.lit(int(q)) for q in qs])
+    return (cum.select("day", "b", "cum", "n",
+                       F.explode(qarr).alias("q"))
+            .where(F.col("cum") >= F.expr("(n * q + 99) div 100"))
+            .groupBy("day", "q", "n")
+            .agg(F.min("b").alias("b"))
+            .select(F.col("day").cast("bigint"),
+                    F.col("q").cast("bigint").alias("q"),
+                    ((F.col("b") + 1) * width - 1).cast("bigint")
+                    .alias("ub_centi"),
+                    F.col("n").cast("bigint").alias("n"))
+            .orderBy("day", "q"))
+
+
+def oracle_window_quantiles(src: str = "events",
+                            width: int = _WQ_CENTI_WIDTH,
+                            qs: tuple = WINDOW_QS) -> str:
+    sels = []
+    for q in qs:
+        sels.append(f"""
+SELECT day, CAST({int(q)} AS BIGINT) AS q,
+       CAST((MIN(b) + 1) * {width} - 1 AS BIGINT) AS ub_centi,
+       CAST(n AS BIGINT) AS n
+FROM (
+  SELECT day, b, SUM(c) OVER (PARTITION BY day ORDER BY b
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY day) AS n
+  FROM (SELECT epoch_us(ts) // {_DAY_US} AS day,
+               CAST(FLOOR(value * 100) AS BIGINT) // {width} AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {src} GROUP BY 1, 2))
+WHERE cum >= (n * {int(q)} + 99) // 100
+GROUP BY day, n""")
+    return " UNION ALL ".join(sels) + " ORDER BY day, q"
+
+
 def triangle_counts(ev: DataFrame) -> DataFrame:
     """Per-user triangle counts over the co-activity graph (edge =
     two users active on the same (event_type, day)) via DEGREE

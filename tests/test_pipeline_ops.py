@@ -1768,3 +1768,35 @@ def test_triangle_counts_designed_graph(spark):
     got = {r["user_id"]: r["n_triangles"]
            for r in triangle_counts(ev).collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_window_quantiles_error_bound_and_single_pass(spark):
+    """The windowed histogram sketch's accuracy contract: for every
+    (day, q) the reported upper bound brackets the TRUE per-day
+    discrete quantile within one bucket width (ub >= v* > ub - width
+    — the histogram's whole guarantee), and the plan touches the raw
+    stream exactly once (one hashpartitioning on the (day, bucket)
+    count table feeds both window passes; no per-quantile re-scan)."""
+    from conftest import SF_UNIT
+    from spatialsketch_spark.pipeline.events import (
+        _WQ_CENTI_WIDTH, window_quantiles, _events)
+
+    ev = _events(spark, SF_UNIT)
+    got = {(r["day"], r["q"]): r["ub_centi"]
+           for r in window_quantiles(ev).collect()}
+    assert len(got) >= 60
+    # exact per-day discrete quantile of the SAME centi-quantized value
+    rows = (ev.selectExpr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " ts) div 86400000000 AS day",
+        "CAST(FLOOR(value * 100) AS BIGINT) AS v").collect())
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append(r["v"])
+    for (day, q), ub in got.items():
+        vs = sorted(by_day[day])
+        vstar = vs[-((-q * len(vs)) // 100) - 1]   # rank ceil(q*n/100)
+        assert ub >= vstar > ub - _WQ_CENTI_WIDTH, (day, q, ub, vstar)
+    plan = window_quantiles(ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("FileScan") == 1
