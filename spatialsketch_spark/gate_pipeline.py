@@ -1465,6 +1465,129 @@ ORDER BY k, COALESCE(lts_s, -1)
 """
 
 
+_STREAM_JOIN_UNEQ = {}
+
+
+def q_stream_join_uneq(spark, sf_dir):
+    """INNER stream-stream interval join with UNEQUAL watermark delays
+    (left 600 s, right 30 s) — the semantics the equal-delay family
+    cannot exercise: Spark's global watermark is the MIN over sides,
+    so the short-delay side does NOT drop its own late data while the
+    long-delay side holds the global watermark back.
+
+    A CLOCK row (k = -2, filtered from output) pins each side's run-0
+    maximum event time EXACTLY (left 11200, right 11400 — every data
+    row is designed strictly below), so the committed watermark after
+    run 0 is min(11200-600, 11400-30) = 10600 precisely — no
+    data-dependent margin argument. Run-1 right rows then split into:
+
+      cls 1  rts in [10780, 11259]: BELOW the right's own local
+             watermark (11370) but >= 60 s ABOVE the global 10600 —
+             MUST be accepted and match run-0 buffered left state
+             (min-semantics + state survival across the restart)
+      cls 0  rts in [10000, 10479]: >= 121 s below the global
+             watermark — MUST be dropped by the pre-join late filter
+      cls 2  on-time but delta > 120 s — accepted, never matches
+
+    Run 2 appends a far-future sentinel on both sides: state flushes,
+    and the dropped lates must NOT resurface. The DuckDB oracle
+    replays the class arithmetic bit-for-bit.
+
+    -> (k, lts_s, rts_s) for matched pairs, ordered."""
+    from pyspark.sql import functions as F
+    key = (sf_dir, "uneq")
+    res = _STREAM_JOIN_UNEQ.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pairs = ev.select(F.expr("event_id div 2").alias("i")).distinct()
+        r0 = F.expr("i % 2 = 0")
+        cls = F.expr("(i div 2) % 3")
+        delta = (F.col("i") * 13 % 120).cast("bigint")
+        rts1 = (F.lit(10780) + F.col("i") * 41 % 480).cast("bigint")
+        lts = F.when(r0, F.lit(10000) + F.col("i") * 41 % 1200) \
+            .when(cls == 0, F.lit(10000) + F.col("i") * 41 % 480) \
+            .when(cls == 1, rts1 - delta) \
+            .otherwise(F.lit(10700) + F.col("i") * 41 % 480) \
+            .cast("bigint")
+        rts = F.when(r0, lts + delta) \
+            .when(cls == 0, F.lit(10000) + F.col("i") * 41 % 480) \
+            .when(cls == 1, rts1) \
+            .otherwise(lts + 121 + F.col("i") * 13 % 59).cast("bigint")
+        rows = pairs.select("i", lts.alias("lts"), rts.alias("rts"),
+                            r0.alias("r0"))
+        base = tempfile.mkdtemp(prefix="gate_ssjoin_uneq_")
+        try:
+            lsrc, rsrc = f"{base}/l", f"{base}/r"
+            out, ckpt = f"{base}/out", f"{base}/ck"
+            rows.select(F.col("i").alias("k"), F.col("lts").alias("lts_s")) \
+                .union(spark.sql("SELECT -2L, 11200L")) \
+                .coalesce(1).write.mode("overwrite").parquet(lsrc)
+            rows.where("r0").select(F.col("i").alias("k"),
+                                    F.col("rts").alias("rts_s")) \
+                .union(spark.sql("SELECT -2L, 11400L")) \
+                .coalesce(1).write.mode("overwrite").parquet(rsrc)
+
+            def run():
+                ls = (spark.readStream
+                      .schema("k bigint, lts_s bigint").parquet(lsrc)
+                      .select("k", "lts_s",
+                              F.timestamp_seconds("lts_s").alias("lt"))
+                      .withWatermark("lt", "600 seconds"))
+                rs = (spark.readStream
+                      .schema("k bigint, rts_s bigint").parquet(rsrc)
+                      .select(F.col("k").alias("rk"), "rts_s",
+                              F.timestamp_seconds("rts_s").alias("rt"))
+                      .withWatermark("rt", "30 seconds"))
+                j = ls.join(rs, F.expr(
+                    "k = rk AND rt BETWEEN lt "
+                    "AND lt + INTERVAL 120 seconds"), "inner") \
+                    .select("k", "lts_s", "rts_s")
+                (j.writeStream.outputMode("append").format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            run()
+            rows.where("NOT r0").select(F.col("i").alias("k"),
+                                        F.col("rts").alias("rts_s")) \
+                .coalesce(1).write.mode("append").parquet(rsrc)
+            run()
+            spark.createDataFrame([(-1, 200000)],
+                                  "k bigint, lts_s bigint") \
+                .coalesce(1).write.mode("append").parquet(lsrc)
+            spark.createDataFrame([(-1, 200000)],
+                                  "k bigint, rts_s bigint") \
+                .coalesce(1).write.mode("append").parquet(rsrc)
+            run()
+            res = spark.read.parquet(out).where("k >= 0") \
+                .localCheckpoint(eager=True)
+            _STREAM_JOIN_UNEQ[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("k")
+
+
+def oracle_stream_join_uneq() -> str:
+    return f"""
+WITH u AS (SELECT DISTINCT event_id // 2 AS i FROM events),
+c AS (SELECT i, (i % 2 = 0) AS r0, (i // 2) % 3 AS cls,
+             (i * 13) % 120 AS delta FROM u),
+t AS (SELECT i, r0, cls, delta,
+        CASE WHEN cls = 1 THEN 10780 + (i * 41) % 480 END AS rts1
+      FROM c)
+SELECT CAST(i AS BIGINT) AS k,
+       CAST(CASE WHEN r0 THEN 10000 + (i * 41) % 1200
+                 ELSE rts1 - delta END AS BIGINT) AS lts_s,
+       CAST(CASE WHEN r0 THEN 10000 + (i * 41) % 1200 + delta
+                 ELSE rts1 END AS BIGINT) AS rts_s
+FROM t WHERE r0 OR cls = 1
+ORDER BY k
+"""
+
+
 def oracle_stream_join() -> str:
     return """
 WITH u AS (SELECT DISTINCT event_id // 2 AS i FROM events),
@@ -2118,6 +2241,10 @@ PIPELINE_GATE = {
                              oracle_stream_join_semi),
     "evt_stream_join_outer": (q_stream_join_outer,
                               oracle_stream_join_outer),
+    # r7: unequal watermark delays (600 s vs 30 s) — global watermark
+    # = min over sides, pinned EXACTLY via a clock row
+    "evt_stream_join_uneq": (q_stream_join_uneq,
+                             oracle_stream_join_uneq),
     # r6: ANALYZE-class per-column profiling (one-pass NDV/min/max)
     "rel_profile_table": (
         lambda s, d: relational.profile_table(s, d).orderBy("col_name"),

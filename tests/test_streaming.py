@@ -480,3 +480,22 @@ def test_stream_static_join_broadcasts_and_rereads_dim(spark, tmp_path):
     assert got.where("event_id >= 200").count() == 100
     assert got.where("event_id >= 200 AND seg_name <> 'v1'").count() == 0
     assert all("BroadcastHashJoin" in p for p in seen_plans)
+
+
+def test_uneq_watermark_join_min_semantics(spark):
+    """The unequal-delay gate must be NON-VACUOUS in the direction it
+    pins: cls-1 rights sit BELOW the right side's own local watermark
+    (11370) at delivery time, so per-side late filtering would drop
+    every one of them — their presence in the output is exactly the
+    global-min-watermark semantics; cls-0 (globally late) keys must be
+    absent, and every run-0 pair survives."""
+    from spatialsketch_spark.gate_pipeline import q_stream_join_uneq
+
+    got = q_stream_join_uneq(spark, SF_UNIT).toPandas()
+    odd = got[got.k % 2 == 1]
+    assert len(odd) > 0                       # cls-1 accepted
+    assert ((odd.k // 2) % 3 == 1).all()      # ONLY cls-1 among odds
+    assert (odd.rts_s >= 10780).all()         # the below-local-wm band
+    assert (odd.rts_s <= 11259).all()
+    even = got[got.k % 2 == 0]
+    assert (even.rts_s - even.lts_s).between(0, 119).all()
