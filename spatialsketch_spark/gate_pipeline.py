@@ -2175,6 +2175,11 @@ PIPELINE_GATE = {
     "evt_window_quantiles": (
         lambda s, d: events.window_quantiles(events._events(s, d)),
         events.oracle_window_quantiles),
+    # r7: deterministic HyperLogLog (registers + integer-scaled
+    # harmonic sum replay bit-for-bit; no engine-internal HLL++)
+    "evt_hll_distinct": (
+        lambda s, d: events.hll_distinct(events._events(s, d)),
+        events.oracle_hll_distinct),
     "evt_stream_complete_topk": (q_stream_complete_topk,
                                  oracle_stream_complete_topk),
     "evt_stream_update_counts": (q_stream_update_counts,

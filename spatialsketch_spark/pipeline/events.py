@@ -483,6 +483,95 @@ GROUP BY day, n""")
     return " UNION ALL ".join(sels) + " ORDER BY day, q"
 
 
+HLL_M = 64            # registers (p = 6); std err 1.04/sqrt(64) ~ 13%
+_HLL_WBITS = 54       # 60-bit md5 hash minus 6 register-index bits
+# alpha_64 * m^2 * 2^55 with alpha_64 = 0.70927 scaled to 70927/1e5:
+# 70927 * 4096 * 2^55 — EXACTLY representable as a double (mantissa
+# 567416, 20 bits), so both engines parse the identical value
+_HLL_NUM = float(70927 * 4096 * (1 << (_HLL_WBITS + 1)))
+
+
+def _hll_rho_case(w: str) -> str:
+    """rho(w) = leading zeros of w in 54-bit width, + 1 — as a pure
+    integer CASE ladder (no log2/bit_length: those differ or don't
+    exist across engines). ANSI, dialect-free."""
+    whens = "".join(f" WHEN {w} >= {1 << (_HLL_WBITS - r)} THEN {r}"
+                    for r in range(1, _HLL_WBITS + 1))
+    return f"(CASE{whens} ELSE {_HLL_WBITS + 1} END)"
+
+
+def hll_distinct(ev: DataFrame) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count per event_type — the
+    constant-size mergeable sketch next to the exact distincts and the
+    FM envelope gate (env_distinct_fm): the register table is 64 rows
+    per group WHATEVER the cardinality, registers combine by MAX (so
+    shards / micro-batches merge associatively — pytest pins
+    half-vs-full register equality), and the whole estimator is
+    integer arithmetic except ONE division of integer-exact operands:
+    the harmonic sum is kept scaled as S = sum 2^(55 - M_j) — 64 exact
+    power-of-two terms, order-free integer addition — never the
+    rounding-prone float sum 2^-M_j; the raw estimate is then
+    floor(alpha*m^2*2^55 / (1e5*S)), one IEEE-identical op per engine.
+    Unlike approx_count_distinct (whose HLL++ internals Spark and
+    DuckDB implement differently and can't be compared), every column
+    here replays bit-for-bit in ANSI SQL.
+
+    Plan: one map-side pass to (type, register) MAX partials — the
+    shuffle carries <= 64 rows per group, the 100 TB point of HLL —
+    then a 64-row-per-group fold. -> (event_type, v_zero, s_scaled,
+    est_raw); small-range (linear-counting) correction is the
+    caller's branch on v_zero (transcendental ln — kept out of the
+    compared columns, applied and accuracy-pinned in pytest)."""
+    from .dedup import word_hash_col  # 60-bit md5-prefix portable hash
+    h = word_hash_col(F.col("user_id").cast("string"))
+    reg = (ev.select("event_type", h.alias("h"))
+           .select("event_type", F.expr(f"h % {HLL_M}").alias("j"),
+                   F.expr(_hll_rho_case(f"(h div {HLL_M})")).alias("rho"))
+           .groupBy("event_type", "j")
+           .agg(F.max("rho").alias("m_j")))
+    top = 1 << (_HLL_WBITS + 1)
+    return (reg.groupBy("event_type")
+            .agg(F.count("*").alias("filled"),
+                 F.sum(F.expr(f"shiftleft(1L, {_HLL_WBITS + 1} - m_j)"))
+                 .alias("s_part"))
+            .select("event_type",
+                    (F.lit(HLL_M) - F.col("filled")).cast("bigint")
+                    .alias("v_zero"),
+                    (F.col("s_part")
+                     + (F.lit(HLL_M) - F.col("filled")) * F.lit(top))
+                    .cast("bigint").alias("s_scaled"))
+            .withColumn("est_raw", F.expr(
+                f"CAST(FLOOR({_HLL_NUM!r} / "
+                f"(100000.0 * CAST(s_scaled AS DOUBLE))) AS BIGINT)"))
+            .orderBy("event_type"))
+
+
+def oracle_hll_distinct(src: str = "events") -> str:
+    rho = _hll_rho_case(f"(h // {HLL_M})")
+    top = 1 << (_HLL_WBITS + 1)
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM {src}),
+reg AS (
+  SELECT event_type, h % {HLL_M} AS j, MAX({rho}) AS m_j
+  FROM hashed GROUP BY 1, 2),
+folded AS (
+  SELECT event_type, COUNT(*) AS filled,
+         SUM(1::BIGINT << ({_HLL_WBITS + 1} - m_j)) AS s_part
+  FROM reg GROUP BY 1)
+SELECT event_type,
+       CAST({HLL_M} - filled AS BIGINT) AS v_zero,
+       CAST(s_part + ({HLL_M} - filled) * {top} AS BIGINT) AS s_scaled,
+       CAST(FLOOR({_HLL_NUM!r} /
+            (100000.0 * CAST(s_part + ({HLL_M} - filled) * {top}
+                             AS DOUBLE))) AS BIGINT) AS est_raw
+FROM folded ORDER BY event_type
+"""
+
+
 def triangle_counts(ev: DataFrame) -> DataFrame:
     """Per-user triangle counts over the co-activity graph (edge =
     two users active on the same (event_type, day)) via DEGREE

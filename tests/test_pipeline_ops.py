@@ -1800,3 +1800,53 @@ def test_window_quantiles_error_bound_and_single_pass(spark):
     plan = window_quantiles(ev)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_hll_registers_merge_and_accuracy(spark):
+    """HLL contracts the gate compare can't see: (1) MERGEABILITY —
+    registers built on two disjoint halves of the stream and combined
+    by per-register MAX equal the single-pass registers (the property
+    that lets shards/micro-batches fold associatively at 100 TB);
+    (2) ACCURACY — the standard estimator (linear counting when
+    raw E <= 2.5m and empty registers exist, raw otherwise) lands
+    within 35% of the exact distinct for every event_type (m = 64
+    -> 13% std err; fixed data, so this is a deterministic pin)."""
+    import math
+
+    from conftest import SF_UNIT
+    from spatialsketch_spark.pipeline.events import (
+        HLL_M, _events, hll_distinct)
+
+    ev = _events(spark, SF_UNIT)
+    full = hll_distinct(ev).collect()
+
+    def regs(df):
+        from spatialsketch_spark.pipeline.dedup import word_hash_col
+        h = word_hash_col(F.col("user_id").cast("string"))
+        return (df.select("event_type", h.alias("h"))
+                .selectExpr("event_type", f"h % {HLL_M} AS j",
+                            f"h div {HLL_M} AS w")
+                .groupBy("event_type", "j")
+                .agg(F.max(F.expr(
+                    "CASE WHEN w = 0 THEN 55 ELSE 54 - "
+                    "CAST(FLOOR(LOG2(w)) AS INT) END")).alias("m_j")))
+    a = regs(ev.where("event_id % 2 = 0")).toPandas()
+    b = regs(ev.where("event_id % 2 = 1")).toPandas()
+    import pandas as pd
+    merged = (pd.concat([a, b]).groupby(["event_type", "j"])
+              .m_j.max().reset_index())
+    single = regs(ev).toPandas().sort_values(["event_type", "j"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        merged.sort_values(["event_type", "j"]).reset_index(drop=True),
+        single)
+
+    exact = {r["event_type"]: r["d"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("d")).collect()}
+    for r in full:
+        est = r["est_raw"]
+        if r["v_zero"] > 0 and est <= 2.5 * HLL_M:
+            est = HLL_M * math.log(HLL_M / r["v_zero"])
+        true = exact[r["event_type"]]
+        assert abs(est - true) / true <= 0.35, (r, true, est)
