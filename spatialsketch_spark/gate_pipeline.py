@@ -2203,6 +2203,14 @@ PIPELINE_GATE = {
                  relational.oracle_lineitem_cube),
     "rel_semi_anti": (lambda s, d: relational.customers_semi_anti(s, d),
                       relational.oracle_customers_semi_anti),
+    # r7: ANSI INTERSECT / EXCEPT set algebra
+    "rel_set_ops": (lambda s, d: relational.customer_set_ops(s, d),
+                    relational.oracle_customer_set_ops),
+    # r7: correlated scalar subqueries left to Catalyst decorrelation;
+    # IDENTICAL SQL text runs on the DuckDB side
+    "rel_scalar_subq": (
+        lambda s, d: relational.orders_above_cust_avg(s, d),
+        relational.oracle_orders_above_cust_avg),
     "rel_running_window": (
         lambda s, d: relational.customer_running_spend(s, d, 20),
         lambda: relational.oracle_customer_running_spend(20)),

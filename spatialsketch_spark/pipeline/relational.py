@@ -653,3 +653,80 @@ SELECT CAST(COALESCE(ok, -1) AS BIGINT) AS k,
 FROM o JOIN c ON o.ok IS NOT DISTINCT FROM c.ck
 GROUP BY 1 ORDER BY k
 """
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI set operations (the relational surface the join gates
+    don't cover): the DISTINCT customer sets active in even vs odd
+    order years, combined by INTERSECT and both EXCEPT directions.
+    Spark plans INTERSECT as a left-semi + distinct and EXCEPT as a
+    left-anti + distinct — aggregate-free set algebra that shuffles
+    only the deduplicated key column (at 100 TB the distinct collapse
+    happens map-side before the exchange). -> (op, c_custkey)."""
+    o = _read(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr("year(o_orderdate) % 2 = 0").alias("even"))
+    a = o.where("even").select("o_custkey").distinct()
+    b = o.where("NOT even").select("o_custkey").distinct()
+    tag = lambda df, t: df.select(  # noqa: E731
+        F.lit(t).alias("op"), F.col("o_custkey").cast("bigint"))
+    return (tag(a.intersect(b), "both")
+            .union(tag(a.subtract(b), "even_only"))
+            .union(tag(b.subtract(a), "odd_only"))
+            .orderBy("op", "o_custkey"))
+
+
+def oracle_customer_set_ops() -> str:
+    return """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE year(o_orderdate) % 2 = 0),
+b AS (SELECT DISTINCT o_custkey FROM orders
+      WHERE year(o_orderdate) % 2 = 1)
+SELECT 'both' AS op, CAST(o_custkey AS BIGINT) AS o_custkey
+FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'even_only', CAST(o_custkey AS BIGINT)
+FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'odd_only', CAST(o_custkey AS BIGINT)
+FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+ORDER BY op, o_custkey
+"""
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT o.o_orderkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_c,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {orders} i
+        WHERE i.o_custkey = o.o_custkey) AS cust_n,
+       (SELECT CAST(SUM(CAST(ROUND(i.o_totalprice * 100) AS BIGINT))
+               AS BIGINT)
+        FROM {orders} i WHERE i.o_custkey = o.o_custkey) AS cust_sum_c
+FROM {orders} o
+WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+      * (SELECT COUNT(*) FROM {orders} i
+         WHERE i.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(ROUND(i.o_totalprice * 100) AS BIGINT))
+         FROM {orders} i WHERE i.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+"""
+
+
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subqueries — orders priced above their own
+    customer's average, written as per-row subselects and left to
+    Catalyst's decorrelation: the optimizer rewrites EVERY correlated
+    subquery into a grouped aggregate hash-joined back on o_custkey —
+    zero per-row subquery execution in the physical plan (pinned by a
+    plan-shape test), which is the difference between an O(n) plan
+    and an O(n²) one at 100 TB. (Catalyst does not CSE the four
+    textually-identical subselects into one aggregate — they stay
+    four broadcast joins; the pin is on decorrelation, not fusion.)
+    The average compare is division-free (price*count > sum, exact
+    integers).
+    -> (o_orderkey, price_c, cust_n, cust_sum_c), ordered."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("_subq_orders")
+    return spark.sql(_SCALAR_SUBQ_SQL.format(orders="_subq_orders"))
+
+
+def oracle_orders_above_cust_avg() -> str:
+    return _SCALAR_SUBQ_SQL.format(orders="orders")

@@ -474,3 +474,20 @@ def test_nullsafe_join_is_hash_join(spark):
     plan = formatted(nullsafe_join_rollup(spark, SF_ORACLE))
     assert "BroadcastNestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_scalar_subquery_decorrelates(spark):
+    """The correlated-subquery gate's scale contract: Catalyst must
+    DECORRELATE — the physical plan contains no per-row subquery
+    nodes; every correlated subselect becomes a grouped aggregate
+    hash-joined back on o_custkey (4 joins for 4 subselects — no CSE,
+    documented), so per-input-row work is O(1), not O(n)."""
+    from conftest import SF_UNIT
+    from spatialsketch_spark.pipeline.relational import (
+        orders_above_cust_avg)
+
+    p = orders_above_cust_avg(spark, SF_UNIT)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Subquery" not in p
+    assert p.count("BroadcastHashJoin") == 4
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
