@@ -155,6 +155,78 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+_CSV_ROUNDTRIP = {}
+
+# CSV-hostile derivation, identical ANSI text on both engines: the
+# corpus text is separator/quote/newline-free by construction, so a
+# plain roundtrip would never exercise quoting — this plants embedded
+# quotes, commas, AND a literal newline in every row
+_CSV_TEXT_SQL = ("('\"' || replace(substr(text, 1, 80), ' ', ',') "
+                 "|| chr(10) || lang || '\"')")
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV source + sink under ADVERSARIAL content — every row's text
+    is rewritten (engine-identically) to contain embedded double
+    quotes, commas, and a literal newline, then written as RFC-4180
+    CSV (quote-doubling escape) and read back through the multiLine
+    parser. Per-lang count / n_chars sum / md5-prefix checksum of the
+    hostile text must equal the oracle's fingerprint computed from
+    the parquet source — one mis-quoted byte or a row split at the
+    embedded newline flips the compare. (multiLine is the expensive
+    CSV path: files stop being line-splittable, so a 100 TB ingest
+    shards by FILE, not by byte range — many medium files beat few
+    huge ones; the plain fast path stays splittable.)
+
+    -> (lang, n, sum_chars, text_fp), ordered."""
+    key = (sf_dir, "csv")
+    res = _CSV_ROUNDTRIP.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "lang", "n_chars",
+            F.expr(_CSV_TEXT_SQL).alias("csv_text"))
+        base = tempfile.mkdtemp(prefix="gate_csv_")
+        try:
+            (docs.write.mode("overwrite").option("header", True)
+             .option("quote", '"').option("escape", '"')
+             .csv(f"{base}/docs"))
+            back = (spark.read
+                    .schema("doc_id BIGINT, lang STRING, "
+                            "n_chars BIGINT, csv_text STRING")
+                    .option("header", True).option("multiLine", True)
+                    .option("quote", '"').option("escape", '"')
+                    .csv(f"{base}/docs"))
+            fp = F.conv(F.substring(F.md5("csv_text"), 1, 8), 16, 10) \
+                .cast("bigint")
+            res = (back.groupBy("lang")
+                   .agg(F.count("*").cast("bigint").alias("n"),
+                        F.sum("n_chars").cast("bigint")
+                        .alias("sum_chars"),
+                        F.sum(fp).cast("bigint").alias("text_fp"))
+                   .localCheckpoint(eager=True))
+            _CSV_ROUNDTRIP[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("lang")
+
+
+def oracle_csv_roundtrip() -> str:
+    return f"""
+WITH h AS (SELECT lang, n_chars, {_CSV_TEXT_SQL} AS csv_text
+           FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(('0x' || substr(md5(csv_text), 1, 8))::BIGINT)
+            AS BIGINT) AS text_fp
+FROM h GROUP BY lang ORDER BY lang
+"""
+
+
 _DYN_OVERWRITE = {}
 
 
@@ -2268,6 +2340,8 @@ PIPELINE_GATE = {
         lambda s, d: text.hist_quantiles(_docs(s, d)).orderBy("lang", "q"),
         text.oracle_hist_quantiles),
     "doc_orc_roundtrip": (q_orc_roundtrip, oracle_orc_roundtrip),
+    # r7: RFC-4180 CSV roundtrip under planted quotes/commas/newlines
+    "doc_csv_roundtrip": (q_csv_roundtrip, oracle_csv_roundtrip),
     "doc_dynamic_overwrite": (q_dynamic_overwrite,
                               oracle_dynamic_overwrite),
     "doc_schema_merge": (q_schema_merge, oracle_schema_merge),
