@@ -2051,6 +2051,54 @@ def q_time_rollup(spark, sf_dir):
         .orderBy("w_start")
 
 
+def q_overlap_join(spark, sf_dir):
+    """Interval-overlap join gate: two interval sets derived from the
+    events stream (disjoint event_id slices; widths are functions of
+    event_id so the oracle replays them), joined per user on inclusive
+    overlap via the blocked exactly-once plan — pair-level output, so
+    a single duplicated or missed pair flips the compare.
+    -> (user_id, a_id, b_id, ov_lo, ov_hi), ordered."""
+    from pyspark.sql import functions as F
+    ev = events._events(spark, sf_dir)
+    s = F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 1000000")
+    a = (ev.where("event_id % 10 = 0")
+         .select("user_id", F.col("event_id").alias("a_id"),
+                 s.alias("a_lo"),
+                 (s + 36000 + F.col("event_id") % 86400).alias("a_hi")))
+    b = (ev.where("event_id % 10 = 1")
+         .select("user_id", F.col("event_id").alias("b_id"),
+                 s.alias("b_lo"),
+                 (s + 18000 + F.col("event_id") % 43200).alias("b_hi")))
+    return (temporal.overlap_join(a, b, block=65536, key="user_id")
+            .select(F.col("user_id").cast("bigint"),
+                    F.col("a_id").cast("bigint"),
+                    F.col("b_id").cast("bigint"),
+                    F.col("ov_lo").cast("bigint"),
+                    F.col("ov_hi").cast("bigint"))
+            .orderBy("user_id", "a_id", "b_id"))
+
+
+def oracle_overlap_join() -> str:
+    return """
+WITH a AS (SELECT user_id, event_id AS a_id,
+                  epoch_us(ts) // 1000000 AS a_lo,
+                  epoch_us(ts) // 1000000 + 36000 + event_id % 86400 AS a_hi
+           FROM events WHERE event_id % 10 = 0),
+b AS (SELECT user_id, event_id AS b_id,
+             epoch_us(ts) // 1000000 AS b_lo,
+             epoch_us(ts) // 1000000 + 18000 + event_id % 43200 AS b_hi
+      FROM events WHERE event_id % 10 = 1)
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       CAST(GREATEST(a_lo, b_lo) AS BIGINT) AS ov_lo,
+       CAST(LEAST(a_hi, b_hi) AS BIGINT) AS ov_hi
+FROM a JOIN b ON a.user_id = b.user_id
+             AND a_lo <= b_hi AND b_lo <= a_hi
+ORDER BY user_id, a_id, b_id
+"""
+
+
 def oracle_time_rollup():
     from .gate import _geo_cte
     return f"""
@@ -2102,6 +2150,8 @@ PIPELINE_GATE = {
     "tmp_range_join": (q_range_join, oracle_range_join),
     "tmp_range_join_bucketed": (q_range_join_bucketed, oracle_range_join),
     "tmp_time_rollup": (q_time_rollup, oracle_time_rollup),
+    # r7: interval x interval overlap join, blocked exactly-once plan
+    "tmp_overlap_join": (q_overlap_join, oracle_overlap_join),
     "doc_exact_dedup": (q_exact_dedup, dedup.oracle_exact_dedup),
     # r7: incremental near-dup (shard vs corpus banding index)
     "doc_minhash_incremental": (

@@ -137,6 +137,41 @@ def range_join_bucketed(events: DataFrame, brackets: DataFrame,
     return e.join(b, "blk").where(cond).drop("blk")
 
 
+def overlap_join(a: DataFrame, b: DataFrame, block: int,
+                 key: str | None = None,
+                 a_lo: str = "a_lo", a_hi: str = "a_hi",
+                 b_lo: str = "b_lo", b_hi: str = "b_hi") -> DataFrame:
+    """INTERVAL x INTERVAL overlap join (inclusive: a_lo <= b_hi AND
+    b_lo <= a_hi) — the temporal-join flavor as-of and point-in-range
+    don't cover (session-overlap, co-presence, conflict detection).
+
+    Scale shape: BOTH sides explode onto the fixed-size time blocks
+    they span, the equi-join on (key, block) co-locates candidates (a
+    plain shuffle hash join — never a nested loop over the cross
+    product), the exact predicate rechecks, and EXACTLY-ONCE pair
+    emission needs no dedup shuffle: a pair is kept only in the block
+    containing the overlap's START, greatest(a_lo, b_lo) — each
+    overlapping pair has exactly one such block. Per-row fan-out is
+    width/block + 1, so `block` near the median interval width keeps
+    the blowup ~2x. Returns a.* + b.* + (ov_lo, ov_hi)."""
+    if block <= 0:
+        raise ValueError("block must be positive")
+    blks = lambda lo, hi: F.explode(  # noqa: E731
+        F.sequence(F.floor(F.col(lo) / block),
+                   F.floor(F.col(hi) / block)))
+    ae = a.withColumn("_blk", blks(a_lo, a_hi))
+    be = b.withColumn("_blk", blks(b_lo, b_hi))
+    on = ["_blk"] + ([key] if key else [])
+    ov_lo = F.greatest(F.col(a_lo), F.col(b_lo))
+    ov_hi = F.least(F.col(a_hi), F.col(b_hi))
+    return (ae.join(be, on)
+            .where((F.col(a_lo) <= F.col(b_hi))
+                   & (F.col(b_lo) <= F.col(a_hi))
+                   & (F.floor(ov_lo / block) == F.col("_blk")))
+            .withColumn("ov_lo", ov_lo).withColumn("ov_hi", ov_hi)
+            .drop("_blk"))
+
+
 def time_rollup(events: DataFrame, width: int, ts: str = "ts",
                 hop: int | None = None) -> DataFrame:
     """Tumbling (or hopping, if hop < width) window counts on an integer

@@ -164,3 +164,37 @@ def test_session_rollup_boundary_semantics(spark):
         (1, 1000, 1173, 1, 7),    # singleton
         (2, 50, 223, 1, 1),
     ]
+
+
+def test_overlap_join_exactly_once_across_blocks(spark):
+    """Pairs whose overlap SPANS multiple blocks must emit exactly
+    once (the start-block assignment rule), inclusive endpoint
+    touching counts as overlap, and the blocked plan equals the naive
+    cross-join-with-predicate answer on a fixture designed to straddle
+    block boundaries every way (contained / staggered / touching /
+    disjoint / multi-block-wide)."""
+    from pyspark.sql import functions as F
+
+    from spatialsketch_spark.pipeline.temporal import overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 250), (2, 90, 110), (3, 100, 100), (4, 500, 900),
+         (5, 0, 1000)], "a_id INT, a_lo BIGINT, a_hi BIGINT")
+    b = spark.createDataFrame(
+        [(10, 100, 300), (11, 250, 260), (12, 0, 50), (13, 901, 950),
+         (14, 100, 899)], "b_id INT, b_lo BIGINT, b_hi BIGINT")
+    got = overlap_join(a, b, block=100).select("a_id", "b_id") \
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    naive = (a.crossJoin(b)
+             .where((F.col("a_lo") <= F.col("b_hi"))
+                    & (F.col("b_lo") <= F.col("a_hi")))
+             .select("a_id", "b_id").toPandas()
+             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, naive)
+    assert not got.duplicated().any()
+    pairs = set(map(tuple, got.values))
+    assert (3, 10) in pairs          # touching endpoints: inclusive
+    assert (1, 11) in pairs          # a_hi == b_lo boundary
+    assert (5, 14) in pairs          # multi-block-wide both sides
+    assert (4, 13) not in pairs      # gap of 1: disjoint
