@@ -2302,6 +2302,10 @@ PIPELINE_GATE = {
     "evt_hll_distinct": (
         lambda s, d: events.hll_distinct(events._events(s, d)),
         events.oracle_hll_distinct),
+    # r7: division-free k-sigma outlier days over ingest volumes
+    "evt_anomaly_days": (
+        lambda s, d: events.anomaly_days(events._events(s, d)),
+        events.oracle_anomaly_days),
     "evt_stream_complete_topk": (q_stream_complete_topk,
                                  oracle_stream_complete_topk),
     "evt_stream_update_counts": (q_stream_update_counts,

@@ -483,6 +483,65 @@ GROUP BY day, n""")
     return " UNION ALL ".join(sels) + " ORDER BY day, q"
 
 
+ANOM_K = 2  # flag days beyond k standard deviations
+
+
+def anomaly_days(ev: DataFrame, k: int = ANOM_K) -> DataFrame:
+    """Outlier-day detection per event_type — the monitoring op a
+    training-data pipeline runs over ingest volumes: a day is
+    anomalous when its event count deviates from the type's mean by
+    more than k standard deviations. The z-test is DIVISION-FREE so
+    both engines compare exact integers:
+
+        z² > k²  ⟺  n·(n·c_d − S₁)² > k²·n·(n·S₂ − S₁²) / n
+                 ⟺  (n·c_d − S₁)² > k²·(n·S₂ − S₁²)
+
+    with c_d the day's count, S₁/S₂ the per-type sum and sum of
+    squares over n days (population variance). Daily counts keep the
+    magnitudes safe in int64 at any SF (counts², not cents²).
+
+    Plan: one pass to the bounded (type, day) count table, one tiny
+    per-type aggregate broadcast back — the raw stream is never
+    shuffled twice. -> (event_type, day, n_events, is_anomaly)."""
+    day = F.expr(f"({_TS_US}) div {_DAY_US}")
+    daily = (ev.select("event_type", day.alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").cast("bigint").alias("n_events")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum("n_events").alias("s1"),
+                  F.sum(F.col("n_events") * F.col("n_events"))
+                  .alias("s2")))
+    dev = F.col("n") * F.col("n_events") - F.col("s1")
+    bound = F.lit(k * k) * (F.col("n") * F.col("s2")
+                            - F.col("s1") * F.col("s1"))
+    return (daily.join(F.broadcast(stats), "event_type")
+            .select("event_type", F.col("day").cast("bigint"),
+                    "n_events",
+                    (dev * dev > bound).cast("int").alias("is_anomaly"))
+            .orderBy("event_type", "day"))
+
+
+def oracle_anomaly_days(src: str = "events", k: int = ANOM_K) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM {src} GROUP BY 1, 2),
+st AS (
+  SELECT event_type, COUNT(*) AS n, SUM(n_events) AS s1,
+         SUM(n_events * n_events) AS s2
+  FROM daily GROUP BY 1)
+SELECT daily.event_type AS event_type, CAST(day AS BIGINT) AS day,
+       n_events,
+       CAST(CASE WHEN (n * n_events - s1) * (n * n_events - s1)
+                      > {k * k} * (n * s2 - s1 * s1)
+            THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM daily JOIN st ON daily.event_type = st.event_type
+ORDER BY 1, day
+"""
+
+
 HLL_M = 64            # registers (p = 6); std err 1.04/sqrt(64) ~ 13%
 _HLL_WBITS = 54       # 60-bit md5 hash minus 6 register-index bits
 # alpha_64 * m^2 * 2^55 with alpha_64 = 0.70927 scaled to 70927/1e5:

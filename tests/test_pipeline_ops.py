@@ -1850,3 +1850,24 @@ def test_hll_registers_merge_and_accuracy(spark):
             est = HLL_M * math.log(HLL_M / r["v_zero"])
         true = exact[r["event_type"]]
         assert abs(est - true) / true <= 0.35, (r, true, est)
+
+
+def test_anomaly_days_matches_float_zscore(spark):
+    """The division-free integer z-test must agree with the textbook
+    float z-score (population sigma) on every (type, day) — and the
+    fixture must exercise BOTH verdicts (some anomalous days exist,
+    most days are normal)."""
+    from conftest import SF_UNIT
+    from spatialsketch_spark.pipeline.events import (
+        ANOM_K, _events, anomaly_days)
+
+    got = anomaly_days(_events(spark, SF_UNIT)).toPandas()
+    assert 0 < got.is_anomaly.sum() < len(got)
+    for _, g in got.groupby("event_type"):
+        mu = g.n_events.mean()
+        sigma = (((g.n_events - mu) ** 2).mean()) ** 0.5
+        for _, r in g.iterrows():
+            z = abs(r.n_events - mu) / sigma if sigma else 0.0
+            # strict inequality in the integer form == z > K exactly
+            # when z*z != K*K; the fixture has no exact-boundary day
+            assert bool(r.is_anomaly) == (z > ANOM_K), (r, z)
