@@ -2183,6 +2183,10 @@ PIPELINE_GATE = {
     "doc_span_dedup": (q_span_dedup, spans.oracle_span_dedup),
     "doc_repetition": (q_repetition, spans.oracle_repetition_stats),
     "doc_cdc_chunks": (q_cdc_chunks, spans.oracle_cdc_chunks),
+    # r7: fixed-stride LM-pretraining chunking (content-fingerprinted)
+    "doc_stride_chunks": (
+        lambda s, d: text.stride_chunks(_docs(s, d)),
+        text.oracle_stride_chunks),
     "emb_kmeans_assign": (q_kmeans_assign,
                           similarity.oracle_kmeans_assign),
     "emb_kmeans_update": (q_kmeans_update,

@@ -218,6 +218,56 @@ def winnow_candidate_pairs(docs: DataFrame, w: int = ROLL_W,
                     F.col("shared").cast("bigint")))
 
 
+CHUNK_W, CHUNK_S = 64, 48   # window / stride (16-word overlap)
+
+
+def stride_chunks(docs: DataFrame, window: int = CHUNK_W,
+                  stride: int = CHUNK_S) -> DataFrame:
+    """Fixed-stride document chunking — the training-prep windowing
+    next to content-defined chunking (doc_cdc_chunks): every document
+    splits into word windows of size ``window`` advancing by
+    ``stride`` (overlap = window − stride keeps context across chunk
+    boundaries, the standard LM pretraining shape). Pure JVM column
+    ops: ONE split per row, explode(sequence) for starts, slice per
+    chunk — no UDF, no shuffle (chunk rows inherit the input
+    partitioning; at 100 TB the ~n/stride-per-doc fan-out happens
+    map-side and flows straight into packing).
+
+    Each chunk carries an md5-prefix content fingerprint so the gate
+    compare proves the exact word slice, not just counts.
+    -> (doc_id, chunk_idx, n_words, fp)."""
+    from .dedup import word_hash_col
+    w = _with_words(docs)
+    w = w.withColumn("_n", F.size("_words"))
+    starts = F.explode(F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)))
+    chunk = F.slice("_words", F.col("_start") + 1, window)
+    return (w.withColumn("_start", starts)
+            .select("doc_id",
+                    (F.col("_start") / stride).cast("bigint")
+                    .alias("chunk_idx"),
+                    F.size(chunk).cast("bigint").alias("n_words"),
+                    word_hash_col(F.array_join(chunk, " ")).alias("fp"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def oracle_stride_chunks(window: int = CHUNK_W,
+                         stride: int = CHUNK_S) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words,
+                  len({_WORDS}) AS n FROM documents),
+ch AS (
+  SELECT doc_id, s // {stride} AS chunk_idx,
+         list_slice(words, s + 1, LEAST(s + {window}, n)) AS chunk
+  FROM w, UNNEST(range(0, GREATEST(n, 1), {stride})) AS t(s))
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_words,
+       ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 15))::BIGINT
+         AS fp
+FROM ch ORDER BY doc_id, chunk_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ---------------------------------------------------------------------------

@@ -1871,3 +1871,35 @@ def test_anomaly_days_matches_float_zscore(spark):
             # strict inequality in the integer form == z > K exactly
             # when z*z != K*K; the fixture has no exact-boundary day
             assert bool(r.is_anomaly) == (z > ANOM_K), (r, z)
+
+
+def test_stride_chunks_coverage_and_overlap(spark):
+    """Chunking invariants the fingerprint compare doesn't state
+    directly: chunk starts advance by exactly the stride, every word
+    of every document lands in at least one chunk, every chunk's size
+    is exactly min(window, n - start) — clipped tail windows included
+    — and the chunk count is ceil(n / stride)."""
+    from conftest import SF_UNIT
+    from spatialsketch_spark.pipeline.text import (
+        CHUNK_S, CHUNK_W, _with_words, stride_chunks)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    got = stride_chunks(docs).toPandas()
+    n_words = {r["doc_id"]: r["n"] for r in
+               _with_words(docs).select(
+                   "doc_id", F.size("_words").alias("n")).collect()}
+    for doc_id, g in got.groupby("doc_id"):
+        n = n_words[doc_id]
+        k = len(g)
+        assert sorted(g.chunk_idx) == list(range(k))
+        # expected chunk count: ceil(n / stride) starts, since starts
+        # run 0, S, ... <= n-1
+        assert k == -(-n // CHUNK_S)
+        sizes = g.sort_values("chunk_idx").n_words.tolist()
+        # coverage: each start covers [s, min(s+W, n)); union = [0, n)
+        covered = 0
+        for i, s in enumerate(range(0, n, CHUNK_S)):
+            assert sizes[i] == min(CHUNK_W, n - s)
+            covered = max(covered, s + sizes[i])
+        assert covered == n
