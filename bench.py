@@ -234,7 +234,12 @@ def run_bench(cpus: int) -> dict:
                  # r7 additions: quantile sketch, blocked fuzzy
                  # matching, ranking-window family, trained-IVF search
                  "doc_gk_quantiles", "doc_fuzzy_pairs",
-                 "rel_rank_family", "emb_ivf_trained_topk"]):
+                 "rel_rank_family", "emb_ivf_trained_topk",
+                 # r7 session 3: windowed hist quantiles, HLL,
+                 # stride chunking, overlap join, hex reader rewrite
+                 "evt_window_quantiles", "evt_hll_distinct",
+                 "doc_stride_chunks", "tmp_overlap_join",
+                 "geo_hex_cell_reader"]):
         fn = GATE_QUERIES[name][0]
         best = None
         for _ in range(pipe_trials):   # best-of: the host's proactive

@@ -25,6 +25,8 @@ from .config import SketchConfig
 from .core.partitioner import Shape, shape_to_ranges
 from .geo.build import SketchStore
 from .geo.events import ITEM_DOMAIN, derive_geo_events, geo_events_sql
+from .geo.joins import corridor_filter as _corridor_filter
+from .geo.joins import oracle_corridor_filter as _oracle_corridor
 from .geo.layout import (oracle_geohash_rollup, oracle_hex_cell_reader,
                          oracle_hexbin_rollup,
                          oracle_hilbert_layout, oracle_zorder_layout,
@@ -948,6 +950,12 @@ GATE_QUERIES = {
     "geo_snapshot_travel": (q_snapshot_travel, oracle_snapshot_travel),
     "geo_cap_filter": (q_cap_filter, oracle_cap_filter),
     "geo_cap_knn": (q_cap_knn, oracle_cap_knn),
+    # r7: corridor (polyline-buffer) query — exact division-free
+    # point-to-segment test; block join bounds the scan
+    "geo_corridor_filter": (
+        lambda s, d: _corridor_filter(
+            derive_geo_events(s, d, N), s, n=N),
+        lambda: _oracle_corridor(_geo_cte())),
     "geo_polygon_sphere": (q_polygon_sphere, oracle_polygon_sphere),
     # r6: Z-order layout (lakehouse spatial clustering primitive)
     "geo_zorder_layout": (

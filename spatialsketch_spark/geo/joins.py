@@ -453,3 +453,110 @@ SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy, cnt,
 FROM cells JOIN nb ON cx = tx AND cy = ty, tot
 ORDER BY cx, cy
 """
+
+
+# ---------------------------------------------------------------- corridor
+
+CORRIDOR_PATH = [(200, 300), (1200, 900), (2000, 800),
+                 (3000, 2000), (3900, 2100)]
+CORRIDOR_D = 150
+_COR_BLK = 512
+
+
+def corridor_segments(spark: SparkSession,
+                      path: list[tuple[int, int]] = None,
+                      d: int = CORRIDOR_D,
+                      n: int = 4096) -> DataFrame:
+    """Polyline -> (seg_id, ax, ay, bx, by) + the block keys of each
+    segment's D-dilated bounding box (driver-side enumeration — a
+    SUPERSET of blocks within distance d, exact residual downstream).
+    The blocked relation is tiny (segments x blocks touched) and
+    broadcast; the event side carries only its own block key."""
+    path = path or CORRIDOR_PATH
+    rows = []
+    for sid, ((ax, ay), (bx, by)) in enumerate(zip(path, path[1:])):
+        x_lo = max(min(ax, bx) - d, 0)
+        x_hi = min(max(ax, bx) + d, n - 1)
+        y_lo = max(min(ay, by) - d, 0)
+        y_hi = min(max(ay, by) + d, n - 1)
+        for cbx in range(x_lo // _COR_BLK, x_hi // _COR_BLK + 1):
+            for cby in range(y_lo // _COR_BLK, y_hi // _COR_BLK + 1):
+                rows.append((sid, cbx, cby, ax, ay, bx, by))
+    return spark.createDataFrame(
+        rows, "seg_id BIGINT, cbx BIGINT, cby BIGINT, ax BIGINT, "
+              "ay BIGINT, bx BIGINT, by BIGINT")
+
+
+def _corridor_pred(d: int):
+    """EXACT integer point-to-segment distance test, division-free:
+    project p onto segment a->b with the classic piecewise rule, but
+    compare cross-multiplied integers instead of computing the
+    rational projection — dist² <= d² becomes
+
+        dot <= 0      ->  |p-a|² <= d²
+        dot >= |u|²   ->  |p-b|² <= d²
+        else          ->  cross(u, p-a)² <= d²·|u|²
+
+    (u = b-a). Max magnitude cross² < 2^51 on the 4096 grid — int64
+    safe. Identical ANSI text runs in the oracle."""
+    return F.expr(f"""
+CASE WHEN (bx-ax)*(x-ax) + (by-ay)*(y-ay) <= 0
+     THEN (x-ax)*(x-ax) + (y-ay)*(y-ay) <= {d * d}
+     WHEN (bx-ax)*(x-ax) + (by-ay)*(y-ay)
+          >= (bx-ax)*(bx-ax) + (by-ay)*(by-ay)
+     THEN (x-bx)*(x-bx) + (y-by)*(y-by) <= {d * d}
+     ELSE ((bx-ax)*(y-ay) - (by-ay)*(x-ax))
+          * ((bx-ax)*(y-ay) - (by-ay)*(x-ax))
+          <= {d * d} * ((bx-ax)*(bx-ax) + (by-ay)*(by-ay))
+END""")
+
+
+def corridor_filter(events: DataFrame, spark: SparkSession,
+                    d: int = CORRIDOR_D, n: int = 4096) -> DataFrame:
+    """Corridor (polyline-buffer) query: events within distance d of a
+    route — the linear-feature filter next to the polygon (PIP) and
+    cap (disc) families. Block-key broadcast join bounds the scan to
+    the corridor's dilated bounding boxes; the exact residual is the
+    division-free point-to-segment test, so the answer is row-exact
+    while the per-event work is O(segments overlapping its block),
+    never O(segments). -> (seg_id, n_events, value_sum), ordered."""
+    segs = corridor_segments(spark, d=d, n=n)
+    ev = (events
+          .withColumn("cbx", F.expr(f"x div {_COR_BLK}"))
+          .withColumn("cby", F.expr(f"y div {_COR_BLK}")))
+    return (ev.join(F.broadcast(segs), ["cbx", "cby"])
+            .where(_corridor_pred(d))
+            .groupBy("seg_id")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum("value").cast("bigint").alias("value_sum"))
+            .orderBy("seg_id"))
+
+
+def oracle_corridor_filter(geo_cte: str, d: int = CORRIDOR_D) -> str:
+    """Independent semantics: plain segment-table join on the SAME
+    piecewise predicate — no blocking on this side."""
+    vals = ",".join(
+        f"({sid},{ax},{ay},{bx},{by})"
+        for sid, ((ax, ay), (bx, by)) in enumerate(
+            zip(CORRIDOR_PATH, CORRIDOR_PATH[1:])))
+    return f"""
+WITH geo AS ({geo_cte}),
+seg AS (SELECT CAST(c0 AS BIGINT) AS seg_id, CAST(c1 AS BIGINT) AS ax,
+               CAST(c2 AS BIGINT) AS ay, CAST(c3 AS BIGINT) AS bx,
+               CAST(c4 AS BIGINT) AS by
+        FROM (VALUES {vals}) t(c0, c1, c2, c3, c4))
+SELECT CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value) AS BIGINT) AS value_sum
+FROM seg JOIN geo ON
+CASE WHEN (bx-ax)*(x-ax) + (by-ay)*(y-ay) <= 0
+     THEN (x-ax)*(x-ax) + (y-ay)*(y-ay) <= {d * d}
+     WHEN (bx-ax)*(x-ax) + (by-ay)*(y-ay)
+          >= (bx-ax)*(bx-ax) + (by-ay)*(by-ay)
+     THEN (x-bx)*(x-bx) + (y-by)*(y-by) <= {d * d}
+     ELSE ((bx-ax)*(y-ay) - (by-ay)*(x-ax))
+          * ((bx-ax)*(y-ay) - (by-ay)*(x-ax))
+          <= {d * d} * ((bx-ax)*(bx-ax) + (by-ay)*(by-ay))
+END
+GROUP BY seg_id ORDER BY seg_id
+"""

@@ -170,3 +170,48 @@ def test_knn_auto_method_selection(spark):
     assert auto == ring
     # crossover arithmetic: tiny product -> brute, huge -> ring
     assert ev.count() * len(pts) <= J.KNN_BRUTE_CROSSOVER_ROWS
+
+
+def test_corridor_integer_predicate_exact_and_block_superset(spark):
+    """The division-free point-to-segment test must agree with the
+    textbook float distance for every grid point in a brute-force
+    neighborhood (including endpoint caps, perpendicular band, and
+    boundary-exact points), and the blocked plan must return exactly
+    the plain-predicate answer (block enumeration is a superset +
+    exact residual)."""
+    from pyspark.sql import functions as F
+
+    from spatialsketch_spark.gate import N
+    from spatialsketch_spark.geo.events import derive_geo_events
+    from spatialsketch_spark.geo.joins import (
+        CORRIDOR_D, _corridor_pred, corridor_filter, corridor_segments)
+
+    # scalar reference on a small segment neighborhood
+    ax, ay, bx, by, d = 30, 40, 90, 70, 25
+    def float_dist2(x, y):
+        import math
+        ux, uy, vx, vy = bx - ax, by - ay, x - ax, y - ay
+        t = max(0.0, min(1.0, (ux * vx + uy * vy) / (ux * ux + uy * uy)))
+        return (vx - t * ux) ** 2 + (vy - t * uy) ** 2
+    pts = [(x, y) for x in range(0, 121, 3) for y in range(0, 111, 3)]
+    pdf = spark.createDataFrame(pts, "x BIGINT, y BIGINT") \
+        .withColumn("ax", F.lit(ax)).withColumn("ay", F.lit(ay)) \
+        .withColumn("bx", F.lit(bx)).withColumn("by", F.lit(by)) \
+        .withColumn("near", _corridor_pred(d)).collect()
+    for r in pdf:
+        want = float_dist2(r["x"], r["y"]) <= d * d + 1e-9
+        assert bool(r["near"]) == want, (r, float_dist2(r["x"], r["y"]))
+
+    # blocked == plain on the real stream
+    from conftest import SF_UNIT
+    ev = derive_geo_events(spark, SF_UNIT, N)
+    blocked = {r["seg_id"]: (r["n_events"], r["value_sum"])
+               for r in corridor_filter(ev, spark, n=N).collect()}
+    segs = corridor_segments(spark, n=N).drop("cbx", "cby").distinct()
+    plain = {r["seg_id"]: (r["n_events"], r["value_sum"])
+             for r in ev.join(segs)
+             .where(_corridor_pred(CORRIDOR_D))
+             .groupBy("seg_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum("value").alias("value_sum")).collect()}
+    assert blocked == plain and len(blocked) == 4
