@@ -2341,6 +2341,11 @@ PIPELINE_GATE = {
     "rel_scalar_subq": (
         lambda s, d: relational.orders_above_cust_avg(s, d),
         relational.oracle_orders_above_cust_avg),
+    # r7: RECURSIVE CTE (Spark 4) — ancestor transitive closure;
+    # same SQL text modulo the integer-division spelling
+    "rel_recursive_cte": (
+        lambda s, d: relational.doc_ancestor_closure(s, d),
+        relational.oracle_doc_ancestor_closure),
     "rel_running_window": (
         lambda s, d: relational.customer_running_spend(s, d, 20),
         lambda: relational.oracle_customer_running_spend(20)),

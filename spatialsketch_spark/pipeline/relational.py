@@ -730,3 +730,39 @@ def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_orders_above_cust_avg() -> str:
     return _SCALAR_SUBQ_SQL.format(orders="orders")
+
+
+_REC_CTE_SQL = """
+WITH RECURSIVE anc(id, anc, depth) AS (
+  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM {docs}
+  WHERE doc_id < 2000
+  UNION ALL
+  SELECT id, anc // 3, depth + 1 FROM anc WHERE anc > 0
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(anc AS BIGINT) AS anc,
+       CAST(depth AS BIGINT) AS depth
+FROM anc ORDER BY id, depth
+"""
+
+
+def doc_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (new in Spark 4) — the iterative-query surface
+    none of the other gates touch: the full ancestor transitive
+    closure of the implicit ternary doc hierarchy (parent = id div 3,
+    strictly decreasing, so the recursion provably terminates at the
+    root 0). Each iteration is one self-join the engine unions in —
+    at 100 TB this is the hierarchy-flattening pattern (org charts,
+    category trees, thread ancestry) that otherwise needs a driver
+    loop; depth here is bounded by log₃(max id). IDENTICAL SQL text
+    executes on DuckDB (Spark's `div` spelled `//` both sides).
+    -> (id, anc, depth) for every ancestor pair, ordered."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("_rec_docs")
+    # Spark spells integer division `div`, DuckDB `//` — the ONLY
+    # dialect difference in this text
+    return spark.sql(_REC_CTE_SQL.format(docs="_rec_docs")
+                     .replace("anc // 3", "anc div 3"))
+
+
+def oracle_doc_ancestor_closure() -> str:
+    return _REC_CTE_SQL.format(docs="documents")
