@@ -28,10 +28,10 @@ from .geo.events import ITEM_DOMAIN, derive_geo_events, geo_events_sql
 from .geo.joins import corridor_filter as _corridor_filter
 from .geo.joins import oracle_corridor_filter as _oracle_corridor
 from .geo.layout import (oracle_geohash_rollup, oracle_hex_cell_reader,
-                         oracle_hexbin_rollup,
+                         oracle_hex_kring_smooth, oracle_hexbin_rollup,
                          oracle_hilbert_layout, oracle_zorder_layout,
                          q_geohash_rollup, q_hex_cell_reader,
-                         q_hexbin_rollup,
+                         q_hex_kring_smooth, q_hexbin_rollup,
                          q_hilbert_layout, q_zorder_layout)
 from .geo.query import QuerySpec, SpatialSketchEngine
 from .sources.interleaved import build_interleaved_docs, extract_geo_events
@@ -610,6 +610,16 @@ FROM geo GROUP BY item ORDER BY item
 """
 
 
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo.trajectory import od_matrix
+    return od_matrix(derive_geo_events(spark, sf_dir, N))
+
+
+def oracle_od_matrix_gate() -> str:
+    from .geo.trajectory import oracle_od_matrix
+    return oracle_od_matrix(_geo_cte())
+
+
 def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .geo.trajectory import trajectory_stats
     ev = derive_geo_events(spark, sf_dir, N)
@@ -940,6 +950,8 @@ GATE_QUERIES = {
     "geo_item_range_dcm": (q_item_range_dcm, oracle_item_range_freq),
     "geo_span_rollup": (q_span_rollup, oracle_span_rollup),
     "geo_trajectory": (q_trajectory, oracle_trajectory),
+    # r7: origin-destination tile flows (mobility rollup)
+    "geo_od_matrix": (q_od_matrix, oracle_od_matrix_gate),
     "geo_multires_rollup": (q_multires_rollup, oracle_multires_rollup),
     "geo_hotspot": (q_hotspot, oracle_hotspot),
     "geo_pip_assign": (q_pip_assign, oracle_pip_assign),
@@ -983,6 +995,10 @@ GATE_QUERIES = {
         lambda s, d: q_hex_cell_reader(
             s, d, N, HEX_READER_RECT).orderBy("hx", "hy"),
         lambda: oracle_hex_cell_reader(N, HEX_READER_RECT)),
+    # r7: hex k-ring stencil smoothing (stencil-as-join, 7 offsets)
+    "geo_hex_kring_smooth": (
+        lambda s, d: q_hex_kring_smooth(s, d, N),
+        lambda: oracle_hex_kring_smooth(N)),
 }
 
 from .gate_pipeline import PIPELINE_GATE  # noqa: E402

@@ -641,6 +641,65 @@ def q_hex_cell_reader(spark: SparkSession, sf_dir: str, n: int,
                     "n_events", "value_sum"))
 
 
+# the 6 hex-neighbor offsets in doubled space (two-lattice tiling:
+# E/W within a lattice, the four diagonals cross to the other lattice)
+HEX_NEIGHBORS = ((HEX_W2, 0), (-HEX_W2, 0),
+                 (HEX_W2 // 2, HEX_H2 // 2), (HEX_W2 // 2, -HEX_H2 // 2),
+                 (-HEX_W2 // 2, HEX_H2 // 2), (-HEX_W2 // 2, -HEX_H2 // 2))
+
+
+def q_hex_kring_smooth(spark: SparkSession, sf_dir: str,
+                       n: int) -> DataFrame:
+    """Hex k-ring stencil — neighborhood smoothing over the hex rollup
+    (the hotspot-denoising pass a geo dashboard runs after binning):
+    each cell's smoothed value = 2·own + Σ neighbors, computed as the
+    STENCIL-AS-JOIN: the (tiny, bounded) cell table explodes onto its
+    7 stencil positions via a broadcast offset relation and re-groups
+    — never a 6-way self-join, and the raw stream is touched once by
+    the underlying rollup. Neighbor offsets are the doubled-space
+    vectors of the two-lattice tiling, whose 6-neighbor geometry the
+    hexbin pytest proves by brute force.
+    -> (hx, hy, n_events, smooth_sum) for OCCUPIED cells, ordered."""
+    cells = q_hexbin_rollup(spark, sf_dir, n)
+    offs = spark.createDataFrame(
+        [(0, 0, 2)] + [(dx, dy, 1) for dx, dy in HEX_NEIGHBORS],
+        "dx BIGINT, dy BIGINT, wt BIGINT")
+    contrib = (cells.join(F.broadcast(offs))
+               .select((F.col("hx") + F.col("dx")).alias("hx"),
+                       (F.col("hy") + F.col("dy")).alias("hy"),
+                       (F.col("value_sum") * F.col("wt")).alias("c")))
+    return (cells.select("hx", "hy", "n_events")
+            .join(contrib.groupBy("hx", "hy")
+                  .agg(F.sum("c").alias("smooth_sum")), ["hx", "hy"])
+            .select("hx", "hy", "n_events",
+                    F.col("smooth_sum").cast("bigint"))
+            .orderBy("hx", "hy"))
+
+
+def oracle_hex_kring_smooth(n: int) -> str:
+    from .events import geo_events_sql
+    hx, hy = hexbin_sql("x", "y")
+    offs = ",".join(["(0,0,2)"]
+                    + [f"({dx},{dy},1)" for dx, dy in HEX_NEIGHBORS])
+    return f"""
+WITH geo AS ({geo_events_sql(n)}),
+cells AS (
+  SELECT hx, hy, COUNT(*) AS n_events, SUM(value) AS value_sum
+  FROM (SELECT {hx} AS hx, {hy} AS hy, value FROM geo) GROUP BY 1, 2),
+offs(dx, dy, wt) AS (VALUES {offs}),
+contrib AS (
+  SELECT hx + dx AS hx, hy + dy AS hy, value_sum * wt AS c
+  FROM cells CROSS JOIN offs)
+SELECT CAST(cells.hx AS BIGINT) AS hx, CAST(cells.hy AS BIGINT) AS hy,
+       CAST(cells.n_events AS BIGINT) AS n_events,
+       CAST(s.smooth_sum AS BIGINT) AS smooth_sum
+FROM cells JOIN (SELECT hx, hy, SUM(c) AS smooth_sum
+                 FROM contrib GROUP BY 1, 2) s
+     ON cells.hx = s.hx AND cells.hy = s.hy
+ORDER BY 1, 2
+"""
+
+
 def oracle_hex_cell_reader(n: int,
                            rect: tuple[int, int, int, int]) -> str:
     """Plain rect filter + hexbin rollup — independent of the cell-set

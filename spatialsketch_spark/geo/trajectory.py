@@ -131,3 +131,47 @@ def oracle_multires_rollup(geo_cte: str,
 WITH geo AS ({geo_cte})
 SELECT * FROM ({union}) ORDER BY shift, cx, cy
 """
+
+
+OD_TILE, OD_TRIP = 512, 1000
+
+
+def od_matrix(ev: DataFrame, tile: int = OD_TILE,
+              trip: int = OD_TRIP) -> DataFrame:
+    """Origin-destination matrix — the mobility rollup over the event
+    stream: per (item, trip-window) take the tile of the FIRST and
+    LAST event (ts is unique by construction, so first/last are
+    unambiguous), then count flows per (origin, destination) tile
+    pair. One aggregation computes both endpoints via lexicographic
+    MIN/MAX over (ts, tile) structs — no window sort, no self-join;
+    the flow table is at most tiles² rows however large the stream.
+    -> (o_tile, d_tile, n_trips), ordered."""
+    t = ev.select(
+        "item", F.expr(f"ts div {trip}").alias("trip"),
+        F.expr(f"(x div {tile}) * 8 + (y div {tile})").alias("tile"),
+        "ts")
+    ends = (t.groupBy("item", "trip")
+            .agg(F.min(F.struct("ts", "tile")).alias("_o"),
+                 F.max(F.struct("ts", "tile")).alias("_d")))
+    return (ends.groupBy(F.col("_o.tile").alias("o_tile"),
+                         F.col("_d.tile").alias("d_tile"))
+            .agg(F.count("*").cast("bigint").alias("n_trips"))
+            .select(F.col("o_tile").cast("bigint"),
+                    F.col("d_tile").cast("bigint"), "n_trips")
+            .orderBy("o_tile", "d_tile"))
+
+
+def oracle_od_matrix(geo_cte: str, tile: int = OD_TILE,
+                     trip: int = OD_TRIP) -> str:
+    return f"""
+WITH geo AS ({geo_cte}),
+t AS (SELECT item, ts // {trip} AS trip,
+             (x // {tile}) * 8 + (y // {tile}) AS tile, ts FROM geo),
+od AS (SELECT item, trip, arg_min(tile, ts) AS o_tile,
+              arg_max(tile, ts) AS d_tile
+       FROM t GROUP BY 1, 2)
+SELECT CAST(o_tile AS BIGINT) AS o_tile,
+       CAST(d_tile AS BIGINT) AS d_tile,
+       CAST(COUNT(*) AS BIGINT) AS n_trips
+FROM od GROUP BY 1, 2 ORDER BY 1, 2
+"""
