@@ -610,6 +610,16 @@ FROM geo GROUP BY item ORDER BY item
 """
 
 
+def q_decayed_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo.trajectory import decayed_tile_heat
+    return decayed_tile_heat(derive_geo_events(spark, sf_dir, N))
+
+
+def oracle_decayed_heat_gate() -> str:
+    from .geo.trajectory import oracle_decayed_tile_heat
+    return oracle_decayed_tile_heat(_geo_cte())
+
+
 def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .geo.trajectory import od_matrix
     return od_matrix(derive_geo_events(spark, sf_dir, N))
@@ -952,6 +962,8 @@ GATE_QUERIES = {
     "geo_trajectory": (q_trajectory, oracle_trajectory),
     # r7: origin-destination tile flows (mobility rollup)
     "geo_od_matrix": (q_od_matrix, oracle_od_matrix_gate),
+    # r7: freshness-weighted density via integer shift decay
+    "geo_decayed_heat": (q_decayed_heat, oracle_decayed_heat_gate),
     "geo_multires_rollup": (q_multires_rollup, oracle_multires_rollup),
     "geo_hotspot": (q_hotspot, oracle_hotspot),
     "geo_pip_assign": (q_pip_assign, oracle_pip_assign),

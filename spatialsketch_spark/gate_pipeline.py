@@ -2232,6 +2232,11 @@ PIPELINE_GATE = {
     "doc_stream_dedup": (q_stream_dedup, oracle_stream_dedup),
     "evt_stream_window": (q_stream_window, oracle_stream_window),
     "evt_funnel": (q_evt_funnel, events.oracle_funnel),
+    # r7: conversion-window funnel (stage k within 7 days of stage 1)
+    "evt_funnel_windowed": (
+        lambda s, d: events.funnel_windowed(events._events(s, d))
+        .orderBy("user_id"),
+        events.oracle_funnel_windowed),
     "evt_props_stats": (q_evt_props, events.oracle_props_stats),
     "evt_retention": (q_evt_retention, events.oracle_retention),
     "evt_transitions": (q_evt_transitions, events.oracle_transitions),

@@ -175,3 +175,48 @@ SELECT CAST(o_tile AS BIGINT) AS o_tile,
        CAST(COUNT(*) AS BIGINT) AS n_trips
 FROM od GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+HEAT_SCALE = 1024     # weight of the newest event; halves per age step
+
+
+def decayed_tile_heat(ev: DataFrame, tile: int = OD_TILE) -> DataFrame:
+    """Exponential time-decay heat per tile — freshness-weighted
+    density (the map a monitoring UI renders over yesterday-heavy
+    streams). Decay is INTEGER SHIFT arithmetic, not float pow: age
+    buckets are sixteenths of the stream's own time span (scale-free
+    — the spread of shifts is 0..15 at any SF), and an event weighs
+    1024 >> age_bucket, halving per step. The span anchor max(ts) is
+    one scalar aggregate broadcast back; everything else is one
+    map-side pass + one bounded per-tile aggregation.
+    -> (tx, ty, n_events, heat), ordered."""
+    m = ev.agg(F.max("ts").alias("_mx"))
+    withm = ev.crossJoin(F.broadcast(m))
+    w = F.expr(
+        f"shiftright({HEAT_SCALE}, CAST(least((_mx - ts) div "
+        f"(greatest((_mx + 1) div 16, 1)), 62) AS INT))")
+    return (withm
+            .select(F.expr(f"x div {tile}").alias("tx"),
+                    F.expr(f"y div {tile}").alias("ty"),
+                    w.alias("w"))
+            .groupBy("tx", "ty")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum("w").cast("bigint").alias("heat"))
+            .select(F.col("tx").cast("bigint"),
+                    F.col("ty").cast("bigint"), "n_events", "heat")
+            .orderBy("tx", "ty"))
+
+
+def oracle_decayed_tile_heat(geo_cte: str, tile: int = OD_TILE) -> str:
+    return f"""
+WITH geo AS ({geo_cte}),
+m AS (SELECT MAX(ts) AS mx FROM geo),
+w AS (SELECT x // {tile} AS tx, y // {tile} AS ty,
+             {HEAT_SCALE} >> LEAST((mx - ts) //
+                 (GREATEST((mx + 1) // 16, 1)), 62) AS w
+      FROM geo CROSS JOIN m)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w) AS BIGINT) AS heat
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -483,6 +483,80 @@ GROUP BY day, n""")
     return " UNION ALL ".join(sels) + " ORDER BY day, q"
 
 
+FUNNEL_WINDOW_US = 7 * 86_400_000_000  # 7-day conversion window
+
+
+def funnel_windowed(ev: DataFrame, stages: tuple = FUNNEL,
+                    window_us: int = FUNNEL_WINDOW_US) -> DataFrame:
+    """Conversion-window funnel — :func:`funnel` plus the constraint
+    real funnels always carry: every later stage must land within
+    ``window_us`` of the user's STAGE-1 time (a purchase months after
+    the view is not a conversion). Same chain-of-min-aggregates plan
+    (stage k = filtered min joined on the stage-(k-1) frontier, each
+    frontier strictly smaller); the window just adds one predicate to
+    each join, carried by t1 which the frontier already holds. The
+    semantics are NOT a post-filter on the unwindowed funnel: the
+    earliest after-t_{k-1} event may fall outside the window while a
+    later one inside it exists — the min must be taken over the
+    windowed candidate set, which is why the constraint sits inside
+    the chain. -> (user_id, t1..tK, stages_reached)."""
+    t_prev = None
+    out = None
+    for i, stage in enumerate(stages, start=1):
+        s = ev.where(F.col("event_type") == stage)
+        if out is None:
+            out = s.groupBy("user_id").agg(
+                F.min(F.expr(_TS_US)).alias("t1"))
+        else:
+            cur = (s.select("user_id", F.expr(_TS_US).alias("_ts"))
+                   .join(out.select("user_id", "t1", F.col(t_prev)),
+                         "user_id")
+                   .where((F.col("_ts") > F.col(t_prev))
+                          & (F.col("_ts") <= F.col("t1") + window_us))
+                   .groupBy("user_id")
+                   .agg(F.min("_ts").alias(f"t{i}")))
+            out = out.join(cur.select("user_id", f"t{i}"), "user_id",
+                           "left")
+        t_prev = f"t{i}"
+    reached = F.when(F.col(f"t{len(stages)}").isNotNull(), len(stages))
+    for i in range(len(stages) - 1, 0, -1):
+        reached = reached.when(F.col(f"t{i}").isNotNull(), i)
+    return out.withColumn("stages_reached",
+                          reached.otherwise(0).cast("bigint"))
+
+
+def oracle_funnel_windowed(stages: tuple = FUNNEL,
+                           window_us: int = FUNNEL_WINDOW_US,
+                           src: str = "events") -> str:
+    k = len(stages)
+    ctes = [f"s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 "
+            f"FROM {src} WHERE event_type = '{stages[0]}' "
+            f"GROUP BY user_id)"]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(p.t1) AS t1, "
+            f"MIN(epoch_us(e.ts)) AS t{i} "
+            f"FROM {src} e JOIN s{i-1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{stages[i-1]}' "
+            f"AND epoch_us(e.ts) > p.t{i-1} "
+            f"AND epoch_us(e.ts) <= p.t1 + {window_us} "
+            f"GROUP BY e.user_id)")
+    tcols = ", ".join(
+        f"CAST(s{i}.t{i} AS BIGINT) AS t{i}" for i in range(1, k + 1))
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON s1.user_id = s{i}.user_id"
+        for i in range(2, k + 1))
+    reach = "CASE " + " ".join(
+        f"WHEN s{i}.t{i} IS NOT NULL THEN {i}"
+        for i in range(k, 0, -1)) + " ELSE 0 END"
+    return f"""
+WITH {", ".join(ctes)}
+SELECT CAST(s1.user_id AS BIGINT) AS user_id, {tcols},
+       CAST({reach} AS BIGINT) AS stages_reached
+FROM s1 {joins} ORDER BY user_id
+"""
+
+
 ANOM_K = 2  # flag days beyond k standard deviations
 
 
