@@ -2383,6 +2383,11 @@ PIPELINE_GATE = {
     "emb_ivfpq_res_topk": (
         q_ivfpq_res_topk,
         lambda: similarity.oracle_ivfpq_residual_topk(EMB_QUERY_IDS, 5)),
+    # r7: exact radius search with lossless IVF list pruning; oracle
+    # is independent brute force over all pairs
+    "emb_range_search": (
+        lambda s, d: similarity.range_search(_emb(s, d), EMB_QUERY_IDS),
+        lambda: similarity.oracle_range_search(EMB_QUERY_IDS)),
     "evt_stream_sliding": (q_stream_sliding, oracle_stream_sliding),
     # r7: stateful gap sessionization (VERDICT r6 task 4)
     "evt_stream_session": (q_stream_session, oracle_stream_session),

@@ -1629,3 +1629,85 @@ SELECT CAST(qid AS BIGINT) AS qid,
 FROM cand QUALIFY rank <= {k}
 ORDER BY qid, rank
 """
+
+
+EMB_RANGE_R2 = 1_450_000_000_000   # ~p1 of the quantized-L2 pair
+                                   # distances -> a few dozen matches/query
+
+
+def range_search(emb: DataFrame, query_ids: list[int],
+                 r2: int = EMB_RANGE_R2, kc: int = KMEANS_K,
+                 iters: int = 2) -> DataFrame:
+    """RADIUS search — all vectors within integer L2 distance² r2 of
+    each query (the retrieval mode top-k can't express: 'everything
+    this similar', used for near-dup sweeps with a semantic
+    threshold). EXACT with IVF list pruning: per trained list keep an
+    integer upper bound on its radius (floor(sqrt(max d²))+1) and
+    probe list c only unless floor(sqrt(d²(q,c))) > R + r_c (with R an
+    integer upper bound on r) — by the triangle inequality a pruned
+    list cannot contain a match, so pruning trades scan cost, never
+    results. All COMPARED quantities are exact integers (the sqrt
+    floors only loosen the one-sided pruning bound); the oracle is
+    INDEPENDENT brute force over all pairs, so the compare proves the
+    pruning lossless end-to-end.
+    -> (qid, vec_id, d2) for matches, self excluded, ordered."""
+    q = _quantized(emb)
+    cents = kmeans_train(emb, kc, iters, return_centroids=True)
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    best = F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_b")
+    assign = (q.join(F.broadcast(cents))
+              .withColumn("_d2", d2("xq", "cx"))
+              .groupBy("vec_id").agg(best)
+              .select("vec_id", F.col("_b.cid").alias("cid"),
+                      F.col("_b._d2").alias("dc2")))
+    lists = assign.join(q, "vec_id")
+    radii = (assign.groupBy("cid")
+             .agg((F.floor(F.sqrt(F.max("dc2"))) + 1).alias("rc")))
+    R = F.floor(F.sqrt(F.lit(r2).cast("double"))) + 1
+    probes = (q.where(F.col("vec_id").isin(query_ids))
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("xq").alias("qx"))
+              .join(F.broadcast(cents))
+              .withColumn("_dqc2", d2("qx", "cx"))
+              .join(F.broadcast(radii), "cid")
+              .where(F.floor(F.sqrt("_dqc2"))
+                     <= R + F.col("rc"))
+              .select("qid", "qx", "cid"))
+    return (lists.join(probes, "cid")
+            .where(F.col("vec_id") != F.col("qid"))
+            .withColumn("d2", d2("xq", "qx"))
+            .where(F.col("d2") <= r2)
+            .select(F.col("qid").cast("bigint"),
+                    F.col("vec_id").cast("bigint"),
+                    F.col("d2").cast("bigint"))
+            .orderBy("qid", "vec_id"))
+
+
+def oracle_range_search(query_ids: list[int],
+                        r2: int = EMB_RANGE_R2) -> str:
+    """Brute force over ALL pairs — no lists, no pruning: independent
+    semantics proving the Spark side's pruning is lossless."""
+    ids = ",".join(str(i) for i in query_ids)
+    return f"""
+WITH qe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+d AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         SUM((a.q - b.q) * (a.q - b.q)) AS d2
+  FROM qe a JOIN qe b ON a.idx = b.idx AND a.vec_id IN ({ids})
+            AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(d2 AS BIGINT) AS d2
+FROM d WHERE d2 <= {r2} ORDER BY qid, vec_id
+"""
