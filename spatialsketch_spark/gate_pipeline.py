@@ -2285,6 +2285,10 @@ PIPELINE_GATE = {
     "media_decode": (q_media_decode, media.oracle_decode_features),
     "media_resize": (q_media_resize, media.oracle_resize_media),
     "media_frames": (q_media_frames, media.oracle_frame_sample),
+    # r7: exact binary content-hash dedup (pre-decode multimodal pass)
+    "media_dedup": (
+        lambda s, d: media.media_dedup(_docs(s, d)),
+        media.oracle_media_dedup),
     "rel_pricing_summary": (q_rel_pricing, relational.oracle_pricing_summary),
     "rel_orders_by_nation": (q_rel_nations, relational.oracle_orders_by_nation),
     "rel_window_topk": (q_rel_window,

@@ -1321,3 +1321,35 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST({greatest_sql} AS BIGINT) AS byte_max
 FROM documents ORDER BY doc_id
 """
+
+
+def media_dedup(docs: DataFrame) -> DataFrame:
+    """Exact binary dedup over an opaque media column — the
+    content-hash pass a multimodal corpus runs before any decode
+    (identical bytes = identical asset, whatever the codec). The
+    dedup key is the binary content itself (hex-encoded — engine-
+    identical casing), survivor = min doc_id, copies counted. The
+    fixture derives duplicate-heavy blobs (content keyed by
+    doc_id % 40, ~n/40 copies each) so the gate is non-vacuous in
+    both directions. One hash-groupBy over the binary column; at
+    100 TB the map-side partial keeps only one (key, min, count) per
+    content per task. -> (content_hex, keep_id, n_copies)."""
+    blob = F.unhex(F.md5((F.col("doc_id") % 40).cast("string")))
+    return (docs.select(F.col("doc_id").cast("bigint"),
+                        blob.alias("media"))
+            .groupBy(F.hex("media").alias("content_hex"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").cast("bigint").alias("n_copies"))
+            .orderBy("content_hex"))
+
+
+def oracle_media_dedup() -> str:
+    return """
+WITH m AS (SELECT doc_id,
+                  unhex(md5(CAST(doc_id % 40 AS VARCHAR))) AS media
+           FROM documents)
+SELECT hex(media) AS content_hex,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM m GROUP BY 1 ORDER BY 1
+"""
