@@ -610,6 +610,50 @@ FROM geo GROUP BY item ORDER BY item
 """
 
 
+def q_span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant AS A GATE: each interleaved
+    doc's ordered span sequence (kind, text, media_ref, order),
+    fingerprinted after the full build path — union of three span
+    kinds, groupBy + sort_array over collected structs, nested-array
+    transform — so a single out-of-order, dropped, or mutated span in
+    ANY doc flips the compare. The oracle rebuilds every sequence
+    arithmetically in DuckDB with string_agg(... ORDER BY ord).
+    -> (doc_id, n_spans, fp), ordered."""
+    from .sources.interleaved import span_sequence
+    docs = build_interleaved_docs(spark, sf_dir, N, n_docs=N_DOCS)
+    seq = span_sequence(docs)
+    fp = F.conv(F.substring(F.md5(F.array_join("seq", "~")), 1, 15),
+                16, 10).cast("bigint")
+    return (seq.select("doc_id",
+                       F.size("seq").cast("bigint").alias("n_spans"),
+                       fp.alias("fp"))
+            .orderBy("doc_id"))
+
+
+def oracle_span_sequence() -> str:
+    return f"""
+WITH geo AS ({_geo_cte()}),
+sp AS (
+  SELECT ts % {N_DOCS} AS doc_key, ts * 10 AS ord,
+         'geo' || '|' || ts || ',' || item || ',' || x || ',' || y
+               || ',' || value || '|' AS s
+  FROM geo
+  UNION ALL
+  SELECT ts % {N_DOCS}, ts * 10 + 1,
+         'text' || '|' || 'filler text #' || ts || '|'
+  FROM geo WHERE ts % 3 = 0
+  UNION ALL
+  SELECT ts % {N_DOCS}, ts * 10 + 2,
+         'media' || '||' || 's3://media/' || (ts % {N_DOCS}) || '/' || ts
+  FROM geo WHERE ts % 5 = 0)
+SELECT printf('doc_%012d', doc_key) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       ('0x' || substr(md5(string_agg(s, '~' ORDER BY ord)), 1, 15))
+         ::BIGINT AS fp
+FROM sp GROUP BY doc_key ORDER BY doc_id
+"""
+
+
 def q_decayed_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .geo.trajectory import decayed_tile_heat
     return decayed_tile_heat(derive_geo_events(spark, sf_dir, N))
@@ -959,6 +1003,9 @@ GATE_QUERIES = {
     "geo_item_range_freq": (q_item_range_freq, oracle_item_range_freq),
     "geo_item_range_dcm": (q_item_range_dcm, oracle_item_range_freq),
     "geo_span_rollup": (q_span_rollup, oracle_span_rollup),
+    # r7: the input_hint per-row invariant as a driver gate — ordered
+    # span-sequence fingerprints per doc
+    "geo_span_sequence": (q_span_sequence, oracle_span_sequence),
     "geo_trajectory": (q_trajectory, oracle_trajectory),
     # r7: origin-destination tile flows (mobility rollup)
     "geo_od_matrix": (q_od_matrix, oracle_od_matrix_gate),
