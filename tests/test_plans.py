@@ -491,3 +491,33 @@ def test_scalar_subquery_decorrelates(spark):
     assert "Subquery" not in p
     assert p.count("BroadcastHashJoin") == 4
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_session3_geo_ops_plan_shapes(spark):
+    """Scale-shape pins for the session-3 geo operators: the corridor
+    filter joins segments as a BROADCAST hash join on the block key
+    (never a nested loop over events x segments); the OD matrix plan
+    contains no window sort (both endpoints come from one MIN/MAX
+    struct aggregation); decayed heat broadcasts the scalar max and
+    scans the stream once."""
+    from conftest import SF_UNIT
+    from spatialsketch_spark.gate import N
+    from spatialsketch_spark.geo.events import derive_geo_events
+    from spatialsketch_spark.geo.joins import corridor_filter
+    from spatialsketch_spark.geo.trajectory import (
+        decayed_tile_heat, od_matrix)
+
+    ev = derive_geo_events(spark, SF_UNIT, N)
+    p = corridor_filter(ev, spark, n=N)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+    p = od_matrix(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+    assert p.count("FileScan") == 1
+
+    p = decayed_tile_heat(ev)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("FileScan") <= 2      # stream + its max, no third pass
