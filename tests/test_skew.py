@@ -157,3 +157,59 @@ def test_skewed_build_modes_agree_and_answer_exactly(spark):
          QuerySpec(1, [(0, 0, n - 1, n - 1)], "freq", item=0)]).collect()}
     assert got[0] == hot["count"]
     assert got[1] == ev.filter(F.col("item") == 0).count()
+
+
+def test_overlap_join_blocks_bound_hot_key_skew(spark, zipf_events):
+    """overlap_join's skew story: the shuffle key is (key, block), so
+    a bot user owning 40% of all intervals is split across the time
+    blocks its intervals span — per-task candidate fan-in is per
+    (user, hour), not per user. Pins (a) exact equality with the
+    naive key-join + predicate on the Zipf fixture and (b) the same
+    max-task-share bound the transitions test establishes for the
+    (user, bucket) distribution."""
+    from spatialsketch_spark.pipeline.temporal import overlap_join
+
+    ts_us = F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    base = zipf_events.select(
+        "user_id", "event_id", (ts_us / 1_000_000).cast("bigint")
+        .alias("s"))
+    a = (base.where("event_id % 10 = 0")
+         .select("user_id", F.col("event_id").alias("a_id"),
+                 F.col("s").alias("a_lo"),
+                 (F.col("s") + 300 + F.col("event_id") % 900)
+                 .alias("a_hi")))
+    b = (base.where("event_id % 10 = 1")
+         .select("user_id", F.col("event_id").alias("b_id"),
+                 F.col("s").alias("b_lo"),
+                 (F.col("s") + 150 + F.col("event_id") % 600)
+                 .alias("b_hi")))
+    got = overlap_join(a, b, block=3600, key="user_id") \
+        .select("a_id", "b_id").toPandas() \
+        .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    naive = (a.join(b, "user_id")
+             .where((F.col("a_lo") <= F.col("b_hi"))
+                    & (F.col("b_lo") <= F.col("a_hi")))
+             .select("a_id", "b_id").toPandas()
+             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, naive)
+    assert len(got) > 100 and not got.duplicated().any()
+
+    # distribution bound on the exploded join input
+    P = 64
+    ae = a.withColumn("_blk", F.explode(F.sequence(
+        F.floor(F.col("a_lo") / 3600), F.floor(F.col("a_hi") / 3600))))
+    n_rows = ae.count()
+
+    def max_share(df, *keys):
+        parts = (df.repartition(P, *keys)
+                 .select(F.spark_partition_id().alias("pid"))
+                 .groupBy("pid").count().collect())
+        return max(r["count"] for r in parts) / n_rows
+
+    plain = max_share(ae, "user_id")
+    blocked = max_share(ae, "user_id", "_blk")
+    assert plain >= 0.35, plain
+    assert blocked <= 0.10, blocked
+    assert blocked <= plain / 3, (plain, blocked)
