@@ -2315,6 +2315,12 @@ PIPELINE_GATE = {
     "evt_hll_distinct": (
         lambda s, d: events.hll_distinct(events._events(s, d)),
         events.oracle_hll_distinct),
+    # r7: RUNNING approximate distinct — the windowed MAX-merge of the
+    # HLL register table (constant per-day state, vs the exact
+    # composition's first-appearance sets)
+    "evt_hll_running": (
+        lambda s, d: events.hll_running_distinct(events._events(s, d)),
+        events.oracle_hll_running_distinct),
     # r7: division-free k-sigma outlier days over ingest volumes
     "evt_anomaly_days": (
         lambda s, d: events.anomaly_days(events._events(s, d)),

@@ -705,6 +705,97 @@ FROM folded ORDER BY event_type
 """
 
 
+def hll_running_distinct(ev: DataFrame) -> DataFrame:
+    """RUNNING approximate distinct per (event_type, day) — the
+    mergeable-sketch counterpart of the exact evt_running_distinct
+    composition, and the reason sketches win at 100 TB: registers
+    merge by MAX, so 'distinct users up to day d' is just a
+    CUMULATIVE MAX of the per-day register table over days — state is
+    |types|·|days|·64 rows and the raw stream is scanned once,
+    where the exact form must carry every user's first-appearance
+    set. Same estimator tail as hll_distinct (integer-scaled harmonic
+    sum, one IEEE-identical division). Missing registers on early
+    days are genuinely empty — the cumulative fold starts from the
+    day's own table, densified per (type, day) over the 64-register
+    frame. -> (event_type, day, v_zero, s_scaled, est_raw)."""
+    from pyspark.sql.window import Window
+
+    from .dedup import word_hash_col
+    h = word_hash_col(F.col("user_id").cast("string"))
+    day = F.expr(f"({_TS_US}) div {_DAY_US}")
+    reg = (ev.select("event_type", day.alias("day"), h.alias("h"))
+           .select("event_type", "day",
+                   F.expr(f"h % {HLL_M}").alias("j"),
+                   F.expr(_hll_rho_case(f"(h div {HLL_M})")).alias("rho"))
+           .groupBy("event_type", "day", "j")
+           .agg(F.max("rho").alias("m_j")))
+    # densify: every (type, active day) x every register TOUCHED by
+    # that type on ANY day, so the cumulative max sees a gap-free
+    # frame (absent = null -> stays null until first touch)
+    days = reg.select("event_type", "day").distinct()
+    regs = reg.select("event_type", "j").distinct()
+    frame = days.join(regs, "event_type")
+    wj = (Window.partitionBy("event_type", "j").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (frame.join(reg, ["event_type", "day", "j"], "left")
+           .withColumn("c_m", F.max("m_j").over(wj))
+           .where(F.col("c_m").isNotNull()))
+    top = 1 << (_HLL_WBITS + 1)
+    return (cum.groupBy("event_type", "day")
+            .agg(F.count("*").alias("filled"),
+                 F.sum(F.expr(f"shiftleft(1L, {_HLL_WBITS + 1} - c_m)"))
+                 .alias("s_part"))
+            .select("event_type", F.col("day").cast("bigint"),
+                    (F.lit(HLL_M) - F.col("filled")).cast("bigint")
+                    .alias("v_zero"),
+                    (F.col("s_part")
+                     + (F.lit(HLL_M) - F.col("filled")) * F.lit(top))
+                    .cast("bigint").alias("s_scaled"))
+            .withColumn("est_raw", F.expr(
+                f"CAST(FLOOR({_HLL_NUM!r} / "
+                f"(100000.0 * CAST(s_scaled AS DOUBLE))) AS BIGINT)"))
+            .orderBy("event_type", "day"))
+
+
+def oracle_hll_running_distinct(src: str = "events") -> str:
+    rho = _hll_rho_case(f"(h // {HLL_M})")
+    top = 1 << (_HLL_WBITS + 1)
+    return f"""
+WITH hashed AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM {src}),
+reg AS (
+  SELECT event_type, day, h % {HLL_M} AS j, MAX({rho}) AS m_j
+  FROM hashed GROUP BY 1, 2, 3),
+frame AS (
+  SELECT d.event_type, d.day, r.j
+  FROM (SELECT DISTINCT event_type, day FROM reg) d
+  JOIN (SELECT DISTINCT event_type, j FROM reg) r
+    ON d.event_type = r.event_type),
+cum AS (
+  SELECT f.event_type, f.day, f.j,
+         MAX(reg.m_j) OVER (PARTITION BY f.event_type, f.j
+                            ORDER BY f.day
+                            ROWS UNBOUNDED PRECEDING) AS c_m
+  FROM frame f LEFT JOIN reg
+    ON f.event_type = reg.event_type AND f.day = reg.day
+       AND f.j = reg.j),
+folded AS (
+  SELECT event_type, day, COUNT(*) AS filled,
+         SUM(1::BIGINT << ({_HLL_WBITS + 1} - c_m)) AS s_part
+  FROM cum WHERE c_m IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST({HLL_M} - filled AS BIGINT) AS v_zero,
+       CAST(s_part + ({HLL_M} - filled) * {top} AS BIGINT) AS s_scaled,
+       CAST(FLOOR({_HLL_NUM!r} /
+            (100000.0 * CAST(s_part + ({HLL_M} - filled) * {top}
+                             AS DOUBLE))) AS BIGINT) AS est_raw
+FROM folded ORDER BY event_type, day
+"""
+
+
 def triangle_counts(ev: DataFrame) -> DataFrame:
     """Per-user triangle counts over the co-activity graph (edge =
     two users active on the same (event_type, day)) via DEGREE
