@@ -1951,3 +1951,25 @@ def test_range_search_pruning_is_active_and_lossless(spark):
               .where(F.floor(F.sqrt("_dqc2")) <= R + F.col("rc"))
               .count())
     assert probed < len(qids) * KMEANS_K      # pruning bit
+
+
+def test_hll_running_final_day_equals_corpus_sketch(spark):
+    """Composition consistency: the cumulative register merge's LAST
+    day must equal the corpus-level HLL exactly (same registers by
+    MAX-associativity — s_scaled, v_zero, and est_raw all identical),
+    and every per-type estimate series must be non-decreasing (a
+    sketch whose 'running' value ever dropped would be merging
+    wrong)."""
+    from conftest import SF_UNIT
+    from spatialsketch_spark.pipeline.events import (
+        _events, hll_distinct, hll_running_distinct)
+
+    ev = _events(spark, SF_UNIT)
+    run = hll_running_distinct(ev).toPandas()
+    corp = {r["event_type"]: (r["s_scaled"], r["v_zero"], r["est_raw"])
+            for r in hll_distinct(ev).collect()}
+    for t, g in run.groupby("event_type"):
+        g = g.sort_values("day")
+        assert g.est_raw.is_monotonic_increasing
+        last = g.iloc[-1]
+        assert (last.s_scaled, last.v_zero, last.est_raw) == corp[t], t
