@@ -2348,6 +2348,10 @@ PIPELINE_GATE = {
                  relational.oracle_lineitem_cube),
     "rel_semi_anti": (lambda s, d: relational.customers_semi_anti(s, d),
                       relational.oracle_customers_semi_anti),
+    # r7: fact x fact sort-merge join (the non-broadcast join class)
+    "rel_fact_fact_join": (
+        lambda s, d: relational.fact_fact_revenue(s, d),
+        relational.oracle_fact_fact_revenue),
     # r7: ANSI INTERSECT / EXCEPT set algebra
     "rel_set_ops": (lambda s, d: relational.customer_set_ops(s, d),
                     relational.oracle_customer_set_ops),

@@ -766,3 +766,37 @@ def doc_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_doc_ancestor_closure() -> str:
     return _REC_CTE_SQL.format(docs="documents")
+
+
+def fact_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACT x FACT shuffle join — the join plan-class every other gate
+    avoids (their dimension sides broadcast): lineitem joined to
+    orders on orderkey as a SORT-MERGE join (hinted — at test SF both
+    sides fit under the broadcast threshold, but at 100 TB neither
+    does and this is the plan that runs), revenue rolled up per order
+    priority. Both sides shuffle ONCE on the join key with map-side
+    aggregation nowhere applicable pre-join; the discounted revenue
+    is one identically-parenthesized IEEE chain then integer cents.
+    -> (o_orderpriority, n_items, rev_c), ordered."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    rev = F.round(F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount")) * 100, 0) \
+        .cast("bigint")
+    return (li.hint("merge")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n_items"),
+                 F.sum(rev).cast("bigint").alias("rev_c"))
+            .orderBy("o_orderpriority"))
+
+
+def oracle_fact_fact_revenue() -> str:
+    return """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS rev_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -521,3 +521,17 @@ def test_session3_geo_ops_plan_shapes(spark):
         .toString()
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert p.count("FileScan") <= 2      # stream + its max, no third pass
+
+
+def test_fact_fact_join_is_sort_merge(spark):
+    """The fact x fact gate must run the shuffle join class it
+    documents: SortMergeJoin on orderkey, no broadcast on either
+    side (the 100 TB plan — at test SF the optimizer would broadcast
+    without the hint, which is exactly why the hint is pinned)."""
+    from conftest import SF_UNIT
+    from spatialsketch_spark.pipeline.relational import fact_fact_revenue
+
+    p = fact_fact_revenue(spark, SF_UNIT)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
