@@ -654,6 +654,23 @@ FROM sp GROUP BY doc_key ORDER BY doc_id
 """
 
 
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo.joins import distance_join
+    ev = derive_geo_events(spark, sf_dir, N)
+    a = ev.where("ts % 2 = 0").select(F.col("ts").alias("a_id"),
+                                      F.col("x").alias("ax"),
+                                      F.col("y").alias("ay"))
+    b = ev.where("ts % 2 = 1").select(F.col("ts").alias("b_id"),
+                                      F.col("x").alias("bx"),
+                                      F.col("y").alias("by"))
+    return distance_join(a, b)
+
+
+def oracle_distance_join_gate() -> str:
+    from .geo.joins import oracle_distance_join
+    return oracle_distance_join(_geo_cte())
+
+
 def q_decayed_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .geo.trajectory import decayed_tile_heat
     return decayed_tile_heat(derive_geo_events(spark, sf_dir, N))
@@ -1011,6 +1028,8 @@ GATE_QUERIES = {
     "geo_od_matrix": (q_od_matrix, oracle_od_matrix_gate),
     # r7: freshness-weighted density via integer shift decay
     "geo_decayed_heat": (q_decayed_heat, oracle_decayed_heat_gate),
+    # r7: point x point distance join (within-d spatial similarity)
+    "geo_distance_join": (q_distance_join, oracle_distance_join_gate),
     "geo_multires_rollup": (q_multires_rollup, oracle_multires_rollup),
     "geo_hotspot": (q_hotspot, oracle_hotspot),
     "geo_pip_assign": (q_pip_assign, oracle_pip_assign),

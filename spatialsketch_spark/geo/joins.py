@@ -560,3 +560,58 @@ CASE WHEN (bx-ax)*(x-ax) + (by-ay)*(y-ay) <= 0
 END
 GROUP BY seg_id ORDER BY seg_id
 """
+
+
+# ------------------------------------------------------------ distance join
+
+DJ_D = 48          # join radius
+_DJ_BLK = 64       # block size; must be >= DJ_D so 3x3 covers the disc
+
+
+def distance_join(a: DataFrame, b: DataFrame, d: int = DJ_D,
+                  block: int = _DJ_BLK) -> DataFrame:
+    """POINT x POINT distance join (within-d semi-aggregate): for each
+    left point, how many right points lie within Euclidean distance d,
+    and the exact squared distance of the nearest — the spatial
+    similarity-join class next to PIP (region), cap (fixed disc), kNN
+    (fixed k), and corridor (linear). Each left point fans out to the
+    3x3 block ring around its own block (block >= d, so the ring
+    covers its disc); rights carry their single block key, the
+    equi-join on the block co-locates candidates (shuffle hash join,
+    never all-pairs), the exact integer residual d² <= d*d decides,
+    and each qualifying pair meets in EXACTLY one block (the right's
+    own) — no dedup. Per-left fan-out is a constant 9.
+    -> (a_id, n_close, min_d2) for lefts with >= 1 match, ordered."""
+    if block < d:
+        raise ValueError(f"block ({block}) must be >= d ({d}) for the "
+                         "3x3 ring to cover the disc")
+    ring = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    ae = (a.withColumn("_ox", F.explode(ring))
+          .withColumn("_oy", F.explode(ring))
+          .withColumn("_bx", F.expr(f"ax div {block}") + F.col("_ox"))
+          .withColumn("_by", F.expr(f"ay div {block}") + F.col("_oy")))
+    be = (b.withColumn("_bx", F.expr(f"bx div {block}"))
+          .withColumn("_by", F.expr(f"by div {block}")))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    return (ae.join(be, ["_bx", "_by"])
+            .where(d2 <= d * d)
+            .groupBy("a_id")
+            .agg(F.count("*").cast("bigint").alias("n_close"),
+                 F.min(d2).cast("bigint").alias("min_d2"))
+            .select(F.col("a_id").cast("bigint"), "n_close", "min_d2")
+            .orderBy("a_id"))
+
+
+def oracle_distance_join(geo_cte: str, d: int = DJ_D) -> str:
+    """Plain all-pairs predicate join — independent of the blocking."""
+    return f"""
+WITH geo AS ({geo_cte}),
+a AS (SELECT ts AS a_id, x AS ax, y AS ay FROM geo WHERE ts % 2 = 0),
+b AS (SELECT ts AS b_id, x AS bx, y AS by FROM geo WHERE ts % 2 = 1)
+SELECT CAST(a_id AS BIGINT) AS a_id,
+       CAST(COUNT(*) AS BIGINT) AS n_close,
+       CAST(MIN((ax-bx)*(ax-bx) + (ay-by)*(ay-by)) AS BIGINT) AS min_d2
+FROM a JOIN b ON (ax-bx)*(ax-bx) + (ay-by)*(ay-by) <= {d * d}
+GROUP BY a_id ORDER BY a_id
+"""
