@@ -599,6 +599,74 @@ def q_rel_pivot(spark, sf_dir):
 _STREAM_DEDUP = {}
 
 
+_STREAM_IDEMPOTENT = {}
+
+
+def q_stream_idempotent_sink(spark, sf_dir):
+    """EXACTLY-ONCE SINK under full redelivery — the production
+    foreachBatch idempotence pattern the restart gates don't cover:
+    the sink partitions by batch_id and dynamic-overwrites ONLY that
+    partition, so replayed batches replace themselves instead of
+    appending. The harness forces the worst case: after a complete
+    availableNow delivery (two batches via maxFilesPerTrigger=1), the
+    CHECKPOINT IS DELETED — every offset lost — and the query reruns
+    from scratch, redelivering 100%% of the data. The final sink must
+    hold exactly ONE copy of every row (a plain append sink holds two
+    — pinned in tests/test_streaming.py). Output is data-only (no
+    batch ids): file->batch assignment order is listing-dependent,
+    the surviving CONTENT is not.
+    -> (event_id, user_id), ordered."""
+    key = (sf_dir, "idempotent")
+    res = _STREAM_IDEMPOTENT.get(key)
+    if res is None:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_id", "user_id")
+        base = tempfile.mkdtemp(prefix="gate_idem_")
+        try:
+            src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
+
+            def sink(bdf, bid):
+                (bdf.withColumn("batch_id", F.lit(bid).cast("bigint"))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(out))
+
+            def run():
+                s = (spark.readStream
+                     .schema("event_id bigint, user_id bigint")
+                     .option("maxFilesPerTrigger", 1).parquet(src))
+                (s.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start()
+                 .awaitTermination(300))
+
+            ev.where("event_id % 2 = 0").coalesce(1) \
+                .write.mode("overwrite").parquet(src)
+            ev.where("event_id % 2 = 1").coalesce(1) \
+                .write.mode("append").parquet(src)
+            run()                      # delivery 1: all data, 2 batches
+            shutil.rmtree(ckpt)        # lose EVERY offset
+            run()                      # full redelivery of everything
+            res = spark.read.parquet(out) \
+                .select("event_id", "user_id") \
+                .localCheckpoint(eager=True)
+            _STREAM_IDEMPOTENT[key] = res
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("event_id")
+
+
+def oracle_stream_idempotent_sink() -> str:
+    return """
+SELECT event_id, user_id FROM events ORDER BY event_id
+"""
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming ingest-time dedup: a file-source doc stream deduped on
     content hash with ``dropDuplicates`` STATE persisting across two
@@ -2230,6 +2298,9 @@ PIPELINE_GATE = {
     "doc_jsonl_ingest": (q_jsonl_ingest, text.oracle_jsonl_ingest),
     "doc_curation_to_pack": (q_curation_to_pack, oracle_curation_to_pack),
     "doc_stream_dedup": (q_stream_dedup, oracle_stream_dedup),
+    # r7: exactly-once sink under full checkpoint loss + redelivery
+    "evt_stream_idempotent": (q_stream_idempotent_sink,
+                              oracle_stream_idempotent_sink),
     "evt_stream_window": (q_stream_window, oracle_stream_window),
     "evt_funnel": (q_evt_funnel, events.oracle_funnel),
     # r7: conversion-window funnel (stage k within 7 days of stage 1)

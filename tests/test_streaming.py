@@ -499,3 +499,37 @@ def test_uneq_watermark_join_min_semantics(spark):
     assert (odd.rts_s <= 11259).all()
     even = got[got.k % 2 == 0]
     assert (even.rts_s - even.lts_s).between(0, 119).all()
+
+
+def test_idempotent_sink_nonvacuous_vs_append(spark, tmp_path):
+    """The redelivery harness must actually redeliver: the SAME
+    checkpoint-wipe + rerun sequence with a naive APPEND foreachBatch
+    sink ends with exactly TWO copies of every row — proving the
+    gate's single-copy result comes from the partition-overwrite
+    idempotence pattern, not from the engine silently skipping
+    replayed data."""
+    from pyspark.sql import functions as F
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    spark.range(100).select(F.col("id").alias("event_id")) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)     # NOT idempotent
+
+    def run():
+        s = (spark.readStream.schema("event_id bigint")
+             .option("maxFilesPerTrigger", 1).parquet(src))
+        (s.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination(300))
+
+    run()
+    shutil.rmtree(ckpt)
+    run()
+    got = spark.read.parquet(out).groupBy("event_id").count().collect()
+    assert len(got) == 100
+    assert all(r["count"] == 2 for r in got)      # duplicated exactly
