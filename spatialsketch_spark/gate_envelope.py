@@ -17,9 +17,11 @@ envelope). Two verification tiers (VERDICT r3 task 4):
   2^(mean R)/φ — was measured bit-equal across engines with a 0.13
   truncation margin, asserted programmatically in
   tests/test_entry_oracle.py::test_fm_estimate_rounding_margin).
-- elastic: the oracle emits literal 1s (self-asserted envelope) — the
-  heavy-part vote/evict state is adversarially order-dependent with
-  no closed form to rebuild from an unordered SQL aggregation.
+- elastic: since r6 the oracle REPLAYS the vote/evict heavy-part
+  state machine too (recursive CTE stepping the ts-ordered fold event
+  by event per probe — no closed form exists, so the oracle walks the
+  same sequential process) and the estimate is bit-compared like the
+  other kernels.
 
 Hash coefficients are seed-fixed, so these gates are deterministic,
 not flaky.
