@@ -1615,18 +1615,22 @@ def q_stream_join_uneq(spark, sf_dir):
     so the short-delay side does NOT drop its own late data while the
     long-delay side holds the global watermark back.
 
-    A CLOCK row (k = -2, filtered from output) pins each side's run-0
-    maximum event time EXACTLY (left 11200, right 11400 — every data
-    row is designed strictly below), so the committed watermark after
-    run 0 is min(11200-600, 11400-30) = 10600 precisely — no
-    data-dependent margin argument. Run-1 right rows then split into:
+    A CLOCK row (k = -2, filtered from output) pins the RIGHT side's
+    run-0 maximum event time EXACTLY (11400 — every right data row is
+    <= 11358), so the right's local watermark is 11370 precisely, and
+    bounds the LEFT maximum into [11200 (the clock), 11259 (the cls-1
+    design cap)] — so the committed GLOBAL watermark after run 0 is
+    min(max_l - 600, 11370) ∈ [10600, 10659], a known 59 s band every
+    class clears by >= 60 s on the relevant side. Run-1 right rows
+    split into:
 
       cls 1  rts in [10780, 11259]: BELOW the right's own local
-             watermark (11370) but >= 60 s ABOVE the global 10600 —
-             MUST be accepted and match run-0 buffered left state
-             (min-semantics + state survival across the restart)
-      cls 0  rts in [10000, 10479]: >= 121 s below the global
-             watermark — MUST be dropped by the pre-join late filter
+             watermark (11370 exactly, margin >= 111 s) but >= 121 s
+             ABOVE the global band's top — MUST be accepted and match
+             run-0 buffered left state (min-semantics + state
+             survival across the restart)
+      cls 0  rts in [10000, 10479]: >= 121 s below the global band's
+             bottom — MUST be dropped by the pre-join late filter
       cls 2  on-time but delta > 120 s — accepted, never matches
 
     Run 2 appends a far-future sentinel on both sides: state flushes,

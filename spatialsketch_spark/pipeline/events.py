@@ -571,8 +571,11 @@ def anomaly_days(ev: DataFrame, k: int = ANOM_K) -> DataFrame:
                  ⟺  (n·c_d − S₁)² > k²·(n·S₂ − S₁²)
 
     with c_d the day's count, S₁/S₂ the per-type sum and sum of
-    squares over n days (population variance). Daily counts keep the
-    magnitudes safe in int64 at any SF (counts², not cents²).
+    squares over n days (population variance). int64-safe while
+    (n·c_d)² stays under 2^63 — daily per-type counts up to ~10⁸ at
+    n=365 days; beyond that (a 100 TB stream can exceed it) bucket
+    days into sub-windows or rescale counts by a fixed divisor before
+    the test (the z-statistic is scale-invariant).
 
     Plan: one pass to the bounded (type, day) count table, one tiny
     per-type aggregate broadcast back — the raw stream is never
