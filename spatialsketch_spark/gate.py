@@ -26,6 +26,8 @@ from .core.partitioner import Shape, shape_to_ranges
 from .geo.build import SketchStore
 from .geo.events import ITEM_DOMAIN, derive_geo_events, geo_events_sql
 from .geo.joins import corridor_filter as _corridor_filter
+from .geo.joins import corridor_filter_batch as _corridor_batch
+from .geo.joins import oracle_corridor_batch as _oracle_corridor_batch
 from .geo.joins import oracle_corridor_filter as _oracle_corridor
 from .geo.layout import (oracle_geohash_rollup, oracle_hex_cell_reader,
                          oracle_hex_kring_smooth, oracle_hexbin_rollup,
@@ -1046,6 +1048,11 @@ GATE_QUERIES = {
         lambda s, d: _corridor_filter(
             derive_geo_events(s, d, N), s, n=N),
         lambda: _oracle_corridor(_geo_cte())),
+    # r7: MANY routes in ONE plan — the batched corridor form (single
+    # stream scan; per-route dedup before the rollup)
+    "geo_corridor_batch": (
+        lambda s, d: _corridor_batch(derive_geo_events(s, d, N), s, n=N),
+        lambda: _oracle_corridor_batch(_geo_cte())),
     "geo_polygon_sphere": (q_polygon_sphere, oracle_polygon_sphere),
     # r6: Z-order layout (lakehouse spatial clustering primitive)
     "geo_zorder_layout": (

@@ -532,6 +532,84 @@ def corridor_filter(events: DataFrame, spark: SparkSession,
             .orderBy("seg_id"))
 
 
+CORRIDOR_ROUTES = {
+    0: CORRIDOR_PATH,
+    1: [(3800, 300), (3000, 1200), (2200, 1100), (900, 2600)],
+    2: [(100, 3900), (1500, 3200), (2900, 3600), (3900, 3000)],
+}
+
+
+def corridor_filter_batch(events: DataFrame, spark: SparkSession,
+                          routes: dict[int, list] = None,
+                          d: int = CORRIDOR_D, n: int = 4096
+                          ) -> DataFrame:
+    """BATCHED corridor queries — many routes answered in ONE plan
+    (the engine's query-batching shape, same as the polygon path's
+    batched cover join): all routes' dilated segment blocks go into a
+    single broadcast relation keyed by (route_id, seg_id), the stream
+    is scanned ONCE, and the rollup is per route. Query latency is
+    amortized across the batch instead of one job per route — the
+    difference between 3 scans and 1 at 100 TB.
+    -> (route_id, n_events, value_sum), ordered."""
+    routes = routes or CORRIDOR_ROUTES
+    rows = []
+    for rid, path in routes.items():
+        for sid, ((ax, ay), (bx, by)) in enumerate(zip(path, path[1:])):
+            x_lo = max(min(ax, bx) - d, 0)
+            x_hi = min(max(ax, bx) + d, n - 1)
+            y_lo = max(min(ay, by) - d, 0)
+            y_hi = min(max(ay, by) + d, n - 1)
+            for cbx in range(x_lo // _COR_BLK, x_hi // _COR_BLK + 1):
+                for cby in range(y_lo // _COR_BLK, y_hi // _COR_BLK + 1):
+                    rows.append((rid, sid, cbx, cby, ax, ay, bx, by))
+    segs = spark.createDataFrame(
+        rows, "route_id BIGINT, seg_id BIGINT, cbx BIGINT, cby BIGINT, "
+              "ax BIGINT, ay BIGINT, bx BIGINT, by BIGINT")
+    ev = (events
+          .withColumn("cbx", F.expr(f"x div {_COR_BLK}"))
+          .withColumn("cby", F.expr(f"y div {_COR_BLK}")))
+    # an event near two segments of ONE route must count once for the
+    # route: dedup (event, route) before the rollup via the distinct
+    # on the natural key (ts is unique per event)
+    hits = (ev.join(F.broadcast(segs), ["cbx", "cby"])
+            .where(_corridor_pred(d))
+            .select("route_id", "ts", "value").distinct())
+    return (hits.groupBy("route_id")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum("value").cast("bigint").alias("value_sum"))
+            .orderBy("route_id"))
+
+
+def oracle_corridor_batch(geo_cte: str, d: int = CORRIDOR_D) -> str:
+    vals = ",".join(
+        f"({rid},{ax},{ay},{bx},{by})"
+        for rid, path in CORRIDOR_ROUTES.items()
+        for (ax, ay), (bx, by) in zip(path, path[1:]))
+    return f"""
+WITH geo AS ({geo_cte}),
+seg AS (SELECT CAST(c0 AS BIGINT) AS route_id, CAST(c1 AS BIGINT) AS ax,
+               CAST(c2 AS BIGINT) AS ay, CAST(c3 AS BIGINT) AS bx,
+               CAST(c4 AS BIGINT) AS by
+        FROM (VALUES {vals}) t(c0, c1, c2, c3, c4)),
+hits AS (
+  SELECT DISTINCT route_id, ts, value
+  FROM seg JOIN geo ON
+  CASE WHEN (bx-ax)*(x-ax) + (by-ay)*(y-ay) <= 0
+       THEN (x-ax)*(x-ax) + (y-ay)*(y-ay) <= {d * d}
+       WHEN (bx-ax)*(x-ax) + (by-ay)*(y-ay)
+            >= (bx-ax)*(bx-ax) + (by-ay)*(by-ay)
+       THEN (x-bx)*(x-bx) + (y-by)*(y-by) <= {d * d}
+       ELSE ((bx-ax)*(y-ay) - (by-ay)*(x-ax))
+            * ((bx-ax)*(y-ay) - (by-ay)*(x-ax))
+            <= {d * d} * ((bx-ax)*(bx-ax) + (by-ay)*(by-ay))
+  END)
+SELECT CAST(route_id AS BIGINT) AS route_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value) AS BIGINT) AS value_sum
+FROM hits GROUP BY route_id ORDER BY route_id
+"""
+
+
 def oracle_corridor_filter(geo_cte: str, d: int = CORRIDOR_D) -> str:
     """Independent semantics: plain segment-table join on the SAME
     piecewise predicate — no blocking on this side."""
