@@ -2510,6 +2510,11 @@ PIPELINE_GATE = {
     "doc_gk_quantiles": (
         lambda s, d: text.gk_quantiles(_docs(s, d)),
         text.oracle_gk_quantiles),
+    # r7: interpolating percentile_cont semantics, float-free via
+    # (lo, hi, frac_num) integer emission
+    "doc_cont_quantiles": (
+        lambda s, d: text.cont_quantiles(_docs(s, d)),
+        text.oracle_cont_quantiles),
     # --- round 6: SCD-2 versioned upsert + time travel (VERDICT #6) ---
     "doc_scd2_versions": (
         q_scd2_versions,

@@ -990,3 +990,73 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
        {sels}
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+CONT_QS = (25, 50, 90)
+
+
+def cont_quantiles(docs: DataFrame, col: str = "n_chars",
+                   qs: tuple = CONT_QS) -> DataFrame:
+    """INTERPOLATING (percentile_cont) quantiles per stratum — the
+    fourth member of the quantile ladder (exact discrete / additive
+    histogram / GK sketch / interpolating), kept float-free: at rank
+    position pos = (n-1)·q/100 the continuous quantile is
+    lo + frac·(hi − lo) with lo/hi the bracketing ORDER STATISTICS and
+    frac = ((n-1)·q mod 100)/100 — so the gate emits (lo, hi,
+    frac_num) as exact integers and the float interpolation is the
+    caller's one multiply (pytest pins agreement with Spark's native
+    percentile() to 1e-9). Plan: ONE window rank per stratum feeding
+    both brackets — no sort per quantile.
+    -> (lang, q, lo, hi, frac_num, n)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("lang").orderBy("v", "doc_id")
+    ranked = (docs.select("lang", "doc_id", F.col(col).alias("v"))
+              .withColumn("r", F.row_number().over(w) - 1)
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy("lang"))))
+    qarr = F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q")
+    pos = F.expr("(n - 1) * q div 100")
+    frac = F.expr("(n - 1) * q % 100")
+    cand = (ranked.select("lang", "v", "r", "n", qarr)
+            .withColumn("_pos", pos).withColumn("_frac", frac)
+            .where((F.col("r") == F.col("_pos"))
+                   | ((F.col("r") == F.col("_pos") + 1)
+                      & (F.col("_frac") > 0))))
+    return (cand.groupBy("lang", "q", "n", "_pos", "_frac")
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .select("lang", F.col("q").cast("bigint"),
+                    F.col("lo").cast("bigint"),
+                    # frac == 0 -> single order statistic, hi := lo
+                    F.when(F.col("_frac") > 0, F.col("hi"))
+                    .otherwise(F.col("lo")).cast("bigint").alias("hi"),
+                    F.col("_frac").cast("bigint").alias("frac_num"),
+                    F.col("n").cast("bigint").alias("n"))
+            .orderBy("lang", "q"))
+
+
+def oracle_cont_quantiles(col: str = "n_chars",
+                          qs: tuple = CONT_QS) -> str:
+    qvals = ",".join(f"({int(q)})" for q in qs)
+    return f"""
+WITH ranked AS (
+  SELECT lang, {col} AS v,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {col}, doc_id) - 1 AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents),
+qv(q) AS (VALUES {qvals}),
+cand AS (
+  SELECT lang, v, r, n, q,
+         (n - 1) * q // 100 AS pos, (n - 1) * q % 100 AS frac
+  FROM ranked CROSS JOIN qv
+  WHERE r = (n - 1) * q // 100
+     OR (r = (n - 1) * q // 100 + 1 AND (n - 1) * q % 100 > 0))
+SELECT lang, CAST(q AS BIGINT) AS q,
+       CAST(MIN(v) AS BIGINT) AS lo,
+       CAST(CASE WHEN frac > 0 THEN MAX(v) ELSE MIN(v) END AS BIGINT)
+         AS hi,
+       CAST(frac AS BIGINT) AS frac_num,
+       CAST(n AS BIGINT) AS n
+FROM cand GROUP BY lang, q, n, pos, frac
+ORDER BY lang, q
+"""

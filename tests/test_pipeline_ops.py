@@ -1973,3 +1973,26 @@ def test_hll_running_final_day_equals_corpus_sketch(spark):
         assert g.est_raw.is_monotonic_increasing
         last = g.iloc[-1]
         assert (last.s_scaled, last.v_zero, last.est_raw) == corp[t], t
+
+
+def test_cont_quantiles_agree_with_native_percentile(spark):
+    """The integer (lo, hi, frac_num) emission must reconstruct
+    Spark's native interpolating percentile() exactly (1e-9) for
+    every (lang, q) — and the fixture exercises both branches
+    (some quantiles land ON an order statistic, frac = 0; some
+    interpolate, frac > 0)."""
+    from conftest import SF_UNIT
+    from spatialsketch_spark.pipeline.text import cont_quantiles
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    got = cont_quantiles(docs).toPandas()
+    assert (got.frac_num == 0).any() and (got.frac_num > 0).any()
+    native = {}
+    for r in docs.groupBy("lang").agg(
+            *[F.expr(f"percentile(n_chars, {q/100})").alias(f"p{q}")
+              for q in (25, 50, 90)]).collect():
+        for q in (25, 50, 90):
+            native[(r["lang"], q)] = r[f"p{q}"]
+    for _, r in got.iterrows():
+        mine = r.lo + (r.frac_num / 100.0) * (r.hi - r.lo)
+        assert abs(mine - native[(r.lang, r.q)]) < 1e-9
