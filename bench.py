@@ -236,10 +236,12 @@ def run_bench(cpus: int) -> dict:
                  "doc_gk_quantiles", "doc_fuzzy_pairs",
                  "rel_rank_family", "emb_ivf_trained_topk",
                  # r7 session 3: windowed hist quantiles, HLL,
-                 # stride chunking, overlap join, hex reader rewrite
+                 # stride chunking, overlap join, hex reader rewrite,
+                 # batched corridors, distance join
                  "evt_window_quantiles", "evt_hll_distinct",
                  "doc_stride_chunks", "tmp_overlap_join",
-                 "geo_hex_cell_reader"]):
+                 "geo_hex_cell_reader", "geo_corridor_batch",
+                 "geo_distance_join"]):
         fn = GATE_QUERIES[name][0]
         best = None
         for _ in range(pipe_trials):   # best-of: the host's proactive
