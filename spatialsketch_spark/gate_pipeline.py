@@ -2064,6 +2064,36 @@ ORDER BY ts
 """
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """FORWARD as-of: each sampled event gets the EARLIEST calibration
+    timestamp at or after it — the next-tick direction. Oracle:
+    DuckDB ASOF with the inequality flipped."""
+    from pyspark.sql import functions as F
+    ev = _geo_ev(spark, sf_dir)
+    left = ev.where(F.col("ts") % 13 == 0).select("ts", "item")
+    right = ev.where(F.col("ts") % 7 == 0) \
+        .select("item", F.col("ts"), F.col("ts").alias("rts"))
+    out = temporal.asof_join_forward(left, right, key="item", ts="ts",
+                                     right_val="rts")
+    return (out.select("ts", "item",
+                       F.coalesce("rts", F.lit(-1)).cast("bigint")
+                       .alias("next_calib_ts"))
+            .orderBy("ts"))
+
+
+def oracle_asof_join_forward():
+    from .gate import _geo_cte
+    return f"""
+WITH geo AS ({_geo_cte()}),
+l AS (SELECT ts, item FROM geo WHERE ts % 13 = 0),
+r AS (SELECT item, ts AS rts FROM geo WHERE ts % 7 = 0)
+SELECT l.ts AS ts, l.item AS item,
+       CAST(COALESCE(r.rts, -1) AS BIGINT) AS next_calib_ts
+FROM l ASOF LEFT JOIN r ON l.item = r.item AND l.ts <= r.rts
+ORDER BY ts
+"""
+
+
 def q_asof_join_bucketed(spark, sf_dir):
     """Same as-of semantics answered by the skew-bounded epoch-bucketed
     construction — oracle identical to tmp_asof_join."""
@@ -2219,6 +2249,8 @@ PIPELINE_GATE = {
     "tmp_asof_join": (q_asof_join, oracle_asof_join),
     "tmp_session_rollup": (q_session_rollup, oracle_session_rollup),
     "tmp_asof_join_bucketed": (q_asof_join_bucketed, oracle_asof_join),
+    # r7: FORWARD as-of (next-tick direction) — DuckDB ASOF <= oracle
+    "tmp_asof_forward": (q_asof_join_forward, oracle_asof_join_forward),
     "tmp_range_join": (q_range_join, oracle_range_join),
     "tmp_range_join_bucketed": (q_range_join_bucketed, oracle_range_join),
     "tmp_time_rollup": (q_time_rollup, oracle_time_rollup),

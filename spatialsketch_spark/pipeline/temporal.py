@@ -42,6 +42,35 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "item",
             .select(*lcols, F.col("_rv").alias(right_val)))
 
 
+def asof_join_forward(left: DataFrame, right: DataFrame,
+                      key: str = "item", ts: str = "ts",
+                      right_val: str = "rts") -> DataFrame:
+    """FORWARD as-of: left columns + ``right_val`` = value of the
+    EARLIEST right row at or after the left row's timestamp (null if
+    none) — the direction the backward as-of can't express
+    (next-calibration, next-price-tick, time-to-next-event). Mirror
+    construction: union both sides, ONE window per key ordered (ts,
+    side) with lefts BEFORE rights at equal ts (so >= ties match),
+    first(ignorenulls) over the FOLLOWING frame. Same single-shuffle
+    cost shape as :func:`asof_join`."""
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(0))
+    r = (right.select(F.col(key), F.col(ts), F.col(right_val))
+         .withColumn("_side", F.lit(1)))
+    for c in lcols:
+        if c not in (key, ts) and c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    if right_val not in l.columns:
+        l = l.withColumn(right_val, F.lit(None))
+    u = l.unionByName(r.select(l.columns))
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(ts).asc(), F.col("_side").asc())
+         .rowsBetween(0, Window.unboundedFollowing))
+    return (u.withColumn("_rv", F.first(right_val, ignorenulls=True).over(w))
+            .where(F.col("_side") == 0)
+            .select(*lcols, F.col("_rv").alias(right_val)))
+
+
 def range_join(events: DataFrame, brackets: DataFrame,
                col: str = "ts", lo: str = "lo", hi: str = "hi") -> DataFrame:
     """events x brackets ON events[col] BETWEEN lo AND hi (inclusive);
