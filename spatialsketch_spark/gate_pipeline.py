@@ -2345,6 +2345,10 @@ PIPELINE_GATE = {
         .orderBy("user_id"),
         events.oracle_funnel_windowed),
     "evt_props_stats": (q_evt_props, events.oracle_props_stats),
+    # r7: Spark 4 VARIANT — parse once, nested typed paths
+    "evt_variant_props": (
+        lambda s, d: events.variant_props(events._events(s, d)),
+        events.oracle_variant_props),
     "evt_retention": (q_evt_retention, events.oracle_retention),
     "evt_transitions": (q_evt_transitions, events.oracle_transitions),
     "emb_pq_topk": (

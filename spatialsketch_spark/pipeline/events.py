@@ -483,6 +483,49 @@ GROUP BY day, n""")
     return " UNION ALL ".join(sels) + " ORDER BY day, q"
 
 
+def variant_props(ev: DataFrame) -> DataFrame:
+    """Spark 4 VARIANT — the open-format semi-structured type next to
+    the string-path get_json_object gate (evt_props_stats): each
+    event's props JSON is wrapped into a NESTED document, parsed ONCE
+    to a VARIANT (binary-encoded, so repeated path extractions don't
+    re-parse text — the reason VARIANT beats per-path
+    get_json_object at 100 TB), and typed values are pulled from
+    nested paths ('$.meta.src.k' through an object, '$.meta.flags[0]'
+    through an array). Per-type integer rollup; DuckDB replays the
+    same constructed document with json_extract.
+    -> (event_type, n, sum_k, sum_flag), ordered."""
+    doc = F.expr(
+        "parse_json(concat('{\"meta\": {\"src\": ', props, "
+        "', \"flags\": [', CAST(event_id % 2 AS STRING), ']}}'))")
+    return (ev.withColumn("_v", doc)
+            .select("event_type",
+                    F.expr("variant_get(_v, '$.meta.src.k', 'bigint')")
+                    .alias("k"),
+                    F.expr("variant_get(_v, '$.meta.flags[0]', 'bigint')")
+                    .alias("flag"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("k").cast("bigint").alias("sum_k"),
+                 F.sum("flag").cast("bigint").alias("sum_flag"))
+            .orderBy("event_type"))
+
+
+def oracle_variant_props(src: str = "events") -> str:
+    return f"""
+WITH docs AS (
+  SELECT event_type,
+         '{{"meta": {{"src": ' || props || ', "flags": ['
+           || CAST(event_id % 2 AS VARCHAR) || ']}}}}' AS d
+  FROM {src})
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(d, '$.meta.src.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract(d, '$.meta.flags[0]') AS BIGINT))
+            AS BIGINT) AS sum_flag
+FROM docs GROUP BY event_type ORDER BY event_type
+"""
+
+
 FUNNEL_WINDOW_US = 7 * 86_400_000_000  # 7-day conversion window
 
 
