@@ -277,17 +277,23 @@ def run_bench(cpus: int) -> dict:
         g_dir = os.environ.get(
             "BENCH_GRAPH_SF",
             os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01"))
-        tri = triangle_counts(_events(spark, g_dir))
-        tri.limit(1).collect()                               # warm plan
-        best = None
-        for _ in range(pipe_trials):
-            t0 = time.time()
-            n_tri = tri.agg(F.sum("n_triangles").alias("t")).collect()[0]["t"]
-            t = time.time() - t0
-            best = t if best is None else min(best, t)
-        timings["evt_triangle_count"] = round(best, 3)
-        graph_block = {"sf_dir": g_dir, "triangle_sum": int(n_tri),
-                       "wall_s": round(best, 3)}
+        if not os.path.isdir(g_dir):
+            # a driver-generated SF_DIR may have no sf0.01 sibling;
+            # skip the graph phase rather than crash the whole run
+            graph_block = {"sf_dir": g_dir, "skipped": "missing dir"}
+        else:
+            tri = triangle_counts(_events(spark, g_dir))
+            tri.limit(1).collect()                           # warm plan
+            best = None
+            for _ in range(pipe_trials):
+                t0 = time.time()
+                n_tri = tri.agg(
+                    F.sum("n_triangles").alias("t")).collect()[0]["t"]
+                t = time.time() - t0
+                best = t if best is None else min(best, t)
+            timings["evt_triangle_count"] = round(best, 3)
+            graph_block = {"sf_dir": g_dir, "triangle_sum": int(n_tri),
+                           "wall_s": round(best, 3)}
 
     # ---- 5. per-kind build+probe (reference Table 3 analogue) ----------
     kinds_block = None
@@ -476,16 +482,19 @@ def _prev_round_timings() -> tuple[str, dict] | None:
         m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
         if m:
             cands.append((int(m.group(1)), p))
-    if not cands:
-        return None
-    rnd, path = max(cands)
-    try:
-        with open(path) as f:
-            prev = json.load(f)
-        parsed = prev.get("parsed", prev)
-        return f"r{rnd}", parsed.get("sf"), parsed.get("queries", {})
-    except (OSError, ValueError):
-        return None
+    # newest round first; skip artifacts whose "parsed" is null (a
+    # driver tail-capture miss, e.g. BENCH_r07.json) instead of crashing
+    for rnd, path in sorted(cands, reverse=True):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            parsed = prev.get("parsed", prev)
+            if not isinstance(parsed, dict):
+                continue
+            return f"r{rnd}", parsed.get("sf"), parsed.get("queries", {})
+        except (OSError, ValueError):
+            continue
+    return None
 
 
 def with_deltas(result: dict) -> dict:
@@ -502,6 +511,21 @@ def with_deltas(result: dict) -> dict:
     if deltas:
         result["detail"]["speed_ratio_vs_" + tag] = deltas
     return result
+
+
+def headline_line(result: dict, detail_rel_path: str | None) -> str:
+    """The ONE final stdout line: contract fields only (metric, value,
+    unit, per-phase queries seconds, sf) + detail artifact pointer.
+    Must stay well under the driver's 2000-char tail buffer."""
+    line = {k: result[k] for k in ("metric", "value", "unit",
+                                   "queries", "sf") if k in result}
+    if detail_rel_path:
+        line["detail_path"] = detail_rel_path
+    out = json.dumps(line)
+    if len(out) >= 1900 and "detail_path" in line:   # never crash here;
+        del line["detail_path"]                      # pytest pins length
+        out = json.dumps(line)
+    return out
 
 
 def main():
@@ -552,7 +576,23 @@ def main():
     cpus = CPUS
     if "--cpus" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
-    print(json.dumps(with_deltas(run_bench(cpus))))
+    result = with_deltas(run_bench(cpus))
+    # The driver captures only the last ~2000 chars of stdout; r7's
+    # full line (headline + queries + detail + kinds) outgrew that and
+    # the round's headline went unrecorded (BENCH_r07.json parsed:
+    # null; VERDICT r7 task 1). Keep the contract fields — metric/
+    # value/unit/queries/sf — on the final line and move the bulky
+    # "detail" map to a dist artifact referenced by path.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "dist", "bench_detail_last.json")
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+        rel = os.path.relpath(detail_path, here)
+    except OSError:
+        rel = None
+    print(headline_line(result, rel))
 
 
 if __name__ == "__main__":
