@@ -81,6 +81,20 @@ class BaseKernel:
         """-> (unique_cell_keys: int64[], states: list)"""
         raise NotImplementedError
 
+    def prep_batch(self, items, values, ts):
+        """Once-per-batch precomputation reusable across every grid
+        level of a partial build. Item hashes depend only on the item
+        column, not the grid, so hashing the batch once saves a
+        hash_items round per level (81 levels on the default pyramid —
+        measured 0.68 s/200k-row task before, guide §1.2/§4.2)."""
+        return None
+
+    # Kernels that can fold a batch from (uc, inv) group labels without
+    # re-sorting override this; the partial builder then runs ONE
+    # np.unique(return_inverse) per grid instead of three argsorts
+    # (the r8 profile put 40% of build-task CPU in redundant argsort).
+    build_from_groups = None
+
     def merge(self, states: list):
         raise NotImplementedError
 
@@ -118,18 +132,29 @@ class ExactKernel(BaseKernel):
                 "ts": np.frombuffer(blob, np.int64, n, 16 + 16 * n)}
 
     def build_grouped(self, cell_keys, items, values, ts):
-        order, uc, starts = _group_slices(cell_keys)
-        items = items[order]
-        values = values[order]
-        ts = ts[order]
-        states = []
-        bounds = np.append(starts, len(cell_keys))
-        for i in range(len(uc)):
-            s, e = bounds[i], bounds[i + 1]
-            it, va, t = items[s:e], values[s:e], ts[s:e]
-            o = np.lexsort((it, t))
-            states.append({"items": it[o], "values": va[o], "ts": t[o]})
+        # ONE global lexsort by (cell, ts, item) replaces the old
+        # argsort-by-cell + per-cell lexsort((item, ts)) — identical
+        # states (lexsort is stable, so equal (cell, ts, item) triples
+        # keep their relative order exactly as the two-stage stable
+        # sort did), ~half the sort work per task.
+        o = np.lexsort((items, ts, cell_keys))
+        k_s = cell_keys[o]
+        it_s, va_s, ts_s = items[o], values[o], ts[o]
+        uc, starts = np.unique(k_s, return_index=True)
+        bounds = np.append(starts, len(k_s))
+        states = [{"items": it_s[s:e], "values": va_s[s:e],
+                   "ts": ts_s[s:e]}
+                  for s, e in zip(bounds[:-1], bounds[1:])]
         return uc, states
+
+    def build_from_groups(self, uc, inv, items, values, ts, prep=None):
+        o = np.lexsort((items, ts, inv))
+        it_s, va_s, ts_s = items[o], values[o], ts[o]
+        starts = np.searchsorted(inv[o], np.arange(len(uc)))
+        bounds = np.append(starts, len(it_s))
+        return [{"items": it_s[s:e], "values": va_s[s:e],
+                 "ts": ts_s[s:e]}
+                for s, e in zip(bounds[:-1], bounds[1:])]
 
     def merge(self, states):
         it = np.concatenate([s["items"] for s in states])
@@ -266,20 +291,28 @@ class CMKernel(BaseKernel):
     # int64 `+=` in merge()). The CM is a lossy synopsis anyway; the
     # engine's *exact-mode* claim rides on ExactKernel, which never goes
     # through float weights.
-    def build_grouped(self, cell_keys, items, values, ts):
-        order, uc, starts = _group_slices(cell_keys)
-        inv = np.searchsorted(uc, cell_keys[order])
-        h = self.hash(items[order])                          # (d, n)
-        vals = values[order].astype(np.int64)
+    def prep_batch(self, items, values, ts):
+        return {"h": self.hash(items)}                       # (d, n)
+
+    def build_from_groups(self, uc, inv, items, values, ts, prep=None):
+        h = prep["h"] if prep is not None else self.hash(items)
+        vals = values.astype(np.int64)
         n_cells = len(uc)
         rows = np.arange(self.d, dtype=np.int64)[:, None]
         flat = (inv[None, :] * self.d + rows) * self.w + h   # (d, n)
+        # bincount order differs from the sorted path but every partial
+        # sum is an integer < 2^53 in float64, so the counters are
+        # bit-identical (same exactness argument as the NOTE above)
         counters = np.bincount(
             flat.ravel(),
             weights=np.broadcast_to(vals, (self.d, len(vals))).ravel(),
             minlength=n_cells * self.d * self.w,
         ).astype(np.int64).reshape(n_cells, self.d, self.w)
-        return uc, [counters[i] for i in range(n_cells)]
+        return [counters[i] for i in range(n_cells)]
+
+    def build_grouped(self, cell_keys, items, values, ts):
+        uc, inv = np.unique(cell_keys, return_inverse=True)
+        return uc, self.build_from_groups(uc, inv, items, values, ts)
 
     def merge(self, states):
         out = states[0].copy()
@@ -313,17 +346,25 @@ class FMKernel(BaseKernel):
         self.d = max(1, int(math.ceil((1.0 / eps ** 2) * math.log(1.0 / delta))))
         self.coeffs = coefficients(seed + 101, self.d)
 
-    def build_grouped(self, cell_keys, items, values, ts):
-        order, uc, starts = _group_slices(cell_keys)
-        inv = np.searchsorted(uc, cell_keys[order])
-        h = hash_items(items[order], self.coeffs, MERSENNE_P)   # raw hash
+    def prep_batch(self, items, values, ts):
+        h = hash_items(items, self.coeffs, MERSENNE_P)           # raw hash
         tz = trailing_zeros(h)                                   # (d, n)
-        bits = (np.int64(1) << np.minimum(tz, 62)).astype(np.int64)
+        return {"bits": (np.int64(1) << np.minimum(tz, 62))
+                .astype(np.int64)}
+
+    def build_from_groups(self, uc, inv, items, values, ts, prep=None):
+        bits = (prep["bits"] if prep is not None else
+                self.prep_batch(items, values, ts)["bits"])
         words = np.zeros((len(uc), self.d), dtype=np.int64)
-        rows = np.broadcast_to(np.arange(self.d)[:, None], h.shape)
-        cols = np.broadcast_to(inv[None, :], h.shape)
-        np.bitwise_or.at(words, (cols.ravel(), rows.ravel()), bits.ravel())
-        return uc, [words[i] for i in range(len(uc))]
+        rows = np.broadcast_to(np.arange(self.d)[:, None], bits.shape)
+        cols = np.broadcast_to(inv[None, :], bits.shape)
+        np.bitwise_or.at(words, (cols.ravel(), rows.ravel()),
+                         bits.ravel())
+        return [words[i] for i in range(len(uc))]
+
+    def build_grouped(self, cell_keys, items, values, ts):
+        uc, inv = np.unique(cell_keys, return_inverse=True)
+        return uc, self.build_from_groups(uc, inv, items, values, ts)
 
     def merge(self, states):
         out = states[0].copy()
@@ -356,16 +397,25 @@ class BFKernel(BaseKernel):
         self.n_words = (self.m + 63) // 64
         self.coeffs = coefficients(seed + 202, self.d)
 
-    def build_grouped(self, cell_keys, items, values, ts):
-        order, uc, starts = _group_slices(cell_keys)
-        inv = np.searchsorted(uc, cell_keys[order])
-        h = hash_items(items[order], self.coeffs, self.m)        # (d, n)
+    def prep_batch(self, items, values, ts):
+        h = hash_items(items, self.coeffs, self.m)               # (d, n)
+        return {"widx": (h >> 6).astype(np.int64),
+                "bits": (np.uint64(1)
+                         << (h.astype(np.uint64) & np.uint64(63)))}
+
+    def build_from_groups(self, uc, inv, items, values, ts, prep=None):
+        if prep is None:
+            prep = self.prep_batch(items, values, ts)
+        widx, bits = prep["widx"], prep["bits"]
         words = np.zeros((len(uc), self.n_words), dtype=np.uint64)
-        widx = (h >> 6).astype(np.int64)
-        bits = (np.uint64(1) << (h.astype(np.uint64) & np.uint64(63)))
-        cols = np.broadcast_to(inv[None, :], h.shape)
-        np.bitwise_or.at(words, (cols.ravel(), widx.ravel()), bits.ravel())
-        return uc, [words[i] for i in range(len(uc))]
+        cols = np.broadcast_to(inv[None, :], widx.shape)
+        np.bitwise_or.at(words, (cols.ravel(), widx.ravel()),
+                         bits.ravel())
+        return [words[i] for i in range(len(uc))]
+
+    def build_grouped(self, cell_keys, items, values, ts):
+        uc, inv = np.unique(cell_keys, return_inverse=True)
+        return uc, self.build_from_groups(uc, inv, items, values, ts)
 
     def merge(self, states):
         out = states[0].copy()
@@ -576,16 +626,20 @@ class ECMKernel(BaseKernel):
             size = merged[0]
 
     def build_grouped(self, cell_keys, items, values, ts):
-        order, uc, starts = _group_slices(cell_keys)
-        bounds = np.append(starts, len(cell_keys))
-        items_s, values_s, ts_s = items[order], values[order], ts[order]
+        # one stable lexsort by (cell, ts) == the old argsort-by-cell +
+        # per-cell stable argsort-by-ts; hash the whole sorted batch
+        # once instead of once per cell
+        o_all = np.lexsort((ts, cell_keys))
+        k_s = cell_keys[o_all]
+        items_s, values_s, ts_s = items[o_all], values[o_all], ts[o_all]
+        uc, starts = np.unique(k_s, return_index=True)
+        bounds = np.append(starts, len(k_s))
+        h_all = hash_items(items_s, self.coeffs, self.w)   # (d, n)
         states = []
         for ci in range(len(uc)):
             s, e = bounds[ci], bounds[ci + 1]
             it, va, t = items_s[s:e], values_s[s:e], ts_s[s:e]
-            o = np.argsort(t, kind="stable")       # timestamp-ordered insert
-            it, va, t = it[o], va[o], t[o]
-            h = hash_items(it, self.coeffs, self.w)   # (d, n)
+            h = h_all[:, s:e]
             m_total = len(it)
             # the fold pays one python round per (row, slot) SUBSTREAM;
             # it wins only when substreams are long (hot coarse-grid
@@ -795,18 +849,21 @@ class ElasticKernel(BaseKernel):
             self._insert_seq(st, items[m], values[m], bpos[m], lpos[m])
 
     def build_grouped(self, cell_keys, items, values, ts):
-        order, uc, starts = _group_slices(cell_keys)
-        bounds = np.append(starts, len(cell_keys))
-        items_s, values_s, ts_s = items[order], values[order], ts[order]
+        # one stable lexsort by (cell, ts) == the old argsort-by-cell +
+        # per-cell stable argsort-by-ts; bucket/light positions hashed
+        # for the whole sorted batch once instead of once per cell
+        o_all = np.lexsort((ts, cell_keys))
+        k_s = cell_keys[o_all]
+        items_s, values_s = items[o_all], values[o_all]
+        uc, starts = np.unique(k_s, return_index=True)
+        bounds = np.append(starts, len(k_s))
+        bpos_all, lpos_all = self._positions(items_s)
         states = []
         for ci in range(len(uc)):
             s, e = bounds[ci], bounds[ci + 1]
-            it, va, t = items_s[s:e], values_s[s:e], ts_s[s:e]
-            o = np.argsort(t, kind="stable")      # arrival order
-            it, va = it[o], va[o]
             st = self._new_state()
-            bpos, lpos = self._positions(it)
-            self._insert_fast(st, it, va, bpos, lpos)
+            self._insert_fast(st, items_s[s:e], values_s[s:e],
+                              bpos_all[s:e], lpos_all[s:e])
             states.append(st)
         return uc, states
 
@@ -875,34 +932,51 @@ class DCMKernel(BaseKernel):
         self.exact_levels = min(int(exact_levels), self.L + 1)
         self.coeffs = coefficients(seed + 404, self.d)
 
+    def build_from_groups(self, uc, inv, items, values, ts, prep=None):
+        """Whole-batch fold: per exact level ONE unique+grouped-sum over
+        a combined (cell, prefix) key, per CM level ONE bincount over a
+        (cell, row, slot) flat index — replacing the old per-cell python
+        loop (the slowest per-kind build at 9.5 s/10k rows). States are
+        bit-identical: grouped sums are exact int64, bincount partial
+        sums are integers < 2^53 in float64, and per-cell prefix lists
+        come out sorted exactly as np.unique produced them before."""
+        va = values.astype(np.int64)
+        inv64 = inv.astype(np.int64)
+        n_cells = len(uc)
+        n_cm_levels = max(self.L + 1 - self.exact_levels, 0)
+        per_cell_exact: list[dict] = [dict() for _ in range(n_cells)]
+        for lvl in range(self.exact_levels):
+            pref = items >> lvl
+            mult = np.int64(1) << (self.L + 1 - lvl)
+            assert n_cells * int(mult) < (1 << 62)
+            comb = inv64 * mult + pref
+            up_c, inv_c = np.unique(comb, return_inverse=True)
+            sums = int_group_sum(inv_c, va, len(up_c))
+            cell_of = up_c // mult
+            prefs = up_c % mult
+            starts = np.searchsorted(cell_of, np.arange(n_cells))
+            bounds = np.append(starts, len(up_c))
+            for ci in range(n_cells):
+                s, e = bounds[ci], bounds[ci + 1]
+                per_cell_exact[ci][lvl] = (prefs[s:e], sums[s:e])
+        cms_all = np.zeros((n_cells, n_cm_levels, self.d, self.w),
+                           dtype=np.int64)
+        rows = np.arange(self.d, dtype=np.int64)[:, None]
+        for li, lvl in enumerate(range(self.exact_levels, self.L + 1)):
+            pref = items >> lvl
+            h = hash_items(pref, self.coeffs, self.w)
+            flat = (inv64[None, :] * self.d + rows) * self.w + h
+            cms_all[:, li] = np.bincount(
+                flat.ravel(),
+                weights=np.broadcast_to(va, (self.d, len(va))).ravel(),
+                minlength=n_cells * self.d * self.w,
+            ).astype(np.int64).reshape(n_cells, self.d, self.w)
+        return [{"exact": per_cell_exact[ci], "cms": cms_all[ci]}
+                for ci in range(n_cells)]
+
     def build_grouped(self, cell_keys, items, values, ts):
-        order, uc, starts = _group_slices(cell_keys)
-        bounds = np.append(starts, len(cell_keys))
-        items_s = items[order]
-        values_s = values[order].astype(np.int64)
-        states = []
-        n_cm_levels = self.L + 1 - self.exact_levels
-        for ci in range(len(uc)):
-            s, e = bounds[ci], bounds[ci + 1]
-            it, va = items_s[s:e], values_s[s:e]
-            exact = {}
-            for lvl in range(self.exact_levels):
-                pref = it >> lvl
-                up, inv = np.unique(pref, return_inverse=True)
-                exact[lvl] = (up, int_group_sum(inv, va, len(up)))
-            cms = np.zeros((max(n_cm_levels, 0), self.d, self.w), dtype=np.int64)
-            for li, lvl in enumerate(range(self.exact_levels, self.L + 1)):
-                pref = it >> lvl
-                h = hash_items(pref, self.coeffs, self.w)
-                rows = np.arange(self.d)[:, None]
-                flat = rows * self.w + h
-                cms[li] += np.bincount(
-                    flat.ravel(),
-                    weights=np.broadcast_to(va, (self.d, len(va))).ravel(),
-                    minlength=self.d * self.w,
-                ).astype(np.int64).reshape(self.d, self.w)
-            states.append({"exact": exact, "cms": cms})
-        return uc, states
+        uc, inv = np.unique(cell_keys, return_inverse=True)
+        return uc, self.build_from_groups(uc, inv, items, values, ts)
 
     def merge(self, states):
         out_exact = {}

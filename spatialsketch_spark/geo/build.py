@@ -77,16 +77,33 @@ def _partial_builder(cfg: SketchConfig, kind: str, min_level: int):
             return
         out_gk, out_cell, out_payload = [], [], []
         out_nev, out_vs = [], []
+        # once-per-batch precomputation (item hashes are grid-agnostic;
+        # hashing once instead of once per grid level was 18% of task
+        # CPU — guide §1.2 "per-task work")
+        prep = kernel.prep_batch(items, values, ts)
+        fast = kernel.build_from_groups
+        from spatialsketch_spark.core.kernels import int_group_sum
         for kx, ky in grids:
             keys = (x >> kx) * n + (y >> ky)
-            uc, states = kernel.build_grouped(keys, items, values, ts)
-            # n_events / val_sum: integer-exact grouped sums (sorted
-            # reduceat, no float64-weight bincount — val_sum backs the
-            # exact 'count' query path and must hold past 2^53)
-            order = np.argsort(keys, kind="stable")
-            starts = np.searchsorted(keys[order], uc)
-            counts = np.diff(np.append(starts, len(keys))).astype(np.int64)
-            vsums = np.add.reduceat(values[order], starts).astype(np.int64)
+            if fast is not None:
+                # ONE sort per grid (inside np.unique); counts via
+                # bincount, val_sum via integer-exact np.add.at (no
+                # float64-weight bincount — val_sum backs the exact
+                # 'count' query path and must hold past 2^53)
+                uc, inv = np.unique(keys, return_inverse=True)
+                states = fast(uc, inv, items, values, ts, prep)
+                counts = np.bincount(inv, minlength=len(uc)) \
+                    .astype(np.int64)
+                vsums = int_group_sum(inv, values, len(uc))
+            else:
+                uc, states = kernel.build_grouped(keys, items, values,
+                                                  ts)
+                order = np.argsort(keys, kind="stable")
+                starts = np.searchsorted(keys[order], uc)
+                counts = np.diff(np.append(starts, len(keys))) \
+                    .astype(np.int64)
+                vsums = np.add.reduceat(values[order], starts) \
+                    .astype(np.int64)
             gk = cfg.grid_key(kx, ky)
             for c, st, ne, vs in zip(uc.tolist(), states, counts.tolist(),
                                      vsums.tolist()):
@@ -115,38 +132,53 @@ def _merge_partitions(cfg: SketchConfig, kind: str):
 
     def fn(batches):
         kernel = make_kernel(kind, cfg)
-        acc: dict[tuple[int, int], list] = {}
-        nev: dict[tuple[int, int], int] = {}
-        vsum: dict[tuple[int, int], int] = {}
+        gk_l, cell_l, nev_l, vs_l, pay_l = [], [], [], [], []
         for pdf in batches:
-            gks = pdf["grid_key"].to_numpy()
-            cells = pdf["cell"].to_numpy()
-            nevs = pdf["n_events"].to_numpy()
-            vss = pdf["val_sum"].to_numpy()
-            payloads = pdf["payload"]
-            for i in range(len(pdf)):
-                key = (int(gks[i]), int(cells[i]))
-                acc.setdefault(key, []).append(
-                    kernel.deserialize(payloads.iloc[i]))
-                nev[key] = nev.get(key, 0) + int(nevs[i])
-                vsum[key] = vsum.get(key, 0) + int(vss[i])
-        if not acc:
+            gk_l.append(pdf["grid_key"].to_numpy(np.int64))
+            cell_l.append(pdf["cell"].to_numpy(np.int64))
+            nev_l.append(pdf["n_events"].to_numpy(np.int64))
+            vs_l.append(pdf["val_sum"].to_numpy(np.int64))
+            pay_l.append(pdf["payload"].to_numpy())
+        if not gk_l:
             return
-        out_gk, out_cell, out_payload = [], [], []
-        out_nev, out_vs = [], []
-        for (gk, cell), states in acc.items():
-            merged = states[0] if len(states) == 1 else kernel.merge(states)
-            out_gk.append(gk)
-            out_cell.append(cell)
-            out_payload.append(kernel.serialize(merged))
-            out_nev.append(nev[(gk, cell)])
-            out_vs.append(vsum[(gk, cell)])
+        gks = np.concatenate(gk_l)
+        cells = np.concatenate(cell_l)
+        nevs = np.concatenate(nev_l)
+        vss = np.concatenate(vs_l)
+        payloads = np.concatenate(pay_l)
+        if len(gks) == 0:
+            return
+        # vectorized grouping (no per-row python dict fold): sort by
+        # (grid_key, cell); with zorder locality most groups are a
+        # SINGLE partial — those pass their payload bytes through
+        # untouched (the codecs are canonical: serialize(deserialize(b))
+        # == b), skipping the deserialize+merge+serialize round trip
+        order = np.lexsort((cells, gks))
+        g_s, c_s = gks[order], cells[order]
+        new = np.empty(len(g_s), dtype=bool)
+        new[0] = True
+        new[1:] = (g_s[1:] != g_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, len(g_s))
+        nev_g = np.add.reduceat(nevs[order], starts).astype(np.int64)
+        vs_g = np.add.reduceat(vss[order], starts).astype(np.int64)
+        pay_s = payloads[order]
+        out_payload = []
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            if e - s == 1:
+                out_payload.append(pay_s[s])
+            else:
+                merged = kernel.merge([kernel.deserialize(pay_s[j])
+                                       for j in range(s, e)])
+                out_payload.append(kernel.serialize(merged))
         yield pd.DataFrame({
-            "grid_key": pd.array(out_gk, dtype="int32"),
-            "cell": pd.array(out_cell, dtype="int64"),
+            "grid_key": pd.array(g_s[starts].astype(np.int32),
+                                 dtype="int32"),
+            "cell": pd.array(c_s[starts], dtype="int64"),
             "payload": pd.Series(out_payload, dtype=object),
-            "n_events": pd.array(out_nev, dtype="int64"),
-            "val_sum": pd.array(out_vs, dtype="int64"),
+            "n_events": pd.array(nev_g, dtype="int64"),
+            "val_sum": pd.array(vs_g, dtype="int64"),
         })
 
     return fn
