@@ -221,6 +221,49 @@ FROM g GROUP BY 1 ORDER BY 1
 HILBERT_BITS = ZORDER_BITS          # same 4096 grid
 
 
+def _hilbert_step(st, rx_o, ry_o):
+    """One level of the public xy2d recurrence expressed on the ORIGINAL
+    coordinate bits: the recurrence only ever (a) complements both
+    remaining coordinates (x = n-1-x flips every remaining bit) and
+    (b) swaps x and y, so the accumulated transform is fully described
+    by state (perm, cx, cy): virtual_x bit = (y-bit if perm else x-bit)
+    XOR cx, same for y. Returns (quadrant digit, next state)."""
+    perm, cx, cy = st
+    rx = (ry_o if perm else rx_o) ^ cx
+    ry = (rx_o if perm else ry_o) ^ cy
+    digit = (3 * rx) ^ ry
+    if ry == 0:
+        if rx == 1:
+            cx ^= 1
+            cy ^= 1
+        perm ^= 1
+        cx, cy = cy, cx
+    return digit, (perm, cx, cy)
+
+
+def _hilbert_tables() -> tuple[list[int], list[int]]:
+    """Lookup tables for the fused fold: pair_tbl[state*16 + 4 raw
+    bits] = next_state*16 + (digit1*4 + digit2) over two consecutive
+    levels; single_tbl[state*4 + 2 raw bits] = next_state*4 + digit
+    for an odd trailing level. Derived from _hilbert_step, so the
+    Spark fold IS the public recurrence, only memoized."""
+    states = [(p, a, b) for p in (0, 1) for a in (0, 1) for b in (0, 1)]
+    sidx = {s: i for i, s in enumerate(states)}
+    pair_tbl = []
+    single_tbl = []
+    for s in states:
+        for b4 in range(16):
+            rx1, ry1 = (b4 >> 3) & 1, (b4 >> 2) & 1
+            rx2, ry2 = (b4 >> 1) & 1, b4 & 1
+            d1, s1 = _hilbert_step(s, rx1, ry1)
+            d2, s2 = _hilbert_step(s1, rx2, ry2)
+            pair_tbl.append(sidx[s2] * 16 + d1 * 4 + d2)
+        for b2 in range(4):
+            d, s1 = _hilbert_step(s, (b2 >> 1) & 1, b2 & 1)
+            single_tbl.append(sidx[s1] * 4 + d)
+    return pair_tbl, single_tbl
+
+
 def hilbert_col(df: DataFrame, x: str = "x", y: str = "y",
                 out: str = "hd") -> DataFrame:
     """Append the Hilbert-curve index of grid coords (``x``, ``y``) —
@@ -229,36 +272,54 @@ def hilbert_col(df: DataFrame, x: str = "x", y: str = "y",
     ALWAYS 4-adjacent cells and range buckets have ~⅓ lower average
     query-rect fragmentation (measured in tests/test_layout.py).
 
-    The classic per-bit fold (public xy2d algorithm — Wikipedia
-    "Hilbert curve", converted branch-free): quadrant digit
-    t = (3·rx) XOR ry expressed arithmetically (3·rx + ry − 2·rx·ry,
-    identical for bits), reflection/rotation as CASE projections.
-    The recurrence is inherently sequential over HILBERT_BITS levels,
-    so it emits one small Project per level (Catalyst keeps them as a
-    narrow codegen pipeline; aliases used multiple times are NOT
-    inlined, so the expression tree stays linear in bits). Integer
-    div/mod only — the DuckDB oracle (:func:`hilbert_sql`) runs the
-    same arithmetic as nested subqueries. No UDF, no shuffle."""
-    n = 1 << HILBERT_BITS
+    Table-driven state machine, TWO levels fused per stage (r8; was a
+    per-level coordinate-mutating CASE fold costing 1.7x the Morton
+    spread — VERDICT r7 task 6): the xy2d recurrence only ever applies
+    swap / complement-both reflections to the remaining coordinate
+    bits, so the whole transform state is (perm, cx, cy) — 8 states.
+    Per fused stage the 4 raw bits of (x, y) at the two levels index a
+    128-entry table (derived programmatically from the public
+    recurrence in :func:`_hilbert_tables`, pinned against
+    :func:`hilbert_xy2d_py` in tests) packed as next_state*16 + the
+    2-level digit pair; x and y are never mutated, the constant array
+    folds to one literal, and each stage is 1 lookup + 4 shifts
+    instead of 6 projections of branchy CASEs. Integer ops only — the
+    DuckDB oracle (:func:`hilbert_sql`) keeps the original per-level
+    arithmetic as nested subqueries (independent semantics). No UDF,
+    no shuffle."""
+    pair_tbl, single_tbl = _hilbert_tables()
+    arr = F.array(*[F.lit(v) for v in pair_tbl])
     df = (df.withColumn("_hx", F.col(x).cast("bigint"))
             .withColumn("_hy", F.col(y).cast("bigint"))
-            .withColumn("_hd", F.lit(0).cast("bigint")))
-    s = n // 2
-    while s > 0:
-        df = (df.withColumn("_rx", F.expr(f"(_hx div {s}) % 2"))
-                .withColumn("_ry", F.expr(f"(_hy div {s}) % 2"))
-                .withColumn("_hd", F.expr(
-                    f"_hd + {s * s} * (3 * _rx + _ry - 2 * _rx * _ry)"))
-                .withColumn("_nx", F.expr(
-                    f"CASE WHEN _ry = 1 THEN _hx "
-                    f"WHEN _rx = 1 THEN {n - 1} - _hy ELSE _hy END"))
-                .withColumn("_hy", F.expr(
-                    f"CASE WHEN _ry = 1 THEN _hy "
-                    f"WHEN _rx = 1 THEN {n - 1} - _hx ELSE _hx END"))
-                .withColumn("_hx", F.col("_nx")))
-        s //= 2
+            .withColumn("_hd", F.lit(0).cast("bigint"))
+            .withColumn("_hs", F.lit(0)))
+    bit = HILBERT_BITS - 1
+    while bit >= 1:
+        s1, s2 = bit, bit - 1
+        b4 = (F.shiftright("_hx", s1).bitwiseAND(F.lit(1)) * 8
+              + F.shiftright("_hy", s1).bitwiseAND(F.lit(1)) * 4
+              + F.shiftright("_hx", s2).bitwiseAND(F.lit(1)) * 2
+              + F.shiftright("_hy", s2).bitwiseAND(F.lit(1)))
+        # bind the lookup to a column so the digit and state uses share
+        # ONE element_at (multi-use aliases survive CollapseProject;
+        # unaliased, every stage's lookup was evaluated twice)
+        df = (df.withColumn("_hv", F.element_at(
+                    arr, (F.col("_hs") * 16 + b4 + 1).cast("int")))
+                .withColumn("_hd", F.col("_hd") * 16
+                            + (F.col("_hv") % 16).cast("bigint"))
+                .withColumn("_hs", F.shiftright("_hv", 4).cast("int")))
+        bit -= 2
+    if bit == 0:                      # odd HILBERT_BITS: one-level tail
+        arr1 = F.array(*[F.lit(v) for v in single_tbl])
+        b2 = (F.col("_hx").bitwiseAND(F.lit(1)) * 2
+              + F.col("_hy").bitwiseAND(F.lit(1)))
+        df = (df.withColumn("_hv", F.element_at(
+                    arr1, (F.col("_hs") * 4 + b2 + 1).cast("int")))
+                .withColumn("_hd", F.col("_hd") * 4
+                            + (F.col("_hv") % 4).cast("bigint"))
+                .withColumn("_hs", F.shiftright("_hv", 2).cast("int")))
     return (df.withColumn(out, F.col("_hd"))
-              .drop("_hx", "_hy", "_hd", "_nx", "_rx", "_ry"))
+              .drop("_hx", "_hy", "_hd", "_hs", "_hv"))
 
 
 def hilbert_xy2d_py(n: int, x: int, y: int) -> int:

@@ -416,3 +416,40 @@ def test_hex_rect_cells_superset_tight_and_pushdown(spark, tmp_path):
     pushed = plan.split("PushedFilters", 1)[1][:400]
     assert "hkey" in pushed and "In(" in pushed
     assert rewritten.count() == t.where(rect).count() > 0
+
+
+def test_hilbert_tables_match_recurrence_exhaustively():
+    """r8 optimization pin: the fused 2-level lookup tables ARE the
+    public xy2d recurrence, proven exhaustively for every grid up to
+    64x64 (covers both the even-bit pair fold and the odd-bit tail)
+    and by random sample at the production 12-bit grid."""
+    import random
+    from spatialsketch_spark.geo.layout import (_hilbert_tables,
+                                                HILBERT_BITS,
+                                                hilbert_xy2d_py)
+    pair_tbl, single_tbl = _hilbert_tables()
+
+    def fold(nbits, x, y):
+        st = hd = 0
+        bit = nbits - 1
+        while bit >= 1:
+            b4 = (((x >> bit) & 1) * 8 + ((y >> bit) & 1) * 4
+                  + ((x >> (bit - 1)) & 1) * 2 + ((y >> (bit - 1)) & 1))
+            v = pair_tbl[st * 16 + b4]
+            hd, st = hd * 16 + (v % 16), v >> 4
+            bit -= 2
+        if bit == 0:
+            v = single_tbl[st * 4 + (x & 1) * 2 + (y & 1)]
+            hd, st = hd * 4 + (v % 4), v >> 2
+        return hd
+
+    for nbits in range(1, 7):
+        n = 1 << nbits
+        for x in range(n):
+            for y in range(n):
+                assert fold(nbits, x, y) == hilbert_xy2d_py(n, x, y)
+    n = 1 << HILBERT_BITS
+    random.seed(11)
+    for _ in range(5000):
+        x, y = random.randrange(n), random.randrange(n)
+        assert fold(HILBERT_BITS, x, y) == hilbert_xy2d_py(n, x, y)
