@@ -151,15 +151,33 @@ def registrable_domain(df: DataFrame, host_col_expr=None,
 
 
 def domain_cap(df: DataFrame, k: int,
-               domain_col: str = "domain") -> DataFrame:
+               domain_col: str = "domain",
+               buckets: int = 32) -> DataFrame:
     """Deterministic per-domain cap: keep the ``k`` lowest-doc_id rows
-    of each registrable domain (rank exposed as ``rk``). ONE shuffle
-    on the domain key; the per-domain window sorts only that domain's
-    rows."""
+    of each registrable domain (rank exposed as ``rk``).
+
+    TWO-PHASE (r8, VERDICT r7 task 3 — hot-domain skew-proof): a
+    single ``row_number`` window over ``domain`` puts a pathological
+    domain holding a large corpus fraction on ONE task at 100 TB.
+    Phase 1 windows over (domain, deterministic doc_id hash bucket) —
+    the hot domain spreads over ``buckets`` tasks — and keeps each
+    bucket's k lowest doc_ids. Phase 2 re-ranks the survivors (at most
+    k x buckets rows per domain on any task) over ``domain`` alone.
+    Identical output: every one of a domain's k globally-lowest
+    doc_ids is among its own bucket's k lowest, so phase 1 never drops
+    a final survivor, and re-ranking survivors by the same unique key
+    assigns the same rk 1..k. Skew bound pinned in
+    tests/test_skew.py::test_domain_cap_* ."""
     from pyspark.sql.window import Window
+    wl = Window.partitionBy(domain_col, "_dcb").orderBy("doc_id")
+    local = (df.withColumn("_dcb", F.pmod(F.xxhash64("doc_id"),
+                                          F.lit(int(buckets))))
+             .withColumn("_lrk", F.row_number().over(wl))
+             .where(F.col("_lrk") <= int(k)))
     w = Window.partitionBy(domain_col).orderBy("doc_id")
-    return (df.withColumn("rk", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rk") <= int(k)))
+    return (local.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= int(k))
+            .drop("_dcb", "_lrk"))
 
 
 def url_dedup(df: DataFrame,

@@ -213,3 +213,56 @@ def test_overlap_join_blocks_bound_hot_key_skew(spark, zipf_events):
     assert plain >= 0.35, plain
     assert blocked <= 0.10, blocked
     assert blocked <= plain / 3, (plain, blocked)
+
+
+@pytest.fixture(scope="module")
+def zipf_domains(spark):
+    """Hot-domain corpus: one domain owns 40% of all docs."""
+    df = (spark.range(N).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.when(F.col("id") < int(N * HOT_FRAC), "hot.example")
+         .otherwise(F.concat(F.lit("d"),
+                             ((F.col("id") * 2654435761) % 997)
+                             .cast("string"),
+                             F.lit(".example"))).alias("domain")))
+    df = df.cache()
+    df.count()
+    return df
+
+
+def test_domain_cap_two_phase_equals_plain_window(spark, zipf_domains):
+    """The two-phase cap must reproduce the single-window cap exactly
+    (rows AND rk) on the hot-domain fixture."""
+    from pyspark.sql.window import Window
+    from spatialsketch_spark.pipeline.curation import domain_cap
+    k = 25
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    plain = (zipf_domains
+             .withColumn("rk", F.row_number().over(w).cast("bigint"))
+             .where(F.col("rk") <= k))
+    got = sorted(map(tuple, domain_cap(zipf_domains, k).collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
+    assert len(got) == 25 + 997 * 25   # hot + uniform domains
+
+
+def test_domain_cap_phase1_bounds_task_skew(spark, zipf_domains):
+    """The skew claim itself: phase 1 distributes on (domain, doc_id
+    hash bucket), so the hot domain's 40% spreads over the buckets —
+    assert the largest task's share is bounded, and beats the plain
+    domain distribution by at least 3x (same methodology as the
+    transitions skew test above)."""
+    P = 64
+    def max_share(df, *keys):
+        parts = (df.repartition(P, *keys)
+                 .select(F.spark_partition_id().alias("pid"))
+                 .groupBy("pid").count().collect())
+        return max(r["count"] for r in parts) / N
+    plain = max_share(zipf_domains, "domain")
+    bucketed = max_share(
+        zipf_domains.withColumn(
+            "_dcb", F.pmod(F.xxhash64("doc_id"), F.lit(32))),
+        "domain", "_dcb")
+    assert plain >= HOT_FRAC          # hot domain lands on one task
+    assert bucketed <= 0.10
+    assert bucketed * 3 <= plain
