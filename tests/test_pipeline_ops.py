@@ -1996,3 +1996,39 @@ def test_cont_quantiles_agree_with_native_percentile(spark):
     for _, r in got.iterrows():
         mine = r.lo + (r.frac_num / 100.0) * (r.hi - r.lo)
         assert abs(mine - native[(r.lang, r.q)]) < 1e-9
+
+
+def test_triangle_edge_fanout_bound(spark):
+    """r8 skew guard (VERDICT r7 task 7): the co-activity EDGE
+    construction self-joins users within each (event_type, day) group
+    — g(g-1)/2 pair emissions per group of g distinct users, the one
+    quadratic stage the degree-orientation bound does not cover
+    (inherent to the clique graph definition). Pin the contract on the
+    gate fixture: the pre-distinct pair count equals the closed form
+    exactly, and the hottest group stays a bounded fraction of the
+    user population, so a hub day is one O(g^2) task, not a job-wide
+    explosion. If a real corpus breaks this, the documented relaxation
+    is a degree-threshold cap — deliberately NOT applied, because the
+    DuckDB oracle counts the same cliques."""
+    from spatialsketch_spark.pipeline.events import (_DAY_US, _TS_US,
+                                                     _events)
+    ev = _events(spark, SF_ORACLE)
+    day = F.expr(f"({_TS_US}) div {_DAY_US}")
+    g = (ev.select("event_type", "user_id", day.alias("d")).distinct()
+         .groupBy("event_type", "d")
+         .agg(F.count("*").alias("g")))
+    stats = g.agg(F.max("g").alias("gmax"),
+                  F.sum(F.col("g") * (F.col("g") - 1) / 2)
+                  .alias("pairs")).collect()[0]
+    n_users = ev.select("user_id").distinct().count()
+    # closed form == the join's actual pre-distinct emission count
+    atd = ev.select("event_type", "user_id", day.alias("d")).distinct()
+    a = atd.withColumnRenamed("user_id", "ua")
+    b = atd.withColumnRenamed("user_id", "ub")
+    emitted = (a.join(b, ["event_type", "d"])
+               .where(F.col("ua") < F.col("ub")).count())
+    assert emitted == int(stats["pairs"])
+    # hottest cohort bounded: far below the whole population, so the
+    # per-group quadratic term cannot dominate a 100 TB job
+    assert stats["gmax"] <= max(64, n_users // 2), \
+        (stats["gmax"], n_users)
