@@ -1456,6 +1456,16 @@ def kmeans_train(emb: DataFrame, k: int = KMEANS_K,
                      lambda st: st.c_val).alias("cx_new")))
         cents = (cents.join(new_c, "cid", "left")
                  .select("cid", F.coalesce("cx_new", "cx").alias("cx")))
+        # materialize the k·dim-int codebook each round (r8, guide §5:
+        # the lazy chain re-evaluated the ENTIRE training subtree at
+        # every downstream reference — three times in ivf_trained_topk
+        # — and doubled plan depth per iteration; collecting
+        # centroid-sized state to the driver is the repo's established
+        # bounded-collect posture). Exact int64, so values unchanged.
+        cents = emb.sparkSession.createDataFrame(
+            [(int(r["cid"]), [int(v) for v in r["cx"]])
+             for r in cents.collect()],
+            "cid bigint, cx array<bigint>")
     if return_centroids:
         # the FINAL codebook including empty-cluster carryovers —
         # the array form downstream index builds consume
