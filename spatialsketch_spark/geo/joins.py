@@ -308,10 +308,11 @@ def hotspot_cells(geo: DataFrame, n: int, g: int = 64,
                       F.expr(f"y DIV {w}").alias("cy"))
            .groupBy("cx", "cy")
            .agg(F.count("*").cast("bigint").alias("cnt")))
-    # O(1) scalar job; cnt is NOT persisted — its exchange is reused
-    # across the two consumers in the final plan, and a persist here
-    # would leak a cached relation per call
-    total = cnt.agg(F.sum("cnt")).collect()[0][0]
+    # total as a broadcast one-row scalar join (r8; was a separate
+    # collect() JOB that re-scanned the events before the main plan
+    # ran — now all three cnt consumers sit in ONE plan and reuse the
+    # cnt exchange; cnt itself stays unpersisted on purpose)
+    total_df = cnt.agg(F.sum("cnt").cast("bigint").alias("_total"))
     offs = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
         "dx int, dy int")
@@ -322,8 +323,9 @@ def hotspot_cells(geo: DataFrame, n: int, g: int = 64,
                     & (F.col("ty") >= 0) & (F.col("ty") < g))
              .groupBy("tx", "ty")
              .agg(F.sum("cnt").cast("bigint").alias("neigh")))
-    hot = (F.col("neigh") * (g * g) >= F.lit(mult) * F.lit(int(total)))
+    hot = (F.col("neigh") * (g * g) >= F.lit(mult) * F.col("_total"))
     return (cnt.join(neigh, (cnt.cx == neigh.tx) & (cnt.cy == neigh.ty))
+            .crossJoin(F.broadcast(total_df))
             .select(F.col("cx").cast("bigint"), F.col("cy").cast("bigint"),
                     "cnt", "neigh", hot.cast("int").alias("hot")))
 

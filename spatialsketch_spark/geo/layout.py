@@ -150,6 +150,30 @@ GEOHASH_BITS = 20          # lon/lat index resolution (2^20 per axis)
 GEOHASH_CHARS = 8          # 8 chars x 5 bits = 40 = 2 x 20
 
 
+def geohash_bits_col(lon_idx, lat_idx):
+    """The 40 interleaved geohash bits as ONE bigint (MSB-first lon/lat
+    alternation starting with lon). Because the base32 alphabet is
+    ASCII-ascending, the fixed-length geohash STRING order equals this
+    integer's order — aggregations can run on the integer and render
+    strings per group instead of per row."""
+    def spread(v):
+        for mul, mask in _SPREAD64:
+            v = v.bitwiseOR(v * mul).bitwiseAND(F.lit(mask))
+        return v
+    return spread(lat_idx).bitwiseOR(spread(lon_idx) * 2)
+
+
+def geohash_render(bits, nchars: int = GEOHASH_CHARS,
+                   total_bits: int = 5 * GEOHASH_CHARS):
+    """Leading ``nchars`` base32 characters of a ``total_bits``-wide
+    geohash bit column."""
+    chars = [F.substring(F.lit(GEOHASH_B32),
+                         (F.shiftright(bits, total_bits - 5 * (j + 1))
+                          .bitwiseAND(F.lit(31)) + 1).cast("int"), 1)
+             for j in range(nchars)]
+    return F.concat(*chars)
+
+
 def geohash_col(lon_idx, lat_idx):
     """Standard geohash (base32, MSB-first lon/lat bit alternation
     starting with lon) of integer grid indices lon_idx, lat_idx in
@@ -157,16 +181,7 @@ def geohash_col(lon_idx, lat_idx):
     the exact public geohash of the grid point (pytest pins it against
     a reference bisection encoder). All codegen: two 5-stage bit
     spreads, then one substring lookup per character."""
-    def spread(v):
-        for mul, mask in _SPREAD64:
-            v = v.bitwiseOR(v * mul).bitwiseAND(F.lit(mask))
-        return v
-    gh = spread(lat_idx).bitwiseOR(spread(lon_idx) * 2)
-    chars = [F.substring(F.lit(GEOHASH_B32),
-                         (F.shiftright(gh, 35 - 5 * j)
-                          .bitwiseAND(F.lit(31)) + 1).cast("int"), 1)
-             for j in range(GEOHASH_CHARS)]
-    return F.concat(*chars)
+    return geohash_render(geohash_bits_col(lon_idx, lat_idx))
 
 
 def _spread64_sql(v: str) -> str:
@@ -196,11 +211,21 @@ def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     kx = F.expr(f"((event_id % {m}) * 2654435761) % {m}")
     ky = F.expr(f"((event_id % {m}) * 2246822519 + user_id * 97) % {m}")
-    return (ev.select(geohash_col(kx, ky).alias("gh"))
-            .groupBy(F.substring("gh", 1, 4).alias("gh4"))
+    # aggregate on the 40-bit INTEGER hash and render base32 strings
+    # per GROUP (r8, guide §2.3): fixed-length geohash string order ==
+    # integer order (ASCII-ascending alphabet), so substring(gh,1,4)
+    # == render(bits >> 20) and min/max commute with rendering — the
+    # per-row work drops from 8 substring+concat string builds to two
+    # integer bit spreads, and the exchange carries ints, not strings
+    return (ev.select(geohash_bits_col(kx, ky).alias("ghi"))
+            .groupBy(F.shiftright("ghi", 20).alias("_g4"))
             .agg(F.count("*").cast("bigint").alias("cnt"),
-                 F.min("gh").alias("gh_min"),
-                 F.max("gh").alias("gh_max")))
+                 F.min("ghi").alias("_mn"),
+                 F.max("ghi").alias("_mx"))
+            .select(geohash_render(F.col("_g4"), 4, 20).alias("gh4"),
+                    "cnt",
+                    geohash_render(F.col("_mn")).alias("gh_min"),
+                    geohash_render(F.col("_mx")).alias("gh_max")))
 
 
 def oracle_geohash_rollup() -> str:
