@@ -45,28 +45,46 @@ def main():
     todo = names or list(GATE_QUERIES)
     out: dict[str, float] = {}
     errs: dict[str, str] = {}
+    budget = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "75"))
     t_all = time.time()
+    import threading
     for name in todo:
         fn = GATE_QUERIES[name][0]
-        spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+        sc = spark.sparkContext
+        sc.setJobGroup(f"bx:{name}", name)
+        # watchdog: a gate that blows the per-gate budget is CANCELLED
+        # and recorded as a timeout — one pathological operator must
+        # not stall the whole sweep (it becomes a finding instead)
+        timer = threading.Timer(
+            budget, lambda: sc.cancelJobGroup(f"bx:{name}"))
+        timer.daemon = True
+        timer.start()
         try:
             t0 = time.time()
             fn(spark, sf).write.format("noop").mode("overwrite").save()
             first = time.time() - t0
             best = None
             for _ in range(max(trials - 1, 0)):
-                t0 = time.time()
+                if time.time() - t0 > budget:
+                    break
+                t1 = time.time()
                 fn(spark, sf).write.format("noop").mode("overwrite") \
                     .save()
-                dt = time.time() - t0
+                dt = time.time() - t1
                 best = dt if best is None or dt < best else best
             out[name] = round(best if best is not None else first, 3)
             print(f"{name}: {out[name]} (first {round(first, 3)})",
                   flush=True)
         except Exception as exc:          # keep sweeping; report at end
-            errs[name] = repr(exc)[:200]
+            if not timer.is_alive():
+                errs[name] = f"TIMEOUT>{budget}s"
+            else:
+                errs[name] = repr(exc)[:200]
             print(f"{name}: ERROR {errs[name]}", flush=True)
-        spark.sparkContext.setJobDescription(None)
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+            sc.setJobDescription(None)
     res = {"sf_dir": sf, "cpus": cpus, "trials": trials,
            "wall_s": round(time.time() - t_all, 1),
            "queries": dict(sorted(out.items(), key=lambda kv: -kv[1])),
