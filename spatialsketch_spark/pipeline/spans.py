@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import word_hash_col
-from .text import FP_MOD, ROLL_B, _window_hash_array, _with_words
+from .text import (FP_MOD, ROLL_B, _window_hash_array,
+                   _window_hash_rows, _with_words)
 
 SPAN_K = 4          # span granularity (tokens) — gate default
 CONTAM_DEN = 10     # contaminated when hits/positions >= 1/CONTAM_DEN
@@ -55,11 +56,13 @@ def span_dedup(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     kept_fp fingerprints the post-removal text (md5 -> int64), so the
     oracle proves the exact surviving byte sequence, not just counts.
     """
-    d = _with_kgrams(docs, k)
-    occ = d.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.posexplode("_fps").alias("pos0", "h"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("j"), "h")
+    d = _with_words(docs)
+    # occurrence table via the relational window-hash rows (r8 —
+    # identical hashes, no array-lambda aliases for the optimizer to
+    # inline into Generate filters; see _token_hash_rows)
+    occ = (_window_hash_rows(docs, k)
+           .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                   "j", F.col("wh").alias("h")))
     wn = Window.partitionBy("h").orderBy("doc_id", "j")
     marked = (occ.withColumn("rn", F.row_number().over(wn))
               .where(F.col("rn") >= 2)
@@ -98,16 +101,20 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
     occurs anywhere in the eval set, contaminated = 1 iff
     CONTAM_DEN * n_hits >= n_positions (>= 10%) and n_positions > 0.
     -> (doc_id, n_positions, n_hits, contaminated)."""
-    ev = (_with_kgrams(eval_docs, k)
-          .select(F.explode("_fps").alias("h")).distinct())
-    occ = _with_kgrams(corpus, k).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode("_fps").alias("h"))
+    # r8: window hashes as rows (identical arithmetic, codegen'd —
+    # see _token_hash_rows); n_positions = max(n - k + 1, 0) straight
+    # from the token count instead of sizing the hash array
+    ev = (_window_hash_rows(eval_docs, k)
+          .select(F.col("wh").alias("h")).distinct())
+    occ = (_window_hash_rows(corpus, k)
+           .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                   F.col("wh").alias("h")))
     hits = (occ.join(ev, "h", "left_semi")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
-    base = _with_kgrams(corpus, k).select(
+    base = _with_words(corpus).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.size("_fps").cast("bigint").alias("n_positions"))
+        F.greatest(F.size("_words") - (k - 1), F.lit(0))
+        .cast("bigint").alias("n_positions"))
     return (base.join(hits, "doc_id", "left")
             .select("doc_id", "n_positions",
                     F.coalesce("n_hits", F.lit(0)).cast("bigint")
@@ -266,33 +273,49 @@ def cdc_chunks(docs: DataFrame, m: int = CDC_M) -> DataFrame:
     -> (doc_id, chunk_idx, chunk_start, chunk_len, fp, n_occ, canonical)
     one row per chunk; canonical = 1 on the min-(doc_id, chunk_idx)
     occurrence of each fp."""
-    d = _with_kgrams(docs, 2)        # _whs reduced, _fps = 2-gram hashes
+    # r8 shape (guide §4.1 — the repo's own minhash lesson: explode +
+    # codegen beats interpreted array lambdas): the old form filtered
+    # sequence(1, n) with element_at(_fps, j-1) per element; Catalyst
+    # inlined the single-use hash-chain aliases into the lambdas AND
+    # into the Generate's inferred non-empty filter, which predicate
+    # pushdown then moved below the spread exchange — the optimized
+    # plan held 37 copies of the conv/md5 chain in a single-task
+    # interpreted Filter (caught by a 9-minute task + thread dump in
+    # the r8 sweep). Now the word-hash array is exploded ONCE and the
+    # boundary/chunk logic is relational: lag gives the 2-token window
+    # hash, a prefix sum of cut flags numbers the chunks, and the
+    # chunk fingerprint folds over a per-chunk collect_list value (a
+    # materialized array — nothing left for the optimizer to inline).
+    d = _with_kgrams(docs, 2)        # only _whs survives pruning
     n = F.size("_whs")
-    # chunk ENDS: token j (j >= 2) ends a chunk when the window hash of
-    # tokens (j-1, j) cuts, plus the forced final token (the OR dedups
-    # the case where the last window is itself a boundary); the lazy
-    # CASE keeps element_at(_fps, 0) from ever evaluating at j == 1
-    ends = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda j: (j == n) | F.when(
-            j >= 2, F.element_at("_fps", j - 1) % m == 0
-        ).otherwise(F.lit(False)))
-    ex = (d.where(n >= 1).withColumn("_ends", ends)
-          .select("doc_id", "_whs", "_ends",
-                  F.posexplode("_ends").alias("_i", "_e")))
-    # lazy CASE guard: element_at(_ends, 0) never evaluates on the
-    # _i == 0 branch (same idiom as _window_hash_array)
-    start = F.when(F.col("_i") == 0, F.lit(1)) \
-             .otherwise(F.element_at("_ends", F.col("_i")) + 1)
-    ex = ex.withColumn("_s", start) \
-           .withColumn("_len", F.col("_e") - F.col("_s") + 1)
+    tok = (d.where(n >= 1)
+           .select("doc_id", F.posexplode("_whs").alias("_j0", "_h"))
+           .select("doc_id", (F.col("_j0") + 1).alias("_j"), "_h"))
+    wd = Window.partitionBy("doc_id").orderBy("_j")
+    wfull = Window.partitionBy("doc_id")
+    wprev = wd.rowsBetween(Window.unboundedPreceding, -1)
+    # 2-token rolling hash ending at token j (pw = [B, 1], w = 2)
+    fp2 = (F.lag("_h").over(wd) * (ROLL_B % FP_MOD)
+           + F.col("_h")) % FP_MOD
+    cut = ((F.col("_j") >= 2) & (fp2 % m == 0)) \
+        | (F.col("_j") == F.col("_n"))
+    tok = (tok.withColumn("_n", F.count("*").over(wfull))
+           .withColumn("_cut", cut)
+           .withColumn("_ck", F.lit(1) + F.coalesce(
+               F.sum(F.col("_cut").cast("bigint")).over(wprev),
+               F.lit(0))))
+    ch = (tok.groupBy("doc_id", "_ck")
+          .agg(F.min("_j").alias("_s"),
+               F.count("*").alias("_len"),
+               F.sort_array(F.collect_list(F.struct("_j", "_h")))
+               .alias("_hs")))
     fp = F.aggregate(
-        F.slice("_whs", F.col("_s"), F.col("_len")),
+        F.transform("_hs", lambda x: x["_h"]),
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * ROLL_B + h) % FP_MOD)
-    ch = ex.select(
+    ch = ch.select(
         F.col("doc_id").cast("bigint"),
-        (F.col("_i") + 1).cast("bigint").alias("chunk_idx"),
+        F.col("_ck").cast("bigint").alias("chunk_idx"),
         F.col("_s").cast("bigint").alias("chunk_start"),
         F.col("_len").cast("bigint").alias("chunk_len"),
         fp.alias("fp"))

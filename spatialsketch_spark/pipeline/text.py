@@ -121,6 +121,44 @@ ROLL_W = 4       # rolling window width (tokens)
 ROLL_B = 131     # polynomial base
 
 
+def _token_hash_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, j, h): 1-based token position + word hash, ONE
+    codegen'd md5/conv per token via explode. r8: the array form
+    (transform + element_at over a `_whs` alias) let Catalyst inline
+    the hash chain into downstream lambdas and Generate-inferred
+    filters — interpreted, duplicated up to 37x, and pushed below the
+    spread exchange into a single scan task (thread-dump evidence in
+    OPTIMIZATION_r08.md). Exploded rows leave nothing to inline."""
+    from .dedup import word_hash_col
+    d = _with_words(docs)
+    return (d.select("doc_id",
+                     F.posexplode("_words").alias("_j0", "_w"))
+            .select("doc_id", (F.col("_j0") + 1).alias("j"),
+                    (word_hash_col(F.col("_w")) % FP_MOD).alias("h")))
+
+
+def _window_hash_rows(docs: DataFrame, w: int,
+                      base: int = ROLL_B) -> DataFrame:
+    """(doc_id, j, wh, n): Rabin-Karp w-token window hash per 1-based
+    window start j, n = doc token count — the relational twin of
+    :func:`_window_hash_array` (identical int64 arithmetic, same term
+    order, so bit-identical hashes)."""
+    from pyspark.sql.window import Window as _W
+    tok = _token_hash_rows(docs)
+    wd = _W.partitionBy("doc_id").orderBy("j")
+    pw = [pow(base, w - 1 - i, FP_MOD) for i in range(w)]
+    acc = None
+    for i in range(w):
+        col = F.col("h") if i == 0 else F.lead("h", i).over(wd)
+        term = col * F.lit(pw[i])
+        acc = term if acc is None else acc + term
+    return (tok.withColumn("_n", F.count("*")
+                           .over(_W.partitionBy("doc_id")))
+            .withColumn("wh", acc % FP_MOD)
+            .where(F.col("j") + (w - 1) <= F.col("_n"))
+            .select("doc_id", "j", "wh", F.col("_n").alias("n")))
+
+
 def rolling_fingerprint(docs: DataFrame, w: int = ROLL_W,
                         base: int = ROLL_B) -> DataFrame:
     """Rabin-Karp rolling-hash document fingerprint (the winnowing
@@ -129,26 +167,16 @@ def rolling_fingerprint(docs: DataFrame, w: int = ROLL_W,
     tokens). The unrolled fixed-width polynomial keeps the arithmetic
     pure int64 and bit-identical in DuckDB.
     -> (doc_id, min_window_fp)."""
-    d = _with_words(docs)
-    whs = F.transform(F.col("_words"),
-                      lambda x: word_hash_col(x) % FP_MOD)
-    d = d.withColumn("_whs", whs)
-    pw = [pow(base, w - 1 - i, FP_MOD) for i in range(w)]
-
-    def window_fp(j):
-        # j is 1-based window start inside the _whs array
-        acc = None
-        for i in range(w):
-            term = F.element_at("_whs", j + i) * F.lit(pw[i])
-            acc = term if acc is None else acc + term
-        return acc % FP_MOD
-
-    n = F.size(F.col("_whs"))
-    fps = F.transform(F.sequence(F.lit(1), n - (w - 1)), window_fp)
-    return d.select(
-        F.col("doc_id").cast("bigint"),
-        F.when(n >= w, F.array_min(fps)).otherwise(F.lit(-1))
-        .cast("bigint").alias("min_window_fp"))
+    # relational form (r8): window hashes as rows, min-agg per doc;
+    # docs shorter than w tokens have no window rows and fill with -1
+    mins = (_window_hash_rows(docs, w, base)
+            .groupBy("doc_id")
+            .agg(F.min("wh").alias("_mn")))
+    return (docs.select(F.col("doc_id").cast("bigint"))
+            .join(mins, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("_mn", F.lit(-1)).cast("bigint")
+                    .alias("min_window_fp")))
 
 
 WINNOW_G = 3     # guarantee window (in rolling-hash positions)
@@ -184,18 +212,19 @@ def winnow_fingerprints(docs: DataFrame, w: int = ROLL_W,
     of length >= g + w - 1 produces a shared fingerprint — the local
     version of the global min the rolling_fingerprint op keeps.
     -> exploded (doc_id, fp), one row per selected fingerprint."""
-    d = _with_words(docs)
-    whs = F.transform(F.col("_words"),
-                      lambda x: word_hash_col(x) % FP_MOD)
-    d = d.withColumn("_whs", whs) \
-         .withColumn("_fps", _window_hash_array(w, base))
-    n = F.size(F.col("_fps"))
-    sel = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), n - (g - 1)),
-        lambda j: F.array_min(F.slice(F.col("_fps"), j, g))))
-    return (d.where(n >= g)
+    # relational form (r8): per-position g-window minimum as a sliding
+    # ROWS frame over the window-hash rows, then distinct — same set
+    # as the old array_distinct(transform(... array_min(slice)))
+    from pyspark.sql.window import Window as _W
+    whr = _window_hash_rows(docs, w, base)
+    frame = (_W.partitionBy("doc_id").orderBy("j")
+             .rowsBetween(_W.currentRow, g - 1))
+    nf = F.col("n") - (w - 1)            # number of w-token windows
+    return (whr.withColumn("_gmin", F.min("wh").over(frame))
+            .where(F.col("j") <= nf - (g - 1))
             .select(F.col("doc_id").cast("bigint"),
-                    F.explode(sel).alias("fp")))
+                    F.col("_gmin").alias("fp"))
+            .distinct())
 
 
 def winnow_candidate_pairs(docs: DataFrame, w: int = ROLL_W,
