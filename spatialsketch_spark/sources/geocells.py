@@ -603,6 +603,49 @@ def _pip_batch_filter(vertices: list[tuple[float, float]]):
     return fn
 
 
+def _cover_prune(d: DataFrame, cover: list[tuple[int, int]],
+                 cell_col: str = "_cell",
+                 coarse_target: int = 6) -> DataFrame:
+    """Two-stage cover prune (r8, guide §3): the single broadcast
+    BETWEEN join is a BroadcastNestedLoopJoin whose pair loop
+    evaluates every row against every range (100k rows x 72 ranges
+    cost 1.5 s at sf0.1). Stage 1 BNL-joins against <= coarse_target
+    MERGED coarse blocks (ranges shifted and coalesced — a superset of
+    the cover), stage 2 applies the exact ranges to the few survivors:
+    ~7x fewer pair evaluations, identical matches (both covers are
+    disjoint supersets; the exact ranges decide). The BNLJ shape is
+    deliberate: it is the codegen barrier that keeps the staged-cell
+    trig tree in its own whole-stage method — a hash join or a pushed
+    OR-of-BETWEEN filter re-inlines the tree per term and overflows
+    janino's 64 KB limit (both tried; strict-codegen test failed)."""
+    spark = d.sparkSession
+    shift = 0
+    coarse = list(cover)
+    while True:
+        shifted = sorted((lo >> shift, hi >> shift)
+                         for lo, hi in cover)
+        merged = [list(shifted[0])]
+        for lo, hi in shifted[1:]:
+            if lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        coarse = [(lo, hi) for lo, hi in merged]
+        if len(coarse) <= coarse_target or shift > 60:
+            break
+        shift += 2
+    crng = spark.createDataFrame(coarse, "clo BIGINT, chi BIGINT")
+    cshift = F.shiftright(F.col(cell_col), shift)
+    stage1 = d.join(F.broadcast(crng),
+                    (cshift >= F.col("clo"))
+                    & (cshift <= F.col("chi"))).drop("clo", "chi")
+    rng = spark.createDataFrame(cover, "lo BIGINT, hi BIGINT")
+    return (stage1.join(F.broadcast(rng),
+                        (F.col(cell_col) >= F.col("lo"))
+                        & (F.col(cell_col) <= F.col("hi")))
+            .drop("lo", "hi"))
+
+
 def polygon_filter_sphere(df: DataFrame,
                           vertices: list[tuple[float, float]],
                           res: int) -> DataFrame:
@@ -612,14 +655,9 @@ def polygon_filter_sphere(df: DataFrame,
     why the exact stage is numpy, not column expressions). Output
     equals the brute-force filter regardless of cover tightness.
     -> input rows inside."""
-    spark = df.sparkSession
     cover = spherical_polygon_cover(vertices, res)
-    rng = spark.createDataFrame(cover, "lo BIGINT, hi BIGINT")
     d = with_s2ish_cells(df, res, out="_cell")
-    pruned = d.join(F.broadcast(rng),
-                    (F.col("_cell") >= F.col("lo"))
-                    & (F.col("_cell") <= F.col("hi"))) \
-              .drop("lo", "hi", "_cell")
+    pruned = _cover_prune(d, cover).drop("_cell")
     return pruned.mapInPandas(_pip_batch_filter(vertices),
                               schema=pruned.schema)
 
@@ -736,18 +774,13 @@ def cap_filter(df: DataFrame, lon0: float, lat0: float,
     dot(dir(p), dir(center)) >= cos(radius). Since the cover is a
     proven superset, the result equals the brute-force filter
     regardless of cover tightness. -> input rows within the cap."""
-    spark = df.sparkSession
     cover = s2ish_cap_cover(lon0, lat0, radius_rad, res)
-    rng = spark.createDataFrame(cover, "lo BIGINT, hi BIGINT")
     rad = math.pi / 180.0
     c = (math.cos(lat0 * rad) * math.cos(lon0 * rad),
          math.cos(lat0 * rad) * math.sin(lon0 * rad),
          math.sin(lat0 * rad))
     d = with_s2ish_cells(df, res, out="_cell")
-    pruned = d.join(F.broadcast(rng),
-                    (F.col("_cell") >= F.col("lo"))
-                    & (F.col("_cell") <= F.col("hi"))) \
-              .drop("lo", "hi", "_cell")
+    pruned = _cover_prune(d, cover).drop("_cell")
     dot = (F.cos(F.col("lat") * rad) * F.cos(F.col("lon") * rad)
            * F.lit(c[0])
            + F.cos(F.col("lat") * rad) * F.sin(F.col("lon") * rad)
