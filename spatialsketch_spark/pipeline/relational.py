@@ -628,16 +628,30 @@ def nullsafe_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     -> (k, n_pairs, spend_c) with k = -1 standing in for the NULL
     bucket in the output (the JOIN itself ran on real NULLs)."""
-    o = _read(spark, sf_dir, "orders").select(
-        F.nullif(F.col("o_custkey") % 7, F.lit(3)).alias("ok"),
-        cents(F.col("o_totalprice")).alias("c"))
-    c = _read(spark, sf_dir, "customer").select(
-        F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("ck"))
+    # r8 (guide §2.3 "aggregate before you shuffle"): the derived key
+    # has only 8 distinct values, so joining the raw tables exploded
+    # to |o|x|c|/7 rows (~321M at sf0.1, >75 s) only to be re-grouped
+    # by the same key. Aggregating each side FIRST makes the join an
+    # 8x8 row product; n_pairs/spend_c distribute exactly over the
+    # per-key counts (integer arithmetic, identical results — the
+    # NULL-safe hash join itself is unchanged and still plan-pinned).
+    o = (_read(spark, sf_dir, "orders")
+         .select(F.nullif(F.col("o_custkey") % 7, F.lit(3)).alias("ok"),
+                 cents(F.col("o_totalprice")).alias("c"))
+         .groupBy("ok")
+         .agg(F.count("*").cast("bigint").alias("n_o"),
+              F.sum("c").cast("bigint").alias("s_c")))
+    c = (_read(spark, sf_dir, "customer")
+         .select(F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("ck"))
+         .groupBy("ck")
+         .agg(F.count("*").cast("bigint").alias("n_c")))
     j = o.join(c, o["ok"].eqNullSafe(c["ck"]))
-    return (j.groupBy(F.coalesce(F.col("ok"), F.lit(-1)).alias("k"))
-            .agg(F.count("*").cast("bigint").alias("n_pairs"),
-                 F.sum("c").cast("bigint").alias("spend_c"))
-            .select(F.col("k").cast("bigint"), "n_pairs", "spend_c")
+    return (j.select(F.coalesce(F.col("ok"), F.lit(-1)).cast("bigint")
+                     .alias("k"),
+                     (F.col("n_o") * F.col("n_c")).cast("bigint")
+                     .alias("n_pairs"),
+                     (F.col("s_c") * F.col("n_c")).cast("bigint")
+                     .alias("spend_c"))
             .orderBy("k"))
 
 
