@@ -385,17 +385,21 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
         nbr = (edges.join(labels.select(F.col("node").alias("b"),
                                         F.col("label").alias("nl")), "b")
                .groupBy("a").agg(F.min("nl").alias("nbl")))
+        # carry the per-node change flag INSIDE the checkpointed frame
+        # (r8): the old shape re-joined new-vs-old labels in a second
+        # job per round just to count changes; now the convergence
+        # count is a cheap scan of the already-materialized checkpoint
         new = (labels.join(nbr.withColumnRenamed("a", "node"),
                            "node", "left")
                .select("node",
                        F.least(F.col("label"),
                                F.coalesce(F.col("nbl"), F.col("label")))
-                       .alias("label"))
+                       .alias("label"),
+                       (F.coalesce(F.col("nbl"), F.col("label"))
+                        < F.col("label")).alias("_chg"))
                .localCheckpoint())
-        changed = (new.join(labels.withColumnRenamed("label", "old"),
-                            "node")
-                   .where(F.col("label") != F.col("old")).count())
-        labels = new
+        changed = new.where(F.col("_chg")).count()
+        labels = new.drop("_chg")
         if changed == 0:
             break
     else:

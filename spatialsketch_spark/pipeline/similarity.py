@@ -283,22 +283,37 @@ def lsh_dup_pairs(emb: DataFrame, threshold: float = 0.3,
     the fixture's cosine range (see gate_pipeline.q_lsh_dups);
     tests assert candidates ⊇ brute-force pairs there.
     -> (vec_a, vec_b)."""
+    # r8 (guide §8 "decide with small rows, move big rows once"): the
+    # old form carried both quantized vectors through the candidate
+    # join AND the dropDuplicates — with 2-plane tables the bucket
+    # fan-in made ~24M candidate occurrences at sf0.1, shuffling ~1 KB
+    # rows and computing a dot product PER OCCURRENCE (42 s cold).
+    # Candidates now join and dedup as bare id pairs; the vectors
+    # re-attach by two hash joins afterwards, so the exact cosine
+    # recheck runs once per UNIQUE pair. Same pairs, same arithmetic.
     bt = _bucketed_quantized(emb, n_tables, planes_per_table)
-    a = bt.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
-                  F.col("n2").alias("na2"), "table",
+    a = bt.select(F.col("vec_id").alias("vec_a"), "table",
                   F.col("bucket").alias("qbucket"))
     a = a.withColumn("probe", F.explode(F.array(
         *_probe_starts(planes_per_table, probe_bits)))).drop("qbucket")
-    b = bt.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
-                  F.col("n2").alias("nb2"), "table", "bucket")
+    b = bt.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
     cand = (a.join(b, (a["table"] == b["table"])
                    & (F.col("probe") == F.col("bucket"))
                    & (F.col("vec_a") < F.col("vec_b")))
-            .drop("table", "probe", "bucket")
+            .select("vec_a", "vec_b")
             .dropDuplicates(["vec_a", "vec_b"]))
-    d = cand.withColumn("cos", _dot(F.col("qa"), F.col("qb")) /
-                        F.sqrt(F.col("na2").cast("double")
-                               * F.col("nb2").cast("double")))
+    qt = (bt.select("vec_id", "qv", "n2")
+          .dropDuplicates(["vec_id"]))
+    d = (cand
+         .join(qt.select(F.col("vec_id").alias("vec_a"),
+                         F.col("qv").alias("qa"),
+                         F.col("n2").alias("na2")), "vec_a")
+         .join(qt.select(F.col("vec_id").alias("vec_b"),
+                         F.col("qv").alias("qb"),
+                         F.col("n2").alias("nb2")), "vec_b")
+         .withColumn("cos", _dot(F.col("qa"), F.col("qb")) /
+                     F.sqrt(F.col("na2").cast("double")
+                            * F.col("nb2").cast("double"))))
     return (d.where(F.col("cos") >= threshold)
             .select(F.col("vec_a").cast("bigint"),
                     F.col("vec_b").cast("bigint")))
