@@ -662,10 +662,15 @@ def doc_pagerank(docs: DataFrame, iters: int = 3, max_df: int = 10,
     -> (doc_id, pr) in micro-units."""
     nodes = docs.select(F.col("doc_id").cast("bigint")).distinct()
     half = _rare_pair_candidates(shingle_table(docs), max_df)
+    # r8: materialize the edge set and degrees once (dup_clusters'
+    # checkpoint pattern) — unchecked, every iteration's contribution
+    # join re-evaluated the rare-shingle candidate join and the whole
+    # shingle chain (~6x for 3 iterations)
     edges = half.unionAll(half.select(F.col("v").alias("u"),
-                                      F.col("u").alias("v")))
+                                      F.col("u").alias("v"))) \
+        .localCheckpoint()
     deg = edges.groupBy("u").agg(F.count("*").cast("bigint")
-                                 .alias("outdeg"))
+                                 .alias("outdeg")).localCheckpoint()
     pr = nodes.withColumn("pr", F.lit(1_000_000).cast("bigint"))
     for _ in range(iters):
         contrib = (edges

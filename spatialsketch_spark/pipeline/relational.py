@@ -402,7 +402,10 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str,
     li = (_read(spark, sf_dir, "lineitem")
           .select(F.col("l_orderkey").alias("ok"),
                   F.col("l_partkey").alias("pk")).distinct())
-    n_orders = li.select("ok").distinct().count()
+    # r8: n_orders as a broadcast one-row aggregate instead of a
+    # separate driver count JOB that re-scanned lineitem before the
+    # main plan (same fix as hotspot_cells; identical value/semantics)
+    n_df = li.agg(F.countDistinct("ok").cast("bigint").alias("_no"))
     df_ = li.groupBy("pk").agg(F.count("*").cast("bigint").alias("df"))
     pairs = (li.alias("a").join(li.alias("b"), "ok")
              .where(F.col("a.pk") != F.col("b.pk"))
@@ -422,10 +425,12 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str,
            # while DuckDB raises; widen to decimal(38,0)/HUGEINT so both
            # engines stay exact (the quotient itself always fits int64:
            # cnt <= min(df_a, df_b) bounds lift by 1e6 · n_orders)
+           .crossJoin(F.broadcast(n_df))
            .withColumn("lift", F.expr(
-               f"(cast(1000000 as decimal(38,0)) * cnt * {int(n_orders)})"
-               f" div (cast(df_a as decimal(38,0)) * df_b)")
-               .cast("bigint")))
+               "(cast(1000000 as decimal(38,0)) * cnt * _no)"
+               " div (cast(df_a as decimal(38,0)) * df_b)")
+               .cast("bigint"))
+           .drop("_no"))
     w = Window.partitionBy("part_a").orderBy(
         F.col("lift").desc(), F.col("cnt").desc(), "part_b")
     return (out.withColumn("rank", F.row_number().over(w).cast("bigint"))
