@@ -146,9 +146,18 @@ def od_matrix(ev: DataFrame, tile: int = OD_TILE,
     MIN/MAX over (ts, tile) structs — no window sort, no self-join;
     the flow table is at most tiles² rows however large the stream.
     -> (o_tile, d_tile, n_trips), ordered."""
+    # tile-key stride derived from the 4096 grid (ADVICE r7: the
+    # hard-coded 8 aliased distinct tiles for tile < 512; the DuckDB
+    # oracle still hard-codes the default geometry, so guard it)
+    stride = 4096 // tile
+    if stride != 8:
+        raise ValueError(
+            f"od_matrix tile={tile} gives stride {stride}; the oracle "
+            "is pinned to the 8-per-row default geometry (tile=512)")
     t = ev.select(
         "item", F.expr(f"ts div {trip}").alias("trip"),
-        F.expr(f"(x div {tile}) * 8 + (y div {tile})").alias("tile"),
+        F.expr(f"(x div {tile}) * {stride} + (y div {tile})")
+        .alias("tile"),
         "ts")
     ends = (t.groupBy("item", "trip")
             .agg(F.min(F.struct("ts", "tile")).alias("_o"),

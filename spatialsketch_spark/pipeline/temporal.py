@@ -185,9 +185,15 @@ def overlap_join(a: DataFrame, b: DataFrame, block: int,
     the blowup ~2x. Returns a.* + b.* + (ov_lo, ov_hi)."""
     if block <= 0:
         raise ValueError("block must be positive")
+    # exact integer floor division for the block keys (ADVICE r7: the
+    # float quotient loses exactness for |bounds| at/past 2^53, e.g.
+    # epoch nanoseconds, silently breaking block coverage and the
+    # exactly-once start-block rule). Nonnegative bounds are asserted
+    # by the sequence (a negative lo would raise on a descending
+    # range); `div` truncation == floor for nonnegative operands.
     blks = lambda lo, hi: F.explode(  # noqa: E731
-        F.sequence(F.floor(F.col(lo) / block),
-                   F.floor(F.col(hi) / block)))
+        F.sequence(F.expr(f"{lo} div {block}"),
+                   F.expr(f"{hi} div {block}")))
     ae = a.withColumn("_blk", blks(a_lo, a_hi))
     be = b.withColumn("_blk", blks(b_lo, b_hi))
     on = ["_blk"] + ([key] if key else [])
@@ -196,7 +202,8 @@ def overlap_join(a: DataFrame, b: DataFrame, block: int,
     return (ae.join(be, on)
             .where((F.col(a_lo) <= F.col(b_hi))
                    & (F.col(b_lo) <= F.col(a_hi))
-                   & (F.floor(ov_lo / block) == F.col("_blk")))
+                   & (F.expr(f"greatest({a_lo}, {b_lo}) div {block}")
+                      == F.col("_blk")))
             .withColumn("ov_lo", ov_lo).withColumn("ov_hi", ov_hi)
             .drop("_blk"))
 
