@@ -117,14 +117,33 @@ def ngram_jaccard_pairs(docs: DataFrame, num: int, den: int) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    # exact intersection count, bounded to candidate pairs
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (cands.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+    # exact intersection count, bounded to candidate pairs. r8 shape
+    # (guide §2.3): the old recheck exploded |cands| x shingles-per-doc
+    # rows (~34M at sf0.1) through two joins and a groupBy; now each
+    # doc's DISTINCT shingle set is collected once and the pair
+    # intersection is size(array_intersect(...)) per candidate row —
+    # identical counts (shingle_table is distinct per doc; only the
+    # size is consumed), two hash joins on doc ids, no pair-x-shingle
+    # intermediate.
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("_shs"),
+        F.count("*").alias("sz"))
+    # spread the pair recheck to full parallelism: AQE sizes the
+    # post-join stages by bytes, but the per-pair intersect is
+    # CPU-bound — the id-pair exchange is ~16 bytes/row
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cands = cands.repartition(nparts, "doc_a", "doc_b")
+    inter = (cands
+             .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                               F.col("_shs").alias("_sa"),
+                               F.col("sz").alias("sza")), "doc_a")
+             .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                               F.col("_shs").alias("_sb"),
+                               F.col("sz").alias("szb")), "doc_b")
+             .withColumn("inter",
+                         F.size(F.array_intersect("_sa", "_sb"))
+                         .cast("bigint")))
+    return (inter
             .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
             .where(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni"))
             .select(F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),
@@ -590,20 +609,25 @@ def containment_pairs(docs: DataFrame, max_df: int = 10,
     sh = shingle_table(docs)
     cand = _rare_pair_candidates(sh, max_df) \
         .select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
-    inter = (cand
-             .join(sh.select(F.col("doc_id").alias("doc_a"),
-                             "shingle"), "doc_a")
-             .join(sh.select(F.col("doc_id").alias("doc_b"),
-                             "shingle"), ["doc_b", "shingle"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").cast("bigint").alias("inter")))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint")
-                                     .alias("sz"))
-    out = (inter
-           .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                              F.col("sz").alias("sz_a")), "doc_a")
-           .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                              F.col("sz").alias("sz_b")), "doc_b")
+    # r8: per-pair size(array_intersect) over collected shingle sets,
+    # exactly as in ngram_jaccard_pairs' recheck (identical counts,
+    # no candidate-x-shingle intermediate)
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("_shs"),
+        F.count("*").cast("bigint").alias("sz"))
+    # spread the CPU-bound per-pair intersect (see ngram_jaccard_pairs)
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(nparts, "doc_a", "doc_b")
+    out = (cand
+           .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                             F.col("_shs").alias("_sa"),
+                             F.col("sz").alias("sz_a")), "doc_a")
+           .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                             F.col("_shs").alias("_sb"),
+                             F.col("sz").alias("sz_b")), "doc_b")
+           .withColumn("inter",
+                       F.size(F.array_intersect("_sa", "_sb"))
+                       .cast("bigint"))
            .where(F.lit(den) * F.col("inter")
                   >= F.lit(num) * F.least("sz_a", "sz_b")))
     return out.select(
