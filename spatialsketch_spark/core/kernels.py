@@ -40,14 +40,6 @@ def int_group_sum(idx: np.ndarray, weights: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _group_slices(cell_keys: np.ndarray):
-    """Sort events by cell; return (order, unique_cells, start_offsets)."""
-    order = np.argsort(cell_keys, kind="stable")
-    sorted_keys = cell_keys[order]
-    uc, starts = np.unique(sorted_keys, return_index=True)
-    return order, uc, starts
-
-
 def _canon(obj):
     """Canonicalize a kernel state for deterministic pickling: arrays
     that went through pickle.loads carry dtype instances created with
